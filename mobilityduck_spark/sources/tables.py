@@ -1,0 +1,137 @@
+"""Table loaders + temporal assembly over the driver's synthetic tables.
+
+Mirrors the reference's load pipeline (BerlinMOD 07_trips.sql: raw rows →
+group → sort → temporal-sequence assembly) on the `events` table:
+one temporal value per user assembled via
+groupBy(user_id).agg(collect_list(struct(ts, value))) → tsequence(...).
+
+Scale notes: the assembly is ONE shuffle on user_id (the same shuffle any
+groupBy would pay); everything downstream operates on the nested struct
+without further shuffles. At 100 TB, partition count follows
+spark.sql.shuffle.partitions / AQE, and per-user state is bounded by the
+user's event count — for unbounded series use from_instants(max_gap_secs)
+to split sequences and keep rows bounded, or pre-bucket by (user, day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import temporal as TT
+
+_NS_TS_COLS: dict[str, list[str]] = {}
+
+
+def _ns_timestamp_cols(sf_dir: str, name: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — read as LONG under
+    spark.sql.legacy.parquet.nanosAsLong and converted to micros."""
+    key = f"{sf_dir}/{name}"
+    if key not in _NS_TS_COLS:
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(f"{sf_dir}/{name}.parquet")
+            _NS_TS_COLS[key] = [
+                f.name for f in schema if str(f.type) == "timestamp[ns]"
+            ]
+        except Exception:
+            _NS_TS_COLS[key] = []
+    return _NS_TS_COLS[key]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if _ns_timestamp_cols(sf_dir, name):
+        # the caller's session may not have this set (e.g. the driver's
+        # own session); it is runtime-settable, so set it defensively —
+        # without it the parquet reader rejects TIMESTAMP(NANOS) columns
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _ns_timestamp_cols(sf_dir, name):
+        # floor-divide ns → µs (positive epochs: same truncation DuckDB
+        # applies when reading TIMESTAMP_NS)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def user_tfloat(spark: SparkSession, sf_dir: str, interp: str = "step") -> DataFrame:
+    """events → one tfloat per user (sorted, deduped inside tsequence)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        TT.tsequence(
+            F.collect_list(F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))),
+            interp=interp,
+        ).alias("tf")
+    )
+
+
+def user_tbool(
+    spark: SparkSession, sf_dir: str, threshold: float = 10.0
+) -> DataFrame:
+    """events → one tbool per user: value > threshold (step interp)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        TT.tsequence(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    (F.col("value") > F.lit(threshold)).alias("v"),
+                )
+            ),
+            interp="step",
+        ).alias("tb")
+    )
+
+
+def period_grid(
+    spark: SparkSession,
+    n: int = 8,
+    start: str = "2024-01-01",
+    step_days: int = 4,
+    width_days: int = 3,
+) -> DataFrame:
+    """Probe periods (BerlinMOD 02_periods.sql analog): n fixed windows
+    [start + k*step, start + k*step + width). Deterministic, tiny →
+    always broadcast in joins."""
+    return spark.range(n).select(
+        F.col("id").cast("int").alias("period_id"),
+        (
+            F.to_timestamp(F.lit(start))
+            + F.col("id").cast("int") * F.expr(f"INTERVAL {step_days} DAYS")
+        ).alias("tstart"),
+        (
+            F.to_timestamp(F.lit(start))
+            + F.col("id").cast("int") * F.expr(f"INTERVAL {step_days} DAYS")
+            + F.expr(f"INTERVAL {width_days} DAYS")
+        ).alias("tend"),
+    )
+
+
+def instant_grid(
+    spark: SparkSession, n: int = 6, start: str = "2024-01-05", step_days: int = 5
+) -> DataFrame:
+    """Probe instants (BerlinMOD 01_instants.sql analog)."""
+    return spark.range(n).select(
+        F.col("id").cast("int").alias("instant_id"),
+        (
+            F.to_timestamp(F.lit(start))
+            + F.col("id").cast("int") * F.expr(f"INTERVAL {step_days} DAYS")
+        ).alias("instant"),
+    )

@@ -1,0 +1,289 @@
+"""Text in/out for MobilityDB-style literals.
+
+The reference registers VARCHAR↔type casts for every type
+(src/temporal/temporal.cpp:58-74, src/temporal/span.cpp:83-126, ...);
+its golden tests pin exact text rendering (timezone-normalized to +00,
+booleans as t/f — test/sql/tint.test:13-16, tbool.test:10-13).
+
+Here: plain-Python parse/format working on dicts shaped like our struct
+encoding (types.py). Used by the pytest golden suite
+(parse → createDataFrame → engine fn → collect → format → compare) and
+by `sources/` loaders. Not a row-path dependency of any query operator.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+from typing import Any
+
+from .types import (
+    INTERP_DISCRETE,
+    INTERP_LINEAR,
+    INTERP_NONE,
+    INTERP_STEP,
+    SUBTYPE_INSTANT,
+    SUBTYPE_SEQUENCE,
+    SUBTYPE_SEQUENCESET,
+)
+
+# ---------------------------------------------------------------- values
+_TS_RE = re.compile(
+    r"(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[ T](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?)?"
+    r"\s*(?:(Z)|([+-])(\d{2})(?::?(\d{2}))?)?$"
+)
+
+
+def parse_ts(s: str) -> datetime:
+    """Parse `2025-01-01 10:00:00+05` → aware datetime normalized to UTC."""
+    m = _TS_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"bad timestamp literal: {s!r}")
+    y, mo, d = int(m[1]), int(m[2]), int(m[3])
+    hh = int(m[4] or 0)
+    mi = int(m[5] or 0)
+    ss = int(m[6] or 0)
+    us = int((m[7] or "0").ljust(6, "0")[:6])
+    dt = datetime(y, mo, d, hh, mi, ss, us, tzinfo=timezone.utc)
+    if m[9]:  # explicit offset
+        sign = -1 if m[9] == "-" else 1
+        off = timedelta(hours=int(m[10]), minutes=int(m[11] or 0)) * sign
+        dt -= off
+    return dt
+
+
+def format_ts(dt: datetime) -> str:
+    """Render UTC: `2025-01-01 05:00:00+00` (fractional secs only if set)."""
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc)
+    base = dt.strftime("%Y-%m-%d %H:%M:%S")
+    if dt.microsecond:
+        base += f".{dt.microsecond:06d}".rstrip("0")
+    return base + "+00"
+
+
+def parse_base(s: str, base: str) -> Any:
+    s = s.strip()
+    if base == "int":
+        return int(s)
+    if base == "float":
+        return float(s)
+    if base == "bool":
+        if s.lower() in ("t", "true"):
+            return True
+        if s.lower() in ("f", "false"):
+            return False
+        raise ValueError(f"bad bool literal: {s!r}")
+    if base == "text":
+        return s[1:-1] if len(s) >= 2 and s[0] == '"' and s[-1] == '"' else s
+    if base in ("timestamp", "tstz"):
+        return parse_ts(s)
+    if base == "date":
+        return parse_ts(s).date()
+    if base == "point":
+        m = re.match(r"(?i)\s*point\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)", s)
+        if not m:
+            raise ValueError(f"bad point literal: {s!r}")
+        return {"x": float(m[1]), "y": float(m[2])}
+    raise ValueError(f"unknown base type: {base}")
+
+
+def format_base(v: Any, base: str) -> str:
+    if v is None:
+        return "NULL"
+    if base == "bool":
+        return "t" if v else "f"
+    if base == "float":
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if base in ("timestamp", "tstz"):
+        return format_ts(v)
+    if base == "date":
+        return v.isoformat()
+    if base == "text":
+        return f'"{v}"'
+    if base == "point":
+        x, y = (v["x"], v["y"]) if isinstance(v, dict) else (v.x, v.y)
+        return f"POINT({_num(x)} {_num(y)})"
+    return str(v)
+
+
+def _num(x: float) -> str:
+    return str(int(x)) if x == int(x) else repr(x)
+
+
+# ---------------------------------------------------------------- temporal
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at depth 0 w.r.t. () [] {} and double quotes."""
+    out, depth, cur, in_q = [], 0, [], False
+    for ch in s:
+        if ch == '"':
+            in_q = not in_q
+        if not in_q:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def _parse_instant(s: str, base: str) -> dict:
+    v, t = s.rsplit("@", 1)
+    return {"t": parse_ts(t), "v": parse_base(v, base)}
+
+
+def _parse_seq(s: str, base: str) -> dict:
+    s = s.strip()
+    lower_inc = s[0] == "["
+    upper_inc = s[-1] == "]"
+    inst = [_parse_instant(x, base) for x in _split_top(s[1:-1])]
+    if len(inst) == 1:
+        lower_inc = upper_inc = True
+    return {"lower_inc": lower_inc, "upper_inc": upper_inc, "instants": inst}
+
+
+def parse_temporal(s: str, base: str) -> dict:
+    """Parse any temporal literal → dict matching types.temporal_type.
+
+    Accepts an optional `Interp=Step;` prefix (MEOS syntax).
+    """
+    s = s.strip()
+    interp_default = INTERP_LINEAR if base in ("float", "point") else INTERP_STEP
+    m = re.match(r"(?i)^interp\s*=\s*(\w+)\s*;\s*", s)
+    forced = None
+    if m:
+        forced = {"discrete": INTERP_DISCRETE, "step": INTERP_STEP,
+                  "linear": INTERP_LINEAR, "none": INTERP_NONE}[m[1].lower()]
+        s = s[m.end():]
+    if s.startswith("{"):
+        body = s[1:-1].strip()
+        if body.startswith("[") or body.startswith("("):
+            seqs = [_parse_seq(x, base) for x in _split_top(s[1:-1])]
+            return {
+                "subtype": SUBTYPE_SEQUENCESET,
+                "interp": forced if forced is not None else interp_default,
+                "seqs": seqs,
+            }
+        inst = [_parse_instant(x, base) for x in _split_top(body)]
+        return {
+            "subtype": SUBTYPE_SEQUENCE,
+            "interp": INTERP_DISCRETE,
+            "seqs": [{"lower_inc": True, "upper_inc": True, "instants": inst}],
+        }
+    if s.startswith("[") or s.startswith("("):
+        return {
+            "subtype": SUBTYPE_SEQUENCE,
+            "interp": forced if forced is not None else interp_default,
+            "seqs": [_parse_seq(s, base)],
+        }
+    return {
+        "subtype": SUBTYPE_INSTANT,
+        "interp": INTERP_NONE,
+        "seqs": [
+            {"lower_inc": True, "upper_inc": True, "instants": [_parse_instant(s, base)]}
+        ],
+    }
+
+
+def _as_dict(x) -> dict:
+    return x if isinstance(x, dict) else x.asDict()
+
+
+def format_temporal(t, base: str) -> str:
+    """Render a temporal (dict or Row) in MobilityDB text form."""
+    if t is None:
+        return "NULL"
+    t = _as_dict(t)
+    seqs = [_as_dict(s) for s in t["seqs"]]
+
+    def fmt_inst(i) -> str:
+        i = _as_dict(i)
+        return f"{format_base(i['v'], base)}@{format_ts(i['t'])}"
+
+    def fmt_seq(s) -> str:
+        lo = "[" if s["lower_inc"] else "("
+        hi = "]" if s["upper_inc"] else ")"
+        return lo + ", ".join(fmt_inst(i) for i in s["instants"]) + hi
+
+    interp_default = INTERP_LINEAR if base in ("float", "point") else INTERP_STEP
+    prefix = ""
+    if t["interp"] == INTERP_STEP and interp_default == INTERP_LINEAR and \
+            t["subtype"] != SUBTYPE_INSTANT:
+        prefix = "Interp=Step;"
+    if t["subtype"] == SUBTYPE_INSTANT:
+        return fmt_inst(seqs[0]["instants"][0])
+    if t["interp"] == INTERP_DISCRETE:
+        return prefix + "{" + ", ".join(
+            fmt_inst(i) for s in seqs for i in s["instants"]
+        ) + "}"
+    if t["subtype"] == SUBTYPE_SEQUENCE:
+        return prefix + fmt_seq(seqs[0])
+    return prefix + "{" + ", ".join(fmt_seq(s) for s in seqs) + "}"
+
+
+# ---------------------------------------------------------------- span / set
+def parse_span(s: str, base: str) -> dict:
+    s = s.strip()
+    lower_inc = s[0] == "["
+    upper_inc = s[-1] == "]"
+    lo, hi = _split_top(s[1:-1])
+    out = {
+        "lower": parse_base(lo, base),
+        "upper": parse_base(hi, base),
+        "lower_inc": lower_inc,
+        "upper_inc": upper_inc,
+    }
+    if base == "int":  # canonicalize to [lo, hi+1)
+        if not out["lower_inc"]:
+            out["lower"] += 1
+            out["lower_inc"] = True
+        if out["upper_inc"]:
+            out["upper"] += 1
+            out["upper_inc"] = False
+    return out
+
+
+def format_span(s, base: str) -> str:
+    if s is None:
+        return "NULL"
+    s = _as_dict(s)
+    lo = "[" if s["lower_inc"] else "("
+    hi = "]" if s["upper_inc"] else ")"
+    return f"{lo}{format_base(s['lower'], base)}, {format_base(s['upper'], base)}{hi}"
+
+
+def parse_spanset(s: str, base: str) -> list[dict]:
+    s = s.strip()
+    assert s[0] == "{" and s[-1] == "}", f"bad spanset literal: {s!r}"
+    return [parse_span(x, base) for x in _split_top(s[1:-1])]
+
+
+def format_spanset(ss, base: str) -> str:
+    if ss is None:
+        return "NULL"
+    return "{" + ", ".join(format_span(s, base) for s in ss) + "}"
+
+
+def parse_set(s: str, base: str) -> list:
+    s = s.strip()
+    assert s[0] == "{" and s[-1] == "}", f"bad set literal: {s!r}"
+    return sorted({_hashable(parse_base(x, base)) for x in _split_top(s[1:-1])})
+
+
+def _hashable(v):
+    return v
+
+
+def format_set(vals, base: str) -> str:
+    if vals is None:
+        return "NULL"
+    return "{" + ", ".join(format_base(v, base) for v in vals) + "}"
