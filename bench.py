@@ -27,12 +27,15 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark("mobilityduck_spark_bench")
-    # warm the JVM + parquet footer caches so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM (JIT, codegen, parquet footers, shuffle paths) with one
+    # representative untimed run so the first timed query doesn't absorb
+    # session startup — cluster jobs run warm, this measures the queries
+    qs = Q.queries()
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    qs["attime_duration"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name, fn in sorted(Q.queries().items()):
+    for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, in increasing fuzziness:
+- exact: md5 fingerprint groupBy (one shuffle on the hash — even key
+  distribution by construction);
+- n-gram Jaccard: exact set similarity within cheap blocking keys;
+- MinHash + LSH: shingles → minhash signature → band buckets →
+  candidate pairs via equi-join on (band, band-hash) — the web-scale
+  path: no pairwise blowup, shuffle keys are bucket hashes;
+- SimHash: 64-bit bit-vote fingerprint, near-dups = small Hamming
+  distance within LSH-style chunk buckets.
+
+All expression-based (xxhash64/md5 are JVM built-ins); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as TX
+from ..functions.span import _c
+
+
+# ---------------------------------------------------------------- exact
+def exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint,
+    group size, representative (min id). One hash-partitioned shuffle."""
+    fp = docs.select(
+        F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fp")
+    )
+    return fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min(id_col).alias("keep_id"),
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative per fingerprint (min id wins)."""
+    w = Window.partitionBy(TX.fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+def ngram_set(text, n: int = 3) -> Column:
+    """Distinct word-n-gram hash set."""
+    return F.array_distinct(TX.rolling_hash_shingles(text, k=n))
+
+
+def jaccard(a, b) -> Column:
+    inter = F.size(F.array_intersect(_c(a), _c(b)))
+    union = F.size(F.array_union(_c(a), _c(b)))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked candidate pairs. Blocking keys
+    bound the quadratic term; at scale use minhash_lsh_pairs instead."""
+    pre = docs.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        ngram_set(F.col(text_col), n).alias("grams"),
+    )
+    a = pre
+    b = pre.select(
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    cond = [a[c] == b[f"{c}_b"] for c in block_cols] + [a["id"] < b["id_b"]]
+    joined = a.join(b, cond)
+    return (
+        joined.select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            F.round(jaccard(F.col("grams"), F.col("grams_b")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature_from_shingles(shingles, num_hashes: int = 32) -> Column:
+    """MinHash signature in ONE pass over the shingle array: fold with an
+    elementwise-min accumulator of num_hashes lanes (zip_with + least).
+
+    Single traversal matters: the naive per-hash-function formulation
+    (num_hashes separate transforms over the shingle expression)
+    re-evaluates the shingle subtree per lane under interpreted
+    higher-order-function eval — measured 180s vs ~4s at sf0.1.
+    """
+    init = F.array(*[F.lit(_LONG_MAX).cast("long") for _ in range(num_hashes)])
+
+    def lane_hashes(s: Column) -> Column:
+        return F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+
+    return F.aggregate(
+        _c(shingles),
+        init,
+        lambda acc, s: F.zip_with(acc, lane_hashes(s), lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_signature(text, num_hashes: int = 32, shingle_k: int = 5) -> Column:
+    """MinHash signature of a text column (shingle + fold)."""
+    return minhash_signature_from_shingles(
+        TX.rolling_hash_shingles(text, k=shingle_k), num_hashes
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    signature → `bands` bands of num_hashes/bands rows; band hash =
+    xxhash64 of the band slice; candidates = pairs sharing ≥1 band
+    bucket (deduped via min band); estimated Jaccard = fraction of equal
+    signature positions. Shuffles: one groupBy for signatures is not
+    needed (map-side), one equi-join shuffle on (band, hash) — this is
+    the plan that scales to billions of docs.
+    """
+    rows = num_hashes // bands
+    # select barriers: shingles once, then signature once — each alias is
+    # referenced multiple times downstream and must not be re-inlined
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        TX.rolling_hash_shingles(F.col(text_col), k=shingle_k).alias("sh"),
+    )
+    sig = shingled.select(
+        "id",
+        minhash_signature_from_shingles(F.col("sh"), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    other = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("bhash").alias("bhash_b"),
+    )
+    cand = banded.join(
+        other,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bhash") == F.col("bhash_b"))
+        & (F.col("id") < F.col("id_b")),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cand.groupBy("id", "id_b")
+        .agg(F.first("sig").alias("sig"), F.first("sig_b").alias("sig_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash(text, hashbits: int = 64) -> Column:
+    """64-bit SimHash: per token hash, vote +1/-1 per bit, sign →
+    fingerprint bit. Expression-only via bit arithmetic over an
+    aggregate of per-bit counters."""
+    toks = TX.tokens(text)
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    # votes[b] = Σ tokens (bit b set ? 1 : -1); bit b of result = votes[b] > 0
+    bit_cols = []
+    for b in range(hashbits):
+        def _bit_set(bb):
+            return lambda h: F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1
+
+        ones = F.size(F.filter(hashes, _bit_set(b)))
+        votes = ones * 2 - F.size(hashes)
+        bit_cols.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bit_cols):
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return out
+
+
+def hamming64(a, b) -> Column:
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of
+    `chunks` 16-bit fingerprint chunks (pigeonhole guarantees recall for
+    hamming < chunks), verified by exact Hamming distance."""
+    sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.ckey")
+    other = chunked.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("chunk").alias("chunk_b"), F.col("ckey").alias("ckey_b"),
+    )
+    cand = chunked.join(
+        other,
+        (F.col("chunk") == F.col("chunk_b"))
+        & (F.col("ckey") == F.col("ckey_b"))
+        & (F.col("id") < F.col("id_b")),
+    )
+    return (
+        cand.groupBy("id", "id_b")
+        .agg(F.first("sh").alias("sh"), F.first("sh_b").alias("sh_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            hamming64(F.col("sh"), F.col("sh_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,134 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting. All pure Column expressions
+(JVM regex/hash) — no Python in the row path, so they run at full scan
+speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.span import _c
+
+_WS = r"\s+"
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(_c(text))), _WS)
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text) -> Column:
+    return F.length(_c(text))
+
+
+def avg_word_len(text) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    txt = _c(text)
+    clean = F.regexp_replace(txt, r"[^A-Za-z ]", "")
+    return F.when(
+        F.length(txt) > 0, F.length(clean) / F.length(txt)
+    ).otherwise(F.lit(0.0))
+
+
+_STOPWORDS = ("the", "a", "and", "of", "is", "to", "in", "that", "it", "for")
+
+
+def stopword_ratio(text) -> Column:
+    t = tokens(text)
+    sw = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS)))
+    return F.when(F.size(t) > 0, sw / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic: alpha ratio, stopword presence,
+    mean word length in a sane band — the standard cheap pre-filter in
+    web-scale corpus cleaning (C4-style)."""
+    aw = avg_word_len(text)
+    wordlen_ok = F.when((aw >= 3.0) & (aw <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        (alpha_ratio(text) + F.least(stopword_ratio(text) * 5, F.lit(1.0)) + wordlen_ok)
+        / 3.0,
+        6,
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+
+def _isin_filter(marks):
+    # closure factory: a default-arg lambda would have 2 params and PySpark
+    # would treat it as an (element, index) lambda
+    return lambda x: x.isin(*marks)
+
+
+def lang_scores(text) -> Column:
+    t = tokens(text)
+    return F.struct(
+        *[
+            F.size(F.filter(t, _isin_filter(marks))).alias(lang)
+            for lang, marks in _LANG_MARKERS.items()
+        ]
+    )
+
+
+def lang_id(text) -> Column:
+    """Marker-word language ID (n-gram/stopword heuristic). Returns the
+    best-scoring language, 'und' when nothing matches."""
+    s = lang_scores(text)
+    best = F.greatest(*[s[lang] for lang in _LANG_MARKERS])
+    out = F.lit("und")
+    # reversed: earlier languages win ties (deterministic)
+    for lang in reversed(list(_LANG_MARKERS)):
+        out = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized
+    (lowercased, whitespace-collapsed) text. Engine-portable (same hex in
+    any SQL engine) — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), _WS, " ")
+    return F.md5(norm)
+
+
+def token_estimate(text) -> Column:
+    """BPE-ish token-count estimate without a tokenizer model: one token
+    per word piece of ~4 chars plus punctuation marks."""
+    txt = _c(text)
+    punct = F.length(txt) - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    words = tokens(txt)
+    pieces = F.aggregate(
+        F.transform(words, lambda w: (F.length(w) + 3) / 4),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (pieces + punct).cast("long")
+
+
+def rolling_hash_shingles(text, k: int = 5) -> Column:
+    """Array of hashes of k-word shingles (the MinHash input)."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, k), " "))
+    )

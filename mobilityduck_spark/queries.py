@@ -174,10 +174,17 @@ def attime_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = tf.crossJoin(F.broadcast(periods)).filter(
         S.overlaps(TT.time_span(F.col("tf")), sp)
     )
-    return joined.select(
+    # two-step select: alias the clipped temporal before consuming it, so
+    # the (interpreted, non-codegen) higher-order at_time subtree is
+    # evaluated once per row instead of re-inlined at each reference
+    # (CollapseProject keeps the barrier for non-cheap expressions)
+    clipped = joined.select(
+        "user_id", "period_id", TT.at_time(F.col("tf"), sp).alias("clipped")
+    )
+    return clipped.select(
         "user_id",
         "period_id",
-        TT.duration_us(TT.at_time(F.col("tf"), sp)).alias("dur_us"),
+        TT.duration_us(F.col("clipped")).alias("dur_us"),
     ).filter(F.col("dur_us") > 0)
 
 
@@ -307,3 +314,398 @@ def set_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# =====================================================================
+# TGEOMPOINT family: trajectories synthesized deterministically from
+# events (FIXTURES.md §1 mapping): x = (event_id % 1000)/10,
+# y = ((event_id*7919) % 1000)/10
+# =====================================================================
+def _traj_points(spark: SparkSession, sf_dir: str):
+    ev = SRC.load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        ((F.col("event_id") % 1000) / F.lit(10.0)).alias("x"),
+        ((F.col("event_id") * 7919 % 1000) / F.lit(10.0)).alias("y"),
+    )
+
+
+def _user_trajectories(spark: SparkSession, sf_dir: str):
+    from .functions import tpoint as TP
+
+    pts = _traj_points(spark, sf_dir)
+    return pts.groupBy("user_id").agg(
+        TP.tpoint_seq(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.struct(F.col("x"), F.col("y")).alias("v"),
+                )
+            ),
+            interp="linear",
+        ).alias("tp")
+    )
+
+
+_TRAJ_SQL = """
+      SELECT user_id, ts,
+             (event_id % 1000) / CAST(10.0 AS DOUBLE) AS x,
+             (event_id * 7919 % 1000) / CAST(10.0 AS DOUBLE) AS y
+      FROM events
+"""
+
+
+@register(
+    "traj_length",
+    f"""
+    WITH pts AS ({_TRAJ_SQL}),
+    seg AS (
+      SELECT user_id,
+             sqrt(power(x - lag(x) OVER w, 2) + power(y - lag(y) OVER w, 2)) AS d
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, ROUND(SUM(d), 3) AS len
+    FROM seg WHERE d IS NOT NULL GROUP BY user_id
+    """,
+)
+def traj_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length(TGEOMPOINT) — SURVEY §2.6 (tpoint_length analog)."""
+    from .functions import tpoint as TP
+
+    tr = _user_trajectories(spark, sf_dir)
+    return tr.select(
+        "user_id", F.round(TP.length(F.col("tp")), 3).alias("len")
+    )
+
+
+@register(
+    "stbox_grid_overlap",
+    f"""
+    WITH pts AS ({_TRAJ_SQL}),
+    b AS (
+      SELECT user_id, MIN(x) xmn, MAX(x) xmx, MIN(y) ymn, MAX(y) ymx
+      FROM pts GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(k AS INT) AS cell_id,
+             CAST((k % 3) * 33.0 AS DOUBLE) AS cx0,
+             CAST((k % 3) * 33.0 + 34.0 AS DOUBLE) AS cx1,
+             CAST((k // 3) * 33.0 AS DOUBLE) AS cy0,
+             CAST((k // 3) * 33.0 + 34.0 AS DOUBLE) AS cy1
+      FROM generate_series(0, 8) t(k)
+    )
+    SELECT c.cell_id, COUNT(*) AS n_users
+    FROM b, cells c
+    WHERE b.xmn <= c.cx1 AND c.cx0 <= b.xmx AND b.ymn <= c.cy1 AND c.cy0 <= b.ymx
+    GROUP BY c.cell_id
+    """,
+)
+def stbox_grid_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stbox(TGEOMPOINT) + STBOX && STBOX grid join — SURVEY §2.7
+    (q9-shaped: every `&&` is an expanded range predicate)."""
+    from .functions import box as B
+
+    tr = _user_trajectories(spark, sf_dir)
+    boxes = tr.select("user_id", B.stbox_of_tpoint(F.col("tp")).alias("bb"))
+    cells = spark.range(9).select(
+        F.col("id").cast("int").alias("cell_id"),
+        B.stbox(
+            xmin=(F.col("id") % 3).cast("double") * 33.0,
+            ymin=(F.col("id") / 3).cast("int").cast("double") * 33.0,
+            xmax=(F.col("id") % 3).cast("double") * 33.0 + 34.0,
+            ymax=(F.col("id") / 3).cast("int").cast("double") * 33.0 + 34.0,
+        ).alias("cell"),
+    )
+    joined = boxes.crossJoin(F.broadcast(cells)).filter(
+        B.stbox_overlaps(F.col("bb"), F.col("cell"))
+    )
+    return joined.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "tpoint_value_at",
+    f"""
+    WITH pts AS ({_TRAJ_SQL}),
+    p AS (
+      SELECT CAST(k AS INT) AS instant_id,
+             TIMESTAMP '2024-01-05' + CAST(k AS INT) * INTERVAL 5 DAY AS instant
+      FROM generate_series(0, 5) t(k)
+    ),
+    bef AS (
+      SELECT pts.user_id, p.instant_id, p.instant,
+             arg_max(pts.x, pts.ts) AS bx, arg_max(pts.y, pts.ts) AS by_,
+             MAX(pts.ts) AS bt
+      FROM pts JOIN p ON pts.ts <= p.instant
+      GROUP BY pts.user_id, p.instant_id, p.instant
+    ),
+    aft AS (
+      SELECT pts.user_id, p.instant_id,
+             arg_min(pts.x, pts.ts) AS ax, arg_min(pts.y, pts.ts) AS ay,
+             MIN(pts.ts) AS at_
+      FROM pts JOIN p ON pts.ts >= p.instant
+      GROUP BY pts.user_id, p.instant_id
+    )
+    SELECT b.user_id, b.instant_id,
+           ROUND(CASE WHEN a.at_ = b.bt THEN b.bx
+                 ELSE b.bx + (a.ax - b.bx) *
+                      ((epoch_us(b.instant) - epoch_us(b.bt)) /
+                       (epoch_us(a.at_) - epoch_us(b.bt))) END, 6) AS px,
+           ROUND(CASE WHEN a.at_ = b.bt THEN b.by_
+                 ELSE b.by_ + (a.ay - b.by_) *
+                      ((epoch_us(b.instant) - epoch_us(b.bt)) /
+                       (epoch_us(a.at_) - epoch_us(b.bt))) END, 6) AS py
+    FROM bef b JOIN aft a ON b.user_id = a.user_id AND b.instant_id = a.instant_id
+    """,
+)
+def tpoint_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """valueAtTimestamp(TGEOMPOINT, ts): linear interpolation along the
+    enclosing segment — SURVEY §2.5."""
+    from .functions import tpoint as TP
+
+    tr = _user_trajectories(spark, sf_dir)
+    probes = SRC.instant_grid(spark)
+    joined = tr.crossJoin(F.broadcast(probes))
+    pos = joined.select(
+        "user_id",
+        "instant_id",
+        TP.value_at_timestamp(F.col("tp"), F.col("instant")).alias("pos"),
+    ).filter(F.col("pos").isNotNull())
+    return pos.select(
+        "user_id",
+        "instant_id",
+        F.round(F.col("pos.x"), 6).alias("px"),
+        F.round(F.col("pos.y"), 6).alias("py"),
+    )
+
+
+# =====================================================================
+# Training-data pipeline: text analysis over documents
+# =====================================================================
+@register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(FLOOR(
+             list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                      w -> (length(w) + 3) / CAST(4 AS DOUBLE)))
+             + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+           ) AS BIGINT) AS est_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + fingerprinting (training-pipeline text ops)."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.char_count(F.col("text")).cast("long").alias("n_chars_obs"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        F.floor(
+            F.aggregate(
+                F.transform(TX.tokens(F.col("text")), lambda w: (F.length(w) + 3) / 4),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            + (
+                F.length(F.col("text"))
+                - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+            )
+        ).cast("long").alias("est_tokens"),
+    )
+
+
+@register(
+    "doc_lang_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, w,
+             len(list_filter(w, x -> x IN ('the','and','of','is','a'))) AS s_en,
+             len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+             len(list_filter(w, x -> x IN ('le','la','et','les','est'))) AS s_fr,
+             len(list_filter(w, x -> x IN ('el','la','que','de','es'))) AS s_es,
+             len(list_filter(w, x -> x IN ('the','a','and','of','is','to','in','that','it','for'))) AS sw,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS alpha,
+             CASE WHEN len(w) > 0
+                  THEN list_sum(list_transform(w, x -> length(x)))
+                       / CAST(len(w) AS DOUBLE)
+                  ELSE 0.0 END AS awl
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang,
+           ROUND((alpha
+                  + least(CASE WHEN len(w) > 0 THEN sw / CAST(len(w) AS DOUBLE) ELSE 0.0 END * 5, 1.0)
+                  + CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
+                 ) / 3.0, 6) AS quality
+    FROM s
+    """,
+)
+def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality scoring (training-pipeline ops)."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# =====================================================================
+# Training-data pipeline: deduplication
+# =====================================================================
+@register(
+    "doc_exact_dups",
+    r"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS keep_id
+    FROM u GROUP BY fp
+    """,
+)
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-md5 fingerprint. Input is
+    the corpus unioned with an id-shifted copy of itself so every group
+    is a real duplicate group."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.union(docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return DD.exact_dups(u)
+
+
+@register(
+    "doc_ngram_jaccard",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 100 AS lb,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, lb,
+             list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM d
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))
+                 / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
+                 6) AS jac
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))
+          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs with (lang, length-bucket)
+    blocking."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents").withColumn(
+        "lb", F.expr("n_chars div 100")
+    )
+    return DD.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, block_cols=("lang", "lb")
+    )
+
+
+@register("doc_minhash_pairs", None)  # xxhash64-based: rows-only check
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (the at-scale dedup path)."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=3,
+                                min_est_jaccard=0.4)
+
+
+@register("doc_simhash_pairs", None)  # xxhash64-based: rows-only check
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (chunk-bucketed Hamming)."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+# =====================================================================
+# Training-data pipeline: similarity search over embeddings
+# =====================================================================
+@register(
+    "embed_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt((SELECT SUM(v::DOUBLE * v::DOUBLE) FROM (SELECT unnest(embedding) v))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(
+               (SELECT SUM(av::DOUBLE * bv::DOUBLE)
+                FROM (SELECT unnest(e.embedding) av, unnest(q.qv) bv))
+               / (ne.nrm * nq.nrm), 6) AS cos
+      FROM embeddings e
+      CROSS JOIN q
+      JOIN n ne ON ne.vec_id = e.vec_id
+      JOIN n nq ON nq.vec_id = q.query_id
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.brute_force_topk(emb, queries_df, k=5).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register("embed_near_dups", None)  # LSH recall is approximate: rows-only
+def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, min_cos=0.9)

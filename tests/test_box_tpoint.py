@@ -1,0 +1,122 @@
+"""TBOX/STBOX + TGEOMPOINT — goldens from /root/reference/test/sql/
+tbox.test, stbox.test, tgeompoint.test semantics."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mobilityduck_spark.functions import box as B
+from mobilityduck_spark.functions import temporal as TT
+from mobilityduck_spark.functions import tpoint as TP
+
+from tests.conftest import temporal_df
+
+
+def one(df, col):
+    return df.select(col.alias("r")).collect()[0]["r"]
+
+
+def ts(s):
+    return F.to_timestamp(F.lit(s))
+
+
+def test_tbox_overlaps_contains(spark):
+    df = spark.range(1)
+    a = B.tbox(xmin=1, xmax=5, tmin=ts("2000-01-01"), tmax=ts("2000-01-05"))
+    b = B.tbox(xmin=4, xmax=9, tmin=ts("2000-01-04"), tmax=ts("2000-01-09"))
+    c = B.tbox(xmin=2, xmax=3, tmin=ts("2000-01-02"), tmax=ts("2000-01-03"))
+    d = B.tbox(xmin=6, xmax=9, tmin=ts("2000-01-01"), tmax=ts("2000-01-02"))
+    assert one(df, B.tbox_overlaps(a, b)) is True
+    assert one(df, B.tbox_overlaps(a, d)) is False  # x-dim disjoint
+    assert one(df, B.tbox_contains(a, c)) is True
+    assert one(df, B.tbox_contains(c, a)) is False
+    # value-only box vs full box: compare only shared dims
+    vx = B.tbox(xmin=4, xmax=4.5)
+    assert one(df, B.tbox_overlaps(a, vx)) is True
+
+
+def test_tbox_of_temporal(spark):
+    df = temporal_df(spark, ["[1@2000-01-01, 5@2000-01-03]"], "float")
+    r = one(df, B.tbox_of_temporal(F.col("t")))
+    assert r["xmin"] == 1.0 and r["xmax"] == 5.0
+    assert r["tmin"] == datetime.datetime(2000, 1, 1)
+    assert r["tmax"] == datetime.datetime(2000, 1, 3)
+
+
+def test_tbox_expand_shift(spark):
+    df = spark.range(1)
+    a = B.tbox(xmin=1, xmax=5)
+    r = one(df, B.tbox_expand_value(a, F.lit(2.0)))
+    assert r["xmin"] == -1.0 and r["xmax"] == 7.0
+    r = one(df, B.tbox_shift_value(a, F.lit(10.0)))
+    assert r["xmin"] == 11.0 and r["xmax"] == 15.0
+
+
+def _traj(spark):
+    """[P(0,0)@01, P(3,4)@02, P(3,8)@03] linear."""
+    mk = lambda x, y, d: F.struct(  # noqa: E731
+        F.to_timestamp(F.lit(f"2000-01-0{d}")).alias("t"),
+        TP.point(F.lit(x), F.lit(y)).alias("v"),
+    )
+    return spark.range(1).select(
+        TP.tpoint_seq(F.array(mk(0, 0, 1), mk(3, 4, 2), mk(3, 8, 3))).alias("tp")
+    )
+
+
+def test_tpoint_length_and_speed(spark):
+    df = _traj(spark)
+    assert one(df, TP.length(F.col("tp"))) == 9.0  # 5 + 4
+    dur = one(df, TT.duration_secs(F.col("tp")))
+    assert dur == 2 * 86400.0
+    assert abs(one(df, TP.speed(F.col("tp"))) - 9.0 / dur) < 1e-12
+
+
+def test_trajectory_wkt(spark):
+    df = _traj(spark)
+    assert one(df, TP.trajectory_wkt(F.col("tp"))) == "LINESTRING(0 0, 3 4, 3 8)"
+    single = spark.range(1).select(
+        TP.tpoint_inst(F.lit(1.5), F.lit(2.0), ts("2000-01-01")).alias("tp")
+    )
+    assert one(single, TP.trajectory_wkt(F.col("tp"))) == "POINT(1.5 2)"
+
+
+def test_tpoint_value_at_timestamp(spark):
+    df = _traj(spark)
+    # midpoint of first segment
+    r = one(df, TP.value_at_timestamp(F.col("tp"), ts("2000-01-01 12:00:00")))
+    assert r["x"] == 1.5 and r["y"] == 2.0
+    # exact instant
+    r = one(df, TP.value_at_timestamp(F.col("tp"), ts("2000-01-02")))
+    assert r["x"] == 3.0 and r["y"] == 4.0
+    # outside
+    assert one(df, TP.value_at_timestamp(F.col("tp"), ts("2001-01-01"))) is None
+
+
+def test_stbox_of_tpoint_and_predicates(spark):
+    df = _traj(spark)
+    b = one(df, B.stbox_of_tpoint(F.col("tp")))
+    assert (b["xmin"], b["ymin"], b["xmax"], b["ymax"]) == (0.0, 0.0, 3.0, 8.0)
+    probe = B.stbox(xmin=2, ymin=3, xmax=4, ymax=5, tmin=ts("2000-01-01"), tmax=ts("2000-01-04"))
+    far = B.stbox(xmin=100, ymin=100, xmax=101, ymax=101)
+    assert one(df, B.stbox_overlaps(B.stbox_of_tpoint(F.col("tp")), probe)) is True
+    assert one(df, B.stbox_overlaps(B.stbox_of_tpoint(F.col("tp")), far)) is False
+    assert one(df, B.area(probe)) == 4.0
+    assert one(df, B.stbox_to_wkt(far)) == (
+        "POLYGON((100 100, 101 100, 101 101, 100 101, 100 100))"
+    )
+
+
+def test_at_box_sampled(spark):
+    df = _traj(spark)
+    box = B.stbox(xmin=2, ymin=3, xmax=4, ymax=9)
+    r = one(df, TP.at_box_sampled(F.col("tp"), box))
+    assert r is not None and len(r["seqs"][0]["instants"]) == 2  # (3,4), (3,8)
+    empty = one(df, TP.at_box_sampled(F.col("tp"), B.stbox(xmin=50, ymin=50, xmax=60, ymax=60)))
+    assert empty is None
+
+
+def test_at_values_point(spark):
+    df = _traj(spark)
+    r = one(df, TP.at_values_point(F.col("tp"), F.lit(3.0), F.lit(4.0)))
+    assert r is not None and r["subtype"] == 1
+    assert one(df, TP.at_values_point(F.col("tp"), F.lit(9.0), F.lit(9.0))) is None
