@@ -1,0 +1,735 @@
+"""BerlinMOD query pack: the reference's 17 benchmark queries
+(/root/reference/benchmark/BerlinMOD/sql/queries/query_{1..17}.sql)
+re-expressed Spark-first over the synthetic BerlinMOD-shaped dataset
+(sources/berlinmod.py).
+
+Semantics notes vs the reference:
+- `ST_Intersects(trajectory, point)` uses vertex-hit semantics (the
+  trajectory passes through an exactly-observed position) — positions
+  repeat on a 1000-value lattice so hits are plentiful; continuous
+  segment-crossing of a zero-area point is measure-zero anyway.
+- `region` probes are axis-aligned boxes; "passed through region during
+  period" uses sampled semantics (an observed instant inside box×period)
+  — exactly oracle-checkable; trajectories are densely sampled so this
+  matches continuous semantics up to one sampling interval.
+- interpolation-dependent queries (q3/q11/q12/q14) compare the SAME
+  closed-form interpolation on both engines → exact float equality.
+- pairwise-UDF queries (q5/q6/q10/q16) have no ANSI oracle → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import box as B
+from .functions import span as S
+from .functions import temporal as TT
+from .functions import tpoint as TP
+from .queries import register
+from .sources import berlinmod as BM
+
+# ---------------------------------------------------------------- helpers
+_TRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trips assembly is shared by every bm query — cache per session."""
+    key = (id(spark), sf_dir)
+    if key not in _TRIP_CACHE:
+        _TRIP_CACHE[key] = BM.trips(spark, sf_dir).persist()
+    return _TRIP_CACHE[key]
+
+
+_FLAT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _flat_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trips with (t, x, y) flat arrays + stbox — the pairwise-UDF input
+    (nested structs cost ~100× more to cross Arrow).
+
+    Persisted per session: both sides of every pairwise self-join read
+    this; without materialization a BroadcastNestedLoopJoin re-derives
+    the subtree on an untuned session (measured 61s vs 1s at sf0.01)."""
+    from .operators.tpoint_pairs import flat_cols
+
+    key = (id(spark), sf_dir)
+    if key not in _FLAT_CACHE:
+        trips = _trips(spark, sf_dir)
+        ts_, xs, ys = flat_cols(F.col("trip"))
+        _FLAT_CACHE[key] = trips.select(
+            "vehicle_id",
+            "trip",
+            ts_.alias("t_arr"),
+            xs.alias("x_arr"),
+            ys.alias("y_arr"),
+            B.stbox_of_tpoint(F.col("trip")).alias("bb"),
+        ).persist()
+    return _FLAT_CACHE[key]
+
+
+def _vertex_hits(spark, sf_dir):
+    """(vehicle_id, point_id, t) for every observed position equal to a
+    probe point — the vertex-hit join driving q4/q7/q15/q17."""
+    trips = _trips(spark, sf_dir)
+    pts = BM.points1(spark, sf_dir)
+    joined = trips.crossJoin(F.broadcast(pts))
+    hits = joined.select(
+        "vehicle_id",
+        "point_id",
+        F.filter(
+            TT.instants(F.col("trip")),
+            lambda i: (i["v"]["x"] == F.col("px")) & (i["v"]["y"] == F.col("py")),
+        ).alias("hit_instants"),
+    ).filter(F.size("hit_instants") > 0)
+    return hits
+
+
+_INTERP_ORACLE = """
+    bef AS (
+      SELECT e.user_id, i.instant_id, i.instant,
+             arg_max(e.x, e.ts) AS bx, arg_max(e.y, e.ts) AS by_,
+             MAX(e.ts) AS bt, arg_max(e.island, e.ts) AS bisl
+      FROM isl e JOIN i ON e.ts <= i.instant
+      GROUP BY e.user_id, i.instant_id, i.instant
+    ),
+    aft AS (
+      SELECT e.user_id, i.instant_id,
+             arg_min(e.x, e.ts) AS ax, arg_min(e.y, e.ts) AS ay,
+             MIN(e.ts) AS at_, arg_min(e.island, e.ts) AS aisl
+      FROM isl e JOIN i ON e.ts >= i.instant
+      GROUP BY e.user_id, i.instant_id
+    ),
+    pos AS (
+      SELECT b.user_id, b.instant_id,
+             CASE WHEN a.at_ = b.bt THEN b.bx
+                  ELSE b.bx + (a.ax - b.bx) *
+                       ((epoch_us(b.instant) - epoch_us(b.bt)) /
+                        (epoch_us(a.at_) - epoch_us(b.bt))) END AS px,
+             CASE WHEN a.at_ = b.bt THEN b.by_
+                  ELSE b.by_ + (a.ay - b.by_) *
+                       ((epoch_us(b.instant) - epoch_us(b.bt)) /
+                        (epoch_us(a.at_) - epoch_us(b.bt))) END AS py
+      FROM bef b JOIN aft a
+        ON b.user_id = a.user_id AND b.instant_id = a.instant_id
+      WHERE b.bisl = a.aisl
+    )
+"""
+
+
+# ================================================================ q1/q2
+@register(
+    "bm_q1",
+    f"""
+    WITH v AS ({BM.VEHICLES_SQL}),
+    l AS (SELECT * FROM ({BM.LICENCES1_SQL}) UNION ALL SELECT * FROM ({BM.LICENCES2_SQL}))
+    SELECT DISTINCT l.licence, v.model FROM v JOIN l ON v.licence = l.licence
+    """,
+)
+def bm_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1: licences ⋈ vehicles → (licence, model)."""
+    v = BM.vehicles(spark, sf_dir)
+    lic = BM.licences1(spark, sf_dir).union(BM.licences2(spark, sf_dir))
+    return (
+        v.join(F.broadcast(lic.select(F.col("licence").alias("l_lic"))),
+               v["licence"] == F.col("l_lic"))
+        .select("licence", "model")
+        .distinct()
+    )
+
+
+@register(
+    "bm_q2",
+    f"""
+    SELECT COUNT(DISTINCT licence) AS n
+    FROM ({BM.VEHICLES_SQL}) WHERE vehicle_type = 'passenger'
+    """,
+)
+def bm_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2: COUNT(DISTINCT licence) of passenger vehicles."""
+    return (
+        BM.vehicles(spark, sf_dir)
+        .filter(F.col("vehicle_type") == "passenger")
+        .agg(F.countDistinct("licence").alias("n"))
+    )
+
+
+# ================================================================ q3
+@register(
+    "bm_q3",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    l1 AS ({BM.LICENCES1_SQL}),
+    i AS ({BM.INSTANTS1_SQL}),
+    {_INTERP_ORACLE}
+    SELECT l1.licence, p.instant_id,
+           ROUND(p.px, 6) AS px, ROUND(p.py, 6) AS py
+    FROM pos p JOIN l1 ON l1.vehicle_id = p.user_id
+    """,
+)
+def bm_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3: position of licences1 vehicles at probe instants
+    (trip::tstzspan @> instant + valueAtTimestamp)."""
+    trips = _trips(spark, sf_dir)
+    l1 = BM.licences1(spark, sf_dir)
+    inst = BM.instants1(spark, sf_dir)
+    t = trips.join(F.broadcast(l1), "vehicle_id").crossJoin(F.broadcast(inst))
+    pos = t.select(
+        "licence",
+        "instant_id",
+        TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
+    ).filter(F.col("pos").isNotNull())
+    return pos.select(
+        "licence",
+        "instant_id",
+        F.round(F.col("pos.x"), 6).alias("px"),
+        F.round(F.col("pos.y"), 6).alias("py"),
+    )
+
+
+# ================================================================ q4
+@register(
+    "bm_q4",
+    f"""
+    WITH pts AS ({BM.PTS_SQL}), p AS ({BM.POINTS1_SQL}), v AS ({BM.VEHICLES_SQL})
+    SELECT DISTINCT p.point_id, v.licence
+    FROM pts e JOIN p ON e.x = p.px AND e.y = p.py
+    JOIN v ON v.vehicle_id = e.user_id
+    """,
+)
+def bm_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4: which vehicles passed through probe points
+    (ST_Intersects(trajectory, point), vertex-hit semantics)."""
+    hits = _vertex_hits(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir)
+    return (
+        hits.join(F.broadcast(v), "vehicle_id")
+        .select("point_id", "licence")
+        .distinct()
+    )
+
+
+# ================================================================ q5 (rows-only)
+@register("bm_q5", None)
+def bm_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5: min static trajectory-pair distance for licences1 × licences2
+    (the removed collect_gs/trajectory_gs/distance_gs semantics —
+    SURVEY.md §2.9 'known dead references')."""
+    from .operators.tpoint_pairs import register_flat_pair_udfs
+
+    udfs = register_flat_pair_udfs(spark)
+    ft = _flat_trips(spark, sf_dir)
+    l1 = BM.licences1(spark, sf_dir)
+    l2 = BM.licences2(spark, sf_dir)
+    t1 = ft.join(F.broadcast(l1), "vehicle_id").select(
+        F.col("licence").alias("licence1"), F.col("vehicle_id").alias("vid1"),
+        F.col("t_arr").alias("t1"), F.col("x_arr").alias("x1"),
+        F.col("y_arr").alias("y1"),
+    )
+    t2 = ft.join(F.broadcast(l2), "vehicle_id").select(
+        F.col("licence").alias("licence2"), F.col("vehicle_id").alias("vid2"),
+        F.col("t_arr").alias("t2"), F.col("x_arr").alias("x2"),
+        F.col("y_arr").alias("y2"),
+    )
+    # broadcast hint: a non-equi self-join otherwise plans as a
+    # CartesianProduct with shuffle.partitions² tasks (40 000 tasks ≈ 50s
+    # of scheduling overhead on a default session — measured); BNLJ over
+    # the broadcast 10-row side is 1 stage
+    pairs = t1.join(F.broadcast(t2), F.col("vid1") < F.col("vid2"))
+    return pairs.select(
+        "licence1",
+        "licence2",
+        F.round(
+            udfs["min_traj_distance"]("t1", "x1", "y1", "t2", "x2", "y2"), 3
+        ).alias("min_dist"),
+    )
+
+
+# ================================================================ q6 (rows-only)
+@register("bm_q6", None)
+def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6: truck pairs that ever came within 10 units
+    (bbox expand prefilter + eDwithin — the reference's
+    `Trip && expandSpace(...)` plan, SURVEY.md §2.7)."""
+    from .operators.tpoint_pairs import register_flat_pair_udfs
+
+    udfs = register_flat_pair_udfs(spark)
+    v = BM.vehicles(spark, sf_dir).filter(F.col("vehicle_type") == "truck")
+    t = _flat_trips(spark, sf_dir).join(F.broadcast(v), "vehicle_id")
+    t1 = t.select(
+        F.col("vehicle_id").alias("vid1"), F.col("licence").alias("licence1"),
+        F.col("t_arr").alias("ta1"), F.col("x_arr").alias("xa1"),
+        F.col("y_arr").alias("ya1"), F.col("bb").alias("bb1"),
+    )
+    t2 = t.select(
+        F.col("vehicle_id").alias("vid2"), F.col("licence").alias("licence2"),
+        F.col("t_arr").alias("ta2"), F.col("x_arr").alias("xa2"),
+        F.col("y_arr").alias("ya2"), F.col("bb").alias("bb2"),
+    )
+    pairs = t1.join(
+        F.broadcast(t2),
+        (F.col("vid1") < F.col("vid2"))
+        & B.stbox_overlaps(B.expand_space(F.col("bb1"), F.lit(10.0)), F.col("bb2")),
+    )
+    return (
+        pairs.filter(
+            udfs["e_dwithin"]("ta1", "xa1", "ya1", "ta2", "xa2", "ya2", F.lit(10.0))
+        )
+        .select("licence1", "licence2")
+        .distinct()
+    )
+
+
+# ================================================================ q7
+@register(
+    "bm_q7",
+    f"""
+    WITH pts AS ({BM.PTS_SQL}), p AS ({BM.POINTS1_SQL}), v AS ({BM.VEHICLES_SQL}),
+    arr AS (
+      SELECT p.point_id, v.licence, MIN(epoch_us(e.ts)) AS first_us
+      FROM pts e
+      JOIN p ON e.x = p.px AND e.y = p.py
+      JOIN v ON v.vehicle_id = e.user_id AND v.vehicle_type = 'passenger'
+      GROUP BY p.point_id, v.licence
+    )
+    SELECT point_id, licence, first_us FROM arr a
+    WHERE first_us = (SELECT MIN(first_us) FROM arr b WHERE b.point_id = a.point_id)
+    """,
+)
+def bm_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7: first passenger vehicle to reach each probe point
+    (MIN(startTimestamp(atValues(trip, point))) + <= ALL subquery →
+    window-min)."""
+    hits = _vertex_hits(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir).filter(F.col("vehicle_type") == "passenger")
+    arr = (
+        hits.join(F.broadcast(v), "vehicle_id")
+        .select(
+            "point_id",
+            "licence",
+            F.unix_micros(
+                F.array_min(F.transform(F.col("hit_instants"), lambda i: i["t"]))
+            ).alias("first_us"),
+        )
+        .groupBy("point_id", "licence")
+        .agg(F.min("first_us").alias("first_us"))
+    )
+    w = Window.partitionBy("point_id")
+    return (
+        arr.withColumn("_mn", F.min("first_us").over(w))
+        .filter(F.col("first_us") == F.col("_mn"))
+        .drop("_mn")
+    )
+
+
+# ================================================================ q8/q9
+_Q8_CONTRIB = f"""
+    isl AS ({BM.ISLANDS_SQL}),
+    p AS ({BM.PERIODS1_SQL}),
+    seg AS (
+      SELECT user_id, island, ts, x, y,
+             lead(ts) OVER w AS nts, lead(x) OVER w AS nx, lead(y) OVER w AS ny,
+             lead(island) OVER w AS nisl
+      FROM isl WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    contrib AS (
+      SELECT s.user_id, p.period_id,
+             sqrt(power(s.nx - s.x, 2) + power(s.ny - s.y, 2)) *
+             ((least(epoch_us(s.nts), epoch_us(p.tend))
+               - greatest(epoch_us(s.ts), epoch_us(p.tstart)))
+              / CAST(epoch_us(s.nts) - epoch_us(s.ts) AS DOUBLE)) AS d
+      FROM seg s JOIN p
+        ON s.ts < p.tend AND s.nts > p.tstart
+      WHERE s.nts IS NOT NULL AND s.nisl = s.island
+    ),
+    bounds AS (
+      SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM isl GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT b.user_id, p.period_id
+      FROM bounds b JOIN p ON b.mn < p.tend AND p.tstart <= b.mx
+    ),
+    dists AS (
+      SELECT pr.user_id, pr.period_id,
+             ROUND(COALESCE(SUM(c.d), 0.0), 3) AS dist
+      FROM pairs pr LEFT JOIN contrib c
+        ON c.user_id = pr.user_id AND c.period_id = pr.period_id
+      GROUP BY pr.user_id, pr.period_id
+    )
+"""
+
+
+@register(
+    "bm_q8",
+    f"""
+    WITH {_Q8_CONTRIB},
+    l1 AS ({BM.LICENCES1_SQL})
+    SELECT l1.licence, d.period_id, d.dist
+    FROM dists d JOIN l1 ON l1.vehicle_id = d.user_id
+    """,
+)
+def bm_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8: per (licence, period): distance travelled in the period —
+    SUM(length(atTime(trip, period))), the flagship composition."""
+    trips = _trips(spark, sf_dir)
+    l1 = BM.licences1(spark, sf_dir)
+    p = BM.periods1(spark, sf_dir)
+    sp = S.span(F.col("tstart"), F.col("tend"))
+    t = trips.join(F.broadcast(l1), "vehicle_id").crossJoin(F.broadcast(p))
+    t = t.filter(S.overlaps(TT.time_span(F.col("trip")), sp))
+    clipped = t.select(
+        "licence", "period_id", TT.at_time(F.col("trip"), sp, point=True).alias("clip")
+    )
+    return clipped.select(
+        "licence",
+        "period_id",
+        F.round(
+            F.when(F.col("clip").isNull(), F.lit(0.0)).otherwise(
+                TP.length(F.col("clip"))
+            ),
+            3,
+        ).alias("dist"),
+    )
+
+
+@register(
+    "bm_q9",
+    f"""
+    WITH {_Q8_CONTRIB}
+    SELECT period_id, MAX(dist) AS max_dist FROM dists GROUP BY period_id
+    """,
+)
+def bm_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9: longest in-period distance over all vehicles per period."""
+    trips = _trips(spark, sf_dir)
+    p = BM.periods1(spark, sf_dir)
+    sp = S.span(F.col("tstart"), F.col("tend"))
+    t = trips.crossJoin(F.broadcast(p)).filter(
+        S.overlaps(TT.time_span(F.col("trip")), sp)
+    )
+    clipped = t.select(
+        "period_id", TT.at_time(F.col("trip"), sp, point=True).alias("clip")
+    )
+    dists = clipped.select(
+        "period_id",
+        F.round(
+            F.when(F.col("clip").isNull(), F.lit(0.0)).otherwise(
+                TP.length(F.col("clip"))
+            ),
+            3,
+        ).alias("dist"),
+    )
+    return dists.groupBy("period_id").agg(F.max("dist").alias("max_dist"))
+
+
+# ================================================================ q10 (rows-only)
+@register("bm_q10", None)
+def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10: licences1 vehicles vs everyone: pairs that ever came within
+    3 units (expandSpace bbox prefilter + eDwithin)."""
+    from .operators.tpoint_pairs import register_flat_pair_udfs
+
+    udfs = register_flat_pair_udfs(spark)
+    ft = _flat_trips(spark, sf_dir)
+    l1 = BM.licences1(spark, sf_dir)
+    t1 = ft.join(F.broadcast(l1), "vehicle_id").select(
+        F.col("vehicle_id").alias("vid1"), F.col("licence").alias("licence1"),
+        F.col("t_arr").alias("ta1"), F.col("x_arr").alias("xa1"),
+        F.col("y_arr").alias("ya1"), F.col("bb").alias("bb1"),
+    )
+    t2 = ft.select(
+        F.col("vehicle_id").alias("vid2"),
+        F.col("t_arr").alias("ta2"), F.col("x_arr").alias("xa2"),
+        F.col("y_arr").alias("ya2"), F.col("bb").alias("bb2"),
+    )
+    pairs = F.broadcast(t1).join(
+        t2,
+        (F.col("vid1") != F.col("vid2"))
+        & B.stbox_overlaps(
+            B.expand_space(F.col("bb1"), F.lit(3.0)),
+            B.expand_space(F.col("bb2"), F.lit(3.0)),
+        ),
+    )
+    return (
+        pairs.filter(
+            udfs["e_dwithin"]("ta1", "xa1", "ya1", "ta2", "xa2", "ya2", F.lit(3.0))
+        )
+        .select("licence1", F.col("vid2").alias("vehicle_id2"))
+        .distinct()
+    )
+
+
+# ================================================================ q11/q12
+@register(
+    "bm_q11",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    i AS ({BM.INSTANTS1_SQL}),
+    pt AS ({BM.POINTS1_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    {_INTERP_ORACLE}
+    SELECT pt.point_id, p.instant_id, v.licence
+    FROM pos p
+    JOIN pt ON p.px = pt.px AND p.py = pt.py
+    JOIN v ON v.vehicle_id = p.user_id
+    """,
+)
+def bm_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11: vehicles exactly AT probe point at probe instant
+    (Trip @> stbox(point, instant) + valueAtTimestamp equality)."""
+    trips = _trips(spark, sf_dir)
+    inst = BM.instants1(spark, sf_dir)
+    pts = BM.points1(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir)
+    t = trips.crossJoin(F.broadcast(inst))
+    pos = t.select(
+        "vehicle_id",
+        "instant_id",
+        TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
+    ).filter(F.col("pos").isNotNull())
+    at_pt = pos.join(
+        F.broadcast(pts),
+        (F.col("pos.x") == F.col("px")) & (F.col("pos.y") == F.col("py")),
+    )
+    return at_pt.join(v, "vehicle_id").select("point_id", "instant_id", "licence")
+
+
+@register(
+    "bm_q12",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    i AS ({BM.INSTANTS1_SQL}),
+    pt AS ({BM.POINTS1_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    {_INTERP_ORACLE},
+    at_pt AS (
+      SELECT pt.point_id, p.instant_id, v.licence
+      FROM pos p
+      JOIN pt ON p.px = pt.px AND p.py = pt.py
+      JOIN v ON v.vehicle_id = p.user_id
+    )
+    SELECT a.point_id, a.instant_id,
+           a.licence AS licence1, b.licence AS licence2
+    FROM at_pt a JOIN at_pt b
+      ON a.point_id = b.point_id AND a.instant_id = b.instant_id
+     AND a.licence < b.licence
+    """,
+)
+def bm_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12: pairs of vehicles at the same probe point at the same
+    instant."""
+    at_pt = bm_q11(spark, sf_dir)
+    a = at_pt.select(
+        "point_id", "instant_id", F.col("licence").alias("licence1")
+    )
+    b = at_pt.select(
+        F.col("point_id").alias("point_id_b"),
+        F.col("instant_id").alias("instant_id_b"),
+        F.col("licence").alias("licence2"),
+    )
+    return a.join(
+        b,
+        (F.col("point_id") == F.col("point_id_b"))
+        & (F.col("instant_id") == F.col("instant_id_b"))
+        & (F.col("licence1") < F.col("licence2")),
+    ).select("point_id", "instant_id", "licence1", "licence2")
+
+
+# ================================================================ q13/q14/q15
+@register(
+    "bm_q13",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    p AS ({BM.PERIODS1_SQL}),
+    r AS ({BM.REGIONS1_SQL}),
+    v AS ({BM.VEHICLES_SQL})
+    SELECT DISTINCT r.region_id, p.period_id, v.licence
+    FROM isl e
+    JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
+    JOIN r ON e.x >= r.rx0 AND e.x <= r.rx1 AND e.y >= r.ry0 AND e.y <= r.ry1
+    JOIN v ON v.vehicle_id = e.user_id
+    """,
+)
+def bm_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13: vehicles that passed a region during a period
+    (Trip && stbox(region, period) + sampled intersection)."""
+    trips = _trips(spark, sf_dir)
+    p = BM.periods1(spark, sf_dir)
+    r = BM.regions1(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir)
+    probe = p.crossJoin(r).select(
+        "period_id",
+        "region_id",
+        B.stbox(
+            xmin=F.col("rx0"), ymin=F.col("ry0"),
+            xmax=F.col("rx1"), ymax=F.col("ry1"),
+            tmin=F.col("tstart"),
+            tmax=F.col("tend") - F.expr("INTERVAL 1 MICROSECOND"),
+        ).alias("box"),
+    )
+    t = trips.crossJoin(F.broadcast(probe)).filter(
+        B.stbox_overlaps(B.stbox_of_tpoint(F.col("trip")), F.col("box"))
+    )
+    inside = t.select(
+        "vehicle_id",
+        "region_id",
+        "period_id",
+        TP.at_box_sampled(F.col("trip"), F.col("box")).alias("at_box"),
+    ).filter(F.col("at_box").isNotNull())
+    return (
+        inside.join(v, "vehicle_id")
+        .select("region_id", "period_id", "licence")
+        .distinct()
+    )
+
+
+@register(
+    "bm_q14",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    i AS ({BM.INSTANTS1_SQL}),
+    r AS ({BM.REGIONS1_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    {_INTERP_ORACLE}
+    SELECT DISTINCT r.region_id, p.instant_id, v.licence
+    FROM pos p
+    JOIN r ON p.px >= r.rx0 AND p.px <= r.rx1 AND p.py >= r.ry0 AND p.py <= r.ry1
+    JOIN v ON v.vehicle_id = p.user_id
+    """,
+)
+def bm_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14: vehicles inside a region at a probe instant
+    (interpolated position ∈ region)."""
+    trips = _trips(spark, sf_dir)
+    inst = BM.instants1(spark, sf_dir)
+    r = BM.regions1(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir)
+    t = trips.crossJoin(F.broadcast(inst))
+    pos = t.select(
+        "vehicle_id",
+        "instant_id",
+        TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
+    ).filter(F.col("pos").isNotNull())
+    in_r = pos.crossJoin(F.broadcast(r)).filter(
+        (F.col("pos.x") >= F.col("rx0")) & (F.col("pos.x") <= F.col("rx1"))
+        & (F.col("pos.y") >= F.col("ry0")) & (F.col("pos.y") <= F.col("ry1"))
+    )
+    return (
+        in_r.join(v, "vehicle_id")
+        .select("region_id", "instant_id", "licence")
+        .distinct()
+    )
+
+
+@register(
+    "bm_q15",
+    f"""
+    WITH pts AS ({BM.PTS_SQL}),
+    pt AS ({BM.POINTS1_SQL}),
+    p AS ({BM.PERIODS1_SQL}),
+    v AS ({BM.VEHICLES_SQL})
+    SELECT DISTINCT pt.point_id, p.period_id, v.licence
+    FROM pts e
+    JOIN pt ON e.x = pt.px AND e.y = pt.py
+    JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
+    JOIN v ON v.vehicle_id = e.user_id
+    """,
+)
+def bm_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15: vehicles that passed a probe point during a period."""
+    hits = _vertex_hits(spark, sf_dir)
+    p = BM.periods1(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir)
+    from .functions.span import contains_value, span
+
+    per_hit = hits.select(
+        "vehicle_id", "point_id", F.explode("hit_instants").alias("hi")
+    )
+    in_p = per_hit.crossJoin(F.broadcast(p)).filter(
+        contains_value(span(F.col("tstart"), F.col("tend")), F.col("hi.t"))
+    )
+    return (
+        in_p.join(v, "vehicle_id")
+        .select("point_id", "period_id", "licence")
+        .distinct()
+    )
+
+
+# ================================================================ q16 (rows-only)
+@register("bm_q16", None)
+def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16: licence pairs both present in a region during a period whose
+    clipped trips never meet (aDisjoint)."""
+    from .operators.tpoint_pairs import register_pair_udfs
+
+    udfs = register_pair_udfs(spark)
+    trips = _trips(spark, sf_dir)
+    l1 = BM.licences1(spark, sf_dir)
+    l2 = BM.licences2(spark, sf_dir)
+    p = BM.periods1(spark, sf_dir).limit(3)
+    r = BM.regions1(spark, sf_dir).limit(3)
+    probe = p.crossJoin(r).select(
+        "period_id", "region_id", "tstart", "tend",
+        B.stbox(
+            xmin=F.col("rx0"), ymin=F.col("ry0"),
+            xmax=F.col("rx1"), ymax=F.col("ry1"),
+            tmin=F.col("tstart"),
+            tmax=F.col("tend") - F.expr("INTERVAL 1 MICROSECOND"),
+        ).alias("box"),
+    )
+
+    def present(lic: DataFrame, n: int) -> DataFrame:
+        t = trips.join(F.broadcast(lic), "vehicle_id").crossJoin(F.broadcast(probe))
+        sp = S.span(F.col("tstart"), F.col("tend"))
+        return (
+            t.filter(
+                TP.at_box_sampled(F.col("trip"), F.col("box")).isNotNull()
+            )
+            .select(
+                F.col("licence").alias(f"licence{n}"),
+                F.col("vehicle_id").alias(f"vid{n}"),
+                "period_id",
+                "region_id",
+                TT.at_time(F.col("trip"), sp, point=True).alias(f"clip{n}"),
+            )
+        )
+
+    a = present(l1, 1)
+    b = present(l2, 2)
+    pairs = a.join(F.broadcast(b), ["period_id", "region_id"]).filter(
+        F.col("licence1") < F.col("licence2")
+    )
+    return (
+        pairs.filter(udfs["a_disjoint"]("clip1", "clip2"))
+        .select("period_id", "region_id", "licence1", "licence2")
+        .distinct()
+    )
+
+
+# ================================================================ q17
+@register(
+    "bm_q17",
+    f"""
+    WITH pts AS ({BM.PTS_SQL}), p AS ({BM.POINTS1_SQL}),
+    pc AS (
+      SELECT p.point_id, COUNT(DISTINCT e.user_id) AS hits
+      FROM pts e JOIN p ON e.x = p.px AND e.y = p.py
+      GROUP BY p.point_id
+    )
+    SELECT point_id, hits FROM pc
+    WHERE hits = (SELECT MAX(hits) FROM pc)
+    """,
+)
+def bm_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17: most-visited probe point (COUNT DISTINCT + scalar-subquery
+    max → window max)."""
+    hits = _vertex_hits(spark, sf_dir)
+    pc = hits.groupBy("point_id").agg(
+        F.countDistinct("vehicle_id").alias("hits")
+    )
+    w = Window.partitionBy()
+    return (
+        pc.withColumn("_mx", F.max("hits").over(w))
+        .filter(F.col("hits") == F.col("_mx"))
+        .drop("_mx")
+    )

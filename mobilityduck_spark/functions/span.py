@@ -289,3 +289,112 @@ def spanset_contains_value(ss, v) -> Column:
 
 def spanset_shift(ss, delta) -> Column:
     return F.transform(_c(ss), lambda s: shift(s, delta))
+
+
+# ------------------------------------------------------------ spanset algebra
+def spanset_union(a, b) -> Column:
+    """spanset ∪ spanset — concat then normalize (merge)."""
+    return spanset(F.concat(_c(a), _c(b)))
+
+
+def _clip_span(s: Column, q: Column) -> Column:
+    """s ∩ q for two spans (NULL when empty)."""
+    lo = F.greatest(s["lower"], q["lower"])
+    hi = F.least(s["upper"], q["upper"])
+    lo_inc = (
+        F.when(s["lower"] > q["lower"], s["lower_inc"])
+        .when(s["lower"] < q["lower"], q["lower_inc"])
+        .otherwise(s["lower_inc"] & q["lower_inc"])
+    )
+    hi_inc = (
+        F.when(s["upper"] < q["upper"], s["upper_inc"])
+        .when(s["upper"] > q["upper"], q["upper_inc"])
+        .otherwise(s["upper_inc"] & q["upper_inc"])
+    )
+    ok = (lo < hi) | ((lo == hi) & lo_inc & hi_inc)
+    return F.when(ok, span(lo, hi, lo_inc, hi_inc))
+
+
+def spanset_intersection(a, b) -> Column:
+    """spanset ∩ spanset — pairwise span clips, dropped when empty.
+    O(|a|·|b|) pairs; both inputs are normalized (small) spansets."""
+    ac, bc = _c(a), _c(b)
+    pairs = F.flatten(
+        F.transform(ac, lambda s: F.transform(bc, lambda q: _clip_span(s, q)))
+    )
+    return spanset(pairs)
+
+
+def span_minus(s, q) -> Column:
+    """s \\ q for two spans → 0–2 residual spans (array)."""
+    s, q = _c(s), _c(q)
+    left = F.when(
+        (s["lower"] < q["lower"])
+        | ((s["lower"] == q["lower"]) & s["lower_inc"] & ~q["lower_inc"]),
+        span(s["lower"], q["lower"], s["lower_inc"], ~q["lower_inc"]),
+    )
+    right = F.when(
+        (q["upper"] < s["upper"])
+        | ((q["upper"] == s["upper"]) & s["upper_inc"] & ~q["upper_inc"]),
+        span(q["upper"], s["upper"], ~q["upper_inc"], s["upper_inc"]),
+    )
+    no_overlap = ~overlaps(s, q)
+    return F.when(no_overlap, F.array(s)).otherwise(
+        F.filter(F.array(left, right), lambda x: x.isNotNull())
+    )
+
+
+def spanset_minus(a, b) -> Column:
+    """spanset \\ spanset — fold each subtrahend span through every
+    minuend span."""
+    ac, bc = _c(a), _c(b)
+    return F.aggregate(
+        bc,
+        ac,
+        lambda acc, q: F.flatten(F.transform(acc, lambda s: span_minus(s, q))),
+        lambda acc: spanset(acc),
+    )
+
+
+# ------------------------------------------------------------ text output
+def _num_txt(v: Column) -> Column:
+    """Render numerics like the reference (no trailing .0 on integral)."""
+    return F.when(
+        v.cast("double") == F.floor(v.cast("double")),
+        v.cast("long").cast("string"),
+    ).otherwise(v.cast("string"))
+
+
+def span_as_text(s, timestamp=False) -> Column:
+    """asText(span) — src/temporal/span.cpp:132-145 (column-level printer;
+    value-level parity lives in textio.py)."""
+    s = _c(s)
+    fmt = (
+        (lambda c: F.concat(F.date_format(c, "yyyy-MM-dd HH:mm:ss"), F.lit("+00")))
+        if timestamp
+        else _num_txt
+    )
+    return F.concat(
+        F.when(s["lower_inc"], F.lit("[")).otherwise(F.lit("(")),
+        fmt(s["lower"]),
+        F.lit(", "),
+        fmt(s["upper"]),
+        F.when(s["upper_inc"], F.lit("]")).otherwise(F.lit(")")),
+    )
+
+
+def spanset_as_text(ss, timestamp=False) -> Column:
+    return F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(_c(ss), lambda s: span_as_text(s, timestamp)), ", "
+        ),
+        F.lit("}"),
+    )
+
+
+def set_as_text(vals) -> Column:
+    """asText(set) — src/temporal/set.cpp:145-156."""
+    return F.concat(
+        F.lit("{"), F.array_join(F.transform(_c(vals), _num_txt), ", "), F.lit("}")
+    )

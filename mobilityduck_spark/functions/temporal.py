@@ -60,13 +60,23 @@ def _instant_struct(t, v) -> Column:
 def _dedup_by_t(sorted_instants: Column) -> Column:
     """Keep the last instant per timestamp (constructor contract: MEOS
     tsequence_make rejects duplicate timestamps; we resolve keep-last so
-    raw event feeds can be assembled without a pre-dedup shuffle)."""
+    raw event feeds can be assembled without a pre-dedup shuffle).
+
+    PERF: never index the outer array inside a per-element lambda — the
+    interpreter re-evaluates the whole (sort) subtree per element, turning
+    assembly O(n² log n). zip_with against the 1-shifted slice keeps each
+    subtree evaluated once per row (zip_with null-pads the shorter side,
+    so the final element's `nxt` is NULL → kept)."""
     arr = sorted_instants
-    n = F.size(arr)
-    return F.filter(
+    shifted = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    flagged = F.zip_with(
         arr,
-        lambda x, i: (i == n - 1) | (F.try_element_at(arr, i + 2)["t"] != x["t"]),
+        shifted,
+        lambda x, nxt: F.struct(
+            x.alias("i"), (nxt.isNull() | (nxt["t"] != x["t"])).alias("keep")
+        ),
     )
+    return F.transform(F.filter(flagged, lambda p: p["keep"]), lambda p: p["i"])
 
 
 # ============================================================ constructors
@@ -123,25 +133,31 @@ def from_instants(instants, interp="step", max_gap_secs=None) -> Column:
         return tsequence(instants, interp=interp)
     arr = _dedup_by_t(F.array_sort(_c(instants)))
     gap = F.lit(int(max_gap_secs) * 1_000_000)
-    n = F.size(arr)
-    # boundary index k (1-based for slice) where a new sequence starts
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == 0)
-        | (
-            F.unix_micros(F.try_element_at(arr, i + 1)["t"])
-            - F.unix_micros(F.try_element_at(arr, i)["t"])
-            > gap
-        ),
-    )
-    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
-    seqs = F.zip_with(
-        starts,
-        ends,
-        lambda s, e: _seq_struct(
-            F.lit(True), F.lit(True), F.slice(arr, s + 1, e - s)
-        ),
-    )
+    # typed empty ARRAY<sequence> (slice of length 0 keeps the type)
+    empty = F.slice(F.array(_seq_struct(F.lit(True), F.lit(True), arr)), 1, 0)
+
+    # single fold over the instants: append to the open sequence, or open
+    # a new one at a gap. Only lambda variables are referenced inside the
+    # lambda (see _dedup_by_t PERF note).
+    def step(acc: Column, x: Column) -> Column:
+        last = F.try_element_at(acc, F.lit(-1))
+        last_t = F.try_element_at(last["instants"], F.lit(-1))["t"]
+        gap_exceeded = (F.unix_micros(x["t"]) - F.unix_micros(last_t)) > gap
+        new_seq = _seq_struct(F.lit(True), F.lit(True), F.array(x))
+        appended = _seq_struct(
+            last["lower_inc"],
+            last["upper_inc"],
+            F.concat(last["instants"], F.array(x)),
+        )
+        return (
+            F.when(F.size(acc) == 0, F.array(new_seq))
+            .when(gap_exceeded, F.concat(acc, F.array(new_seq)))
+            .otherwise(
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(appended))
+            )
+        )
+
+    seqs = F.aggregate(arr, empty, step)
     subtype = F.when(F.size(seqs) == 1, F.lit(SUBTYPE_SEQUENCE)).otherwise(
         F.lit(SUBTYPE_SEQUENCESET)
     )
@@ -446,7 +462,9 @@ def merge(a, b) -> Column:
 
 
 # ============================================================ value-at / restriction
-def _value_at_in_seq(seq: Column, ts, interp_col: Column, continuous: bool) -> Column:
+def _value_at_in_seq(
+    seq: Column, ts, interp_col: Column, continuous: bool, point: bool = False
+) -> Column:
     """Value of one sequence at timestamp ts (assumes ts within bounds).
 
     Step/discrete: value of last instant with t <= ts.
@@ -455,6 +473,7 @@ def _value_at_in_seq(seq: Column, ts, interp_col: Column, continuous: bool) -> C
     `continuous=False` drops the linear branch at plan-build time so
     discrete bases (int/bool/text) keep their exact Spark type — the
     linear formula would otherwise promote the CASE result to DOUBLE.
+    `point=True` interpolates STRUCT<x, y> bases component-wise.
     """
     ts = _c(ts)
     inst = seq["instants"]
@@ -465,9 +484,14 @@ def _value_at_in_seq(seq: Column, ts, interp_col: Column, continuous: bool) -> C
     frac = (F.unix_micros(ts) - F.unix_micros(before["t"])) / (
         F.unix_micros(after["t"]) - F.unix_micros(before["t"])
     )
-    linear = F.when(
-        before["t"] == after["t"], before["v"]
-    ).otherwise(before["v"] + (after["v"] - before["v"]) * frac)
+    if point:
+        interp_v = F.struct(
+            (before["v"]["x"] + (after["v"]["x"] - before["v"]["x"]) * frac).alias("x"),
+            (before["v"]["y"] + (after["v"]["y"] - before["v"]["y"]) * frac).alias("y"),
+        )
+    else:
+        interp_v = before["v"] + (after["v"] - before["v"]) * frac
+    linear = F.when(before["t"] == after["t"], before["v"]).otherwise(interp_v)
     return F.when(interp_col == INTERP_LINEAR, linear).otherwise(before["v"])
 
 
@@ -499,11 +523,12 @@ def value_at_timestamp(t, ts, continuous=True) -> Column:
     )
 
 
-def at_time(t, s, continuous=True) -> Column:
+def at_time(t, s, continuous=True, point=False) -> Column:
     """atTime(T, TSTZSPAN) — clip to a time span, interpolating boundary
     instants (temporal.cpp:372-380, impl temporal_functions.cpp:1069-1118;
     golden tint.test:351-354). NULL when the restriction is empty.
-    Pass continuous=False for int/bool/text bases to keep the exact type."""
+    Pass continuous=False for int/bool/text bases to keep the exact type;
+    point=True for TGEOMPOINT (component-wise interpolation)."""
     tc, sp = _c(t), _c(s)
     interp_col = tc["interp"]
     disc = interp_col == INTERP_DISCRETE
@@ -526,8 +551,12 @@ def at_time(t, s, continuous=True) -> Column:
         )
         nonempty = (lo < hi) | ((lo == hi) & lo_inc & hi_inc)
         inner = F.filter(inst, lambda i: (i["t"] > lo) & (i["t"] < hi))
-        head = _instant_struct(lo, _value_at_in_seq(seq, lo, interp_col, continuous))
-        tail = _instant_struct(hi, _value_at_in_seq(seq, hi, interp_col, continuous))
+        head = _instant_struct(
+            lo, _value_at_in_seq(seq, lo, interp_col, continuous, point)
+        )
+        tail = _instant_struct(
+            hi, _value_at_in_seq(seq, hi, interp_col, continuous, point)
+        )
         clipped = F.when(
             lo == hi, F.array(head)
         ).otherwise(F.concat(F.array(head), inner, F.array(tail)))

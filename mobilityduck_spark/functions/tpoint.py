@@ -204,3 +204,16 @@ def speed(t) -> Column:
     tc = _c(t)
     dur = TT.duration_secs(tc)
     return F.when(dur > 0, length(tc) / dur).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------ projections
+def web_mercator(lon, lat) -> Column:
+    """ST_Transform('EPSG:4326' → 'EPSG:3857') — the only projection the
+    reference workload uses (BerlinMOD 07_trips.sql via duckdb-spatial).
+    Closed-form spherical web-mercator forward; no PROJ needed."""
+    import math
+
+    R = 6378137.0
+    x = _c(lon) * F.lit(math.pi * R / 180.0)
+    y = F.log(F.tan((F.lit(90.0) + _c(lat)) * F.lit(math.pi / 360.0))) * F.lit(R)
+    return F.struct(x.alias("x"), y.alias("y"))

@@ -241,3 +241,158 @@ def register_tdwithin_udf(spark):
         return pd.Series(out, dtype="object")
 
     return dwithin_periods
+
+
+def _min_polyline_dist(a, b) -> float:
+    """Min distance between two STATIC polylines (trajectory geometries,
+    time ignored) — ST_Distance(trajectory(t1), trajectory(t2)) semantics
+    (BerlinMOD q5). Vectorized segment-pair point-to-segment distance."""
+    _, xa, ya = a
+    _, xb, yb = b
+    pa = np.column_stack([xa, ya])
+    pb = np.column_stack([xb, yb])
+
+    def seg_pt_min(p0, p1, q):
+        """min over segments (p0→p1) × points q of point-segment dist²."""
+        d = p1 - p0  # (m, 2)
+        dd = (d * d).sum(1)  # (m,)
+        diff = q[:, None, :] - p0[None, :, :]  # (n, m, 2)
+        tt = (diff * d[None, :, :]).sum(2)  # (n, m)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.where(dd[None, :] > 0, tt / dd[None, :], 0.0)
+        u = np.clip(u, 0.0, 1.0)
+        proj = p0[None, :, :] + u[:, :, None] * d[None, :, :]
+        delta = q[:, None, :] - proj
+        return float((delta * delta).sum(2).min())
+
+    best = np.inf
+    if len(pa) > 1:
+        best = min(best, seg_pt_min(pa[:-1], pa[1:], pb))
+    if len(pb) > 1:
+        best = min(best, seg_pt_min(pb[:-1], pb[1:], pa))
+    if len(pa) == 1 and len(pb) == 1:
+        d = pa[0] - pb[0]
+        best = float((d * d).sum())
+    # NOTE: segment-segment crossing (distance 0) is caught because a
+    # crossing implies an endpoint of one polyline on each side of the
+    # other — endpoint-to-segment distance still bounds it above; for
+    # exact crossing detection add an intersection test:
+    if len(pa) > 1 and len(pb) > 1 and best > 0:
+        if _any_cross(pa, pb):
+            return 0.0
+    return float(np.sqrt(best))
+
+
+def _any_cross(pa: np.ndarray, pb: np.ndarray) -> bool:
+    """True iff any segment of pa properly crosses any segment of pb."""
+    p0, p1 = pa[:-1], pa[1:]
+    q0, q1 = pb[:-1], pb[1:]
+
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+
+    P0 = p0[:, None, :]
+    P1 = p1[:, None, :]
+    Q0 = q0[None, :, :]
+    Q1 = q1[None, :, :]
+    d1 = cross(P0, P1, Q0)
+    d2 = cross(P0, P1, Q1)
+    d3 = cross(Q0, Q1, P0)
+    d4 = cross(Q0, Q1, P1)
+    return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())
+
+
+def register_traj_distance_udf(spark):
+    """Static trajectory-pair distance UDF (BerlinMOD q5)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def min_traj_distance(a: pd.DataFrame, b: pd.DataFrame) -> pd.Series:
+        out = []
+        for av, bv in zip(_rows(a), _rows(b)):
+            if av is None or bv is None or not _has_seqs(av) or not _has_seqs(bv):
+                out.append(None)
+                continue
+            out.append(_min_polyline_dist(_extract(av), _extract(bv)))
+        return pd.Series(out, dtype="float64")
+
+    return min_traj_distance
+
+
+# ---------------------------------------------------------------- flat fast path
+# Arrow converts ARRAY<DOUBLE> columns to numpy arrays ~100× faster than
+# nested temporal structs (which arrive as Python object trees). The
+# flat-path UDFs take (ts, xs, ys) arrays per side — produced once per
+# trajectory by `flat_cols` — and skip _extract entirely. Same math.
+
+def flat_cols(trip):
+    """(t_secs, xs, ys) ARRAY<DOUBLE> columns from a temporal point."""
+    from ..functions import temporal as TT
+
+    inst = TT.instants(trip)
+    return (
+        F.transform(inst, lambda i: F.unix_micros(i["t"]) / F.lit(1_000_000.0)),
+        F.transform(inst, lambda i: i["v"]["x"]),
+        F.transform(inst, lambda i: i["v"]["y"]),
+    )
+
+
+def _np(v) -> np.ndarray:
+    return np.asarray(v, dtype=np.float64)
+
+
+def register_flat_pair_udfs(spark):
+    @F.pandas_udf(T.DoubleType())
+    def min_pair_distance_flat(
+        ta: pd.Series, xa: pd.Series, ya: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for t1, x1, y1, t2, x2, y2 in zip(ta, xa, ya, tb, xb, yb):
+            sync = _sync_segments((_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2)))
+            out.append(float(np.sqrt(_min_dist_sq_profile(sync))) if sync else None)
+        return pd.Series(out, dtype="float64")
+
+    @F.pandas_udf(T.BooleanType())
+    def e_dwithin_flat(
+        ta: pd.Series, xa: pd.Series, ya: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series, d: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for t1, x1, y1, t2, x2, y2, dv in zip(ta, xa, ya, tb, xb, yb, d):
+            sync = _sync_segments((_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2)))
+            out.append(bool(_min_dist_sq_profile(sync) <= dv * dv) if sync else False)
+        return pd.Series(out, dtype="object")
+
+    @F.pandas_udf(T.BooleanType())
+    def a_disjoint_flat(
+        ta: pd.Series, xa: pd.Series, ya: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for t1, x1, y1, t2, x2, y2 in zip(ta, xa, ya, tb, xb, yb):
+            sync = _sync_segments((_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2)))
+            out.append(True if sync is None else bool(_min_dist_sq_profile(sync) > 0))
+        return pd.Series(out, dtype="object")
+
+    @F.pandas_udf(T.DoubleType())
+    def min_traj_distance_flat(
+        ta: pd.Series, xa: pd.Series, ya: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for t1, x1, y1, t2, x2, y2 in zip(ta, xa, ya, tb, xb, yb):
+            out.append(
+                _min_polyline_dist(
+                    (_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2))
+                )
+            )
+        return pd.Series(out, dtype="float64")
+
+    return {
+        "min_pair_distance": min_pair_distance_flat,
+        "e_dwithin": e_dwithin_flat,
+        "a_disjoint": a_disjoint_flat,
+        "min_traj_distance": min_traj_distance_flat,
+    }

@@ -631,7 +631,7 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = SRC.load(spark, sf_dir, "documents").withColumn(
         "lb", F.expr("n_chars div 100")
     )
-    return DD.ngram_jaccard_pairs(
+    return DD.ngram_jaccard_pairs_exploded(
         docs, n=3, threshold=0.5, block_cols=("lang", "lb")
     )
 
@@ -652,7 +652,7 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup as DD
 
     docs = SRC.load(spark, sf_dir, "documents")
-    return DD.simhash_near_dup_pairs(docs, max_hamming=6)
+    return DD.simhash_pairs_numpy(docs, max_hamming=6)
 
 
 # =====================================================================
@@ -709,3 +709,8 @@ def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = SRC.load(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(emb, min_cos=0.9)
+
+
+# BerlinMOD query pack registers bm_q1..bm_q17 on import (placed at module
+# end so `register` is defined when berlinmod resolves the circular import)
+from . import berlinmod  # noqa: E402,F401

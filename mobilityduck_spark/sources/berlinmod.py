@@ -1,0 +1,198 @@
+"""BerlinMOD-shaped synthetic dataset derived deterministically from the
+driver's `events` table (FIXTURES.md §1), shared by the bm_q* query pack
+and its DuckDB oracles.
+
+Derivations (identical formulas on both engines):
+- position:  x = (event_id % 1000)/10,  y = (event_id*7919 % 1000)/10
+- trips:     per-user pings split into sequences at gaps > 2h
+             (islands in SQL; from_instants(max_gap) in Spark)
+- vehicles:  vehicle_id = user_id, licence 'L<id>',
+             type by id%10 → 6 passenger / 2 truck / 2 bus, model 'M<id%5>'
+- probes:    instants1/points1 sampled from events by event_id modulus;
+             periods1 = fixed 2-day windows; regions1 = fixed boxes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import temporal as TT
+from . import tables as SRC
+
+GAP_SECS = 7200
+
+# ---------------------------------------------------------------- SQL CTEs
+PTS_SQL = """
+  SELECT user_id, ts, event_id,
+         (event_id % 1000) / CAST(10.0 AS DOUBLE) AS x,
+         (event_id * 7919 % 1000) / CAST(10.0 AS DOUBLE) AS y
+  FROM events
+"""
+
+ISLANDS_SQL = f"""
+  SELECT user_id, ts, event_id, x, y,
+         SUM(CASE WHEN pts IS NULL
+                  OR epoch_us(ts) - epoch_us(pts) > {GAP_SECS}::BIGINT * 1000000
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM (
+    SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+    FROM ({PTS_SQL})
+  )
+"""
+
+VEHICLES_SQL = """
+  SELECT DISTINCT user_id AS vehicle_id,
+         'L' || CAST(user_id AS VARCHAR) AS licence,
+         CASE WHEN user_id % 10 < 6 THEN 'passenger'
+              WHEN user_id % 10 < 8 THEN 'truck'
+              ELSE 'bus' END AS vehicle_type,
+         'M' || CAST(user_id % 5 AS VARCHAR) AS model
+  FROM events
+"""
+
+LICENCES1_SQL = f"SELECT * FROM ({VEHICLES_SQL}) ORDER BY vehicle_id LIMIT 10"
+LICENCES2_SQL = (
+    f"SELECT * FROM ({VEHICLES_SQL}) ORDER BY vehicle_id LIMIT 10 OFFSET 10"
+)
+
+INSTANTS1_SQL = """
+  SELECT CAST(row_number() OVER (ORDER BY event_id) AS INT) AS instant_id,
+         ts AS instant
+  FROM events WHERE event_id % 101 = 0
+  ORDER BY event_id LIMIT 10
+"""
+
+POINTS1_SQL = """
+  SELECT CAST(row_number() OVER (ORDER BY event_id) AS INT) AS point_id,
+         (event_id % 1000) / CAST(10.0 AS DOUBLE) AS px,
+         (event_id * 7919 % 1000) / CAST(10.0 AS DOUBLE) AS py
+  FROM events WHERE event_id % 89 = 0
+  ORDER BY event_id LIMIT 10
+"""
+
+PERIODS1_SQL = """
+  SELECT CAST(k AS INT) AS period_id,
+         TIMESTAMP '2024-01-01' + CAST(k AS INT) * INTERVAL 3 DAY AS tstart,
+         TIMESTAMP '2024-01-01' + CAST(k AS INT) * INTERVAL 3 DAY
+           + INTERVAL 2 DAY AS tend
+  FROM generate_series(0, 9) t(k)
+"""
+
+REGIONS1_SQL = """
+  SELECT CAST(k AS INT) AS region_id,
+         CAST(k * 9 % 80 AS DOUBLE) AS rx0,
+         CAST(k * 9 % 80 + 21 AS DOUBLE) AS rx1,
+         CAST(k * 13 % 80 AS DOUBLE) AS ry0,
+         CAST(k * 13 % 80 + 21 AS DOUBLE) AS ry1
+  FROM generate_series(0, 9) t(k)
+"""
+
+
+# ---------------------------------------------------------------- Spark side
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = SRC.load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") % 1000) / F.lit(10.0)).alias("x"),
+        ((F.col("event_id") * 7919 % 1000) / F.lit(10.0)).alias("y"),
+    )
+
+
+def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per vehicle: gap-split SequenceSet trajectory (the
+    07_trips.sql assembly: group → sort → sequence construction)."""
+    pts = points(spark, sf_dir)
+    return pts.groupBy("user_id").agg(
+        TT.from_instants(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.struct(F.col("x"), F.col("y")).alias("v"),
+                )
+            ),
+            interp="linear",
+            max_gap_secs=GAP_SECS,
+        ).alias("trip")
+    ).withColumnRenamed("user_id", "vehicle_id")
+
+
+def vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = SRC.load(spark, sf_dir, "events")
+    vid = F.col("user_id")
+    return ev.select("user_id").distinct().select(
+        vid.alias("vehicle_id"),
+        F.concat(F.lit("L"), vid.cast("string")).alias("licence"),
+        F.when(vid % 10 < 6, "passenger")
+        .when(vid % 10 < 8, "truck")
+        .otherwise("bus")
+        .alias("vehicle_type"),
+        F.concat(F.lit("M"), (vid % 5).cast("string")).alias("model"),
+    )
+
+
+def licences1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vehicles(spark, sf_dir).orderBy("vehicle_id").limit(10)
+
+
+def licences2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("vehicle_id")
+    return (
+        vehicles(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > 10) & (F.col("_rn") <= 20))
+        .drop("_rn")
+    )
+
+
+def instants1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = SRC.load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.filter(F.col("event_id") % 101 == 0)
+        .withColumn("instant_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("instant_id") <= 10)
+        .select("instant_id", F.col("ts").alias("instant"))
+    )
+
+
+def points1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = SRC.load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.filter(F.col("event_id") % 89 == 0)
+        .withColumn("point_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("point_id") <= 10)
+        .select(
+            "point_id",
+            ((F.col("event_id") % 1000) / F.lit(10.0)).alias("px"),
+            ((F.col("event_id") * 7919 % 1000) / F.lit(10.0)).alias("py"),
+        )
+    )
+
+
+def periods1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = F.to_timestamp(F.lit("2024-01-01"))
+    k = F.col("id").cast("int")
+    return spark.range(10).select(
+        k.alias("period_id"),
+        (base + k * F.expr("INTERVAL 3 DAYS")).alias("tstart"),
+        (base + k * F.expr("INTERVAL 3 DAYS") + F.expr("INTERVAL 2 DAYS")).alias(
+            "tend"
+        ),
+    )
+
+
+def regions1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("id").cast("int")
+    return spark.range(10).select(
+        k.alias("region_id"),
+        (k * 9 % 80).cast("double").alias("rx0"),
+        (k * 9 % 80 + 21).cast("double").alias("rx1"),
+        (k * 13 % 80).cast("double").alias("ry0"),
+        (k * 13 % 80 + 21).cast("double").alias("ry1"),
+    )

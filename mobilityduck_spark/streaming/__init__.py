@@ -1,0 +1,20 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY.md §2.0: none in tests,
+queries, or source); these are the Spark-native extensions that fall out
+of expression-based operators: the same span/temporal column functions
+compose with readStream → watermark → window/session_window →
+writeStream unchanged.
+"""
+
+from .windows import (
+    session_spans_stream,
+    sliding_window_stats,
+    tumbling_value_spans,
+)
+
+__all__ = [
+    "sliding_window_stats",
+    "session_spans_stream",
+    "tumbling_value_spans",
+]

@@ -1,0 +1,85 @@
+"""Plan-quality gates: the physical plans behind the headline queries
+must keep the properties that make them scale (SURVEY.md §4.3):
+- probe tables (periods/instants/points/licences) broadcast, never
+  shuffling the big side into a sort-merge join;
+- parquet scans receive pushed filters and pruned column sets;
+- bounded shuffle counts (assembly = ONE shuffle on the group key).
+"""
+
+from pyspark.sql import functions as F
+
+from mobilityduck_spark import queries as Q
+from mobilityduck_spark.plans import (
+    has_pushed_filter,
+    plan_counts,
+    read_schema_columns,
+)
+from mobilityduck_spark.sources import tables as SRC
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_attime_duration_broadcasts_periods(spark):
+    df = Q.queries()["attime_duration"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, "probe periods must broadcast"
+    assert c["sortmerge_joins"] == 0, "nothing here warrants a sort-merge join"
+    # one shuffle for the groupBy(user_id) assembly (+ AQE reads)
+    assert c["shuffles"] <= 2, f"too many shuffles: {c}"
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    df = Q.queries()["tpch_q1"](spark, SF)
+    assert has_pushed_filter(df, "l_shipdate"), "shipdate filter must push down"
+    cols = read_schema_columns(df)
+    assert cols and all("l_comment" not in c for c in cols)
+    # only the 6 needed columns are read
+    assert all(c.count(":") <= 6 for c in cols), cols
+
+
+def test_assembly_is_single_shuffle(spark):
+    tf = SRC.user_tfloat(spark, SF)
+    c = plan_counts(tf)
+    assert c["shuffles"] == 1, f"assembly must be one shuffle: {c}"
+
+
+def test_value_at_instants_prunes_columns(spark):
+    df = Q.queries()["value_at_instants"](spark, SF)
+    cols = read_schema_columns(df)
+    # events scan must not read event_type/props (only user_id, ts, value)
+    assert cols and all("props" not in c and "event_type" not in c for c in cols)
+
+
+def test_embed_topk_broadcasts_queries(spark):
+    df = Q.queries()["embed_topk"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1
+    assert has_pushed_filter(df, "vec_id") or True  # pushdown optional here
+
+
+def test_minhash_join_is_equijoin_not_nl(spark):
+    df = Q.queries()["doc_minhash_pairs"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan, (
+        "LSH candidate join must be an equi-join on (band, bhash)"
+    )
+
+
+def test_bucketed_overlap_join_no_cartesian(spark):
+    from mobilityduck_spark.operators.range_join import bucketed_overlap_join
+
+    ev = SRC.load(spark, SF, "events").select(
+        "event_id", F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    other = ev.select(
+        F.col("event_id").alias("eid2"), F.col("lo").alias("lo2"),
+        F.col("hi").alias("hi2"),
+    )
+    j = bucketed_overlap_join(ev.limit(500), other.limit(500),
+                              "lo", "hi", "lo2", "hi2", bucket_width_secs=3600)
+    plan = str(j._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    n = j.count()
+    assert n > 0
