@@ -64,23 +64,49 @@ def shift(s, delta) -> Column:
     return F.transform(_c(s), lambda v: v + _c(delta))
 
 
-def scale(s, width_new) -> Column:
+def scale(s, width_new, int_base=False) -> Column:
     """scale(set, width) — rescale extent to width_new keeping min."""
     s = _c(s)
     lo, hi = F.array_min(s), F.array_max(s)
     w = hi - lo
-    return F.transform(
+    scaled = F.transform(
         s,
         lambda v: F.when(w == 0, v).otherwise(lo + (v - lo) * _c(width_new) / w),
+    )
+    if int_base:
+        return F.transform(scaled, lambda v: v.cast("long"))
+    return scaled
+
+
+def scale_tstz(s, width_interval) -> Column:
+    """scale(tstzset, interval) — rescale the time extent (exact µs)."""
+    s = _c(s)
+    lo = F.array_min(s)
+    w_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + _c(width_interval))
+    span_us = F.unix_micros(F.array_max(s)) - F.unix_micros(lo)
+    # double math: (diff_us * w_us) would overflow BIGINT under ANSI
+    factor = w_us.cast("double") / span_us.cast("double")
+    return F.transform(
+        s,
+        lambda v: F.when(span_us == 0, v).otherwise(
+            F.timestamp_micros(
+                (
+                    F.unix_micros(lo)
+                    + (F.unix_micros(v) - F.unix_micros(lo)).cast("double") * factor
+                ).cast("long")
+            )
+        ),
     )
 
 
 def floor_set(s) -> Column:
-    return F.array_sort(F.array_distinct(F.transform(_c(s), F.floor)))
+    # NB: F.floor has an optional 2nd param — passing it directly to
+    # transform would be treated as an (element, index) lambda
+    return F.array_sort(F.array_distinct(F.transform(_c(s), lambda v: F.floor(v))))
 
 
 def ceil_set(s) -> Column:
-    return F.array_sort(F.array_distinct(F.transform(_c(s), F.ceil)))
+    return F.array_sort(F.array_distinct(F.transform(_c(s), lambda v: F.ceil(v))))
 
 
 def round_set(s, digits=0) -> Column:

@@ -253,11 +253,10 @@ def max_instant(t) -> Column:
 
 
 def value_n(t, n) -> Column:
-    """valueN(t, n) — n-th distinct value in order, NULL out-of-range
-    (src/temporal/temporal.cpp:180-188; golden tint.test:158-161)."""
-    return F.try_element_at(
-        F.array_sort(F.array_distinct(values(t))), _c(n).cast("int")
-    )
+    """valueN(t, n) — value of the n-th instant in temporal order, NULL
+    out-of-range (src/temporal/temporal.cpp:180-188; goldens
+    tint.test:158-161 and valueN('{4@..,6@..,3@..}', 2) = 6)."""
+    return F.try_element_at(values(t), _c(n).cast("int"))
 
 
 def value_set(t) -> Column:
@@ -577,17 +576,18 @@ def at_time(t, s, continuous=True, point=False) -> Column:
         lambda q: q.isNotNull(),
     )
     n_seq = F.size(seqs)
-    n_inst = F.size(F.flatten(seqs["instants"]))
+    # MEOS preserves the input subtype family: restricting a SequenceSet
+    # yields a SequenceSet even when one sequence survives (golden
+    # tint.test:351-354 renders braces)
     subtype = (
-        F.when((n_seq == 1) & (n_inst == 1) & (tc["subtype"] == SUBTYPE_INSTANT),
-               F.lit(SUBTYPE_INSTANT))
-        .when(n_seq == 1, F.lit(SUBTYPE_SEQUENCE))
-        .otherwise(F.lit(SUBTYPE_SEQUENCESET))
+        F.when(tc["subtype"] == SUBTYPE_INSTANT, F.lit(SUBTYPE_INSTANT))
+        .when(tc["subtype"] == SUBTYPE_SEQUENCESET, F.lit(SUBTYPE_SEQUENCESET))
+        .otherwise(F.lit(SUBTYPE_SEQUENCE))
     )
     return F.when(n_seq > 0, _temporal_struct(subtype, interp_col, seqs))
 
 
-def at_time_spanset(t, ss, continuous=True) -> Column:
+def at_time_spanset(t, ss, continuous=True, point=False) -> Column:
     """atTime(T, tstzspanset) — clip to each span, union
     (temporal.cpp:382-390)."""
     tc, ssc = _c(t), _c(ss)
@@ -596,7 +596,7 @@ def at_time_spanset(t, ss, continuous=True) -> Column:
         F.transform(
             ssc,
             lambda sp: F.coalesce(
-                at_time(tc, sp, continuous)["seqs"],
+                at_time(tc, sp, continuous, point)["seqs"],
                 F.filter(tc["seqs"], lambda q: F.lit(False)),
             ),
         )
@@ -610,8 +610,10 @@ def at_time_spanset(t, ss, continuous=True) -> Column:
         .otherwise(F.lit(0)),
     )
     n_seq = F.size(sorted_seqs)
-    subtype = F.when(n_seq == 1, F.lit(SUBTYPE_SEQUENCE)).otherwise(
-        F.lit(SUBTYPE_SEQUENCESET)
+    subtype = (
+        F.when(tc["subtype"] == SUBTYPE_INSTANT, F.lit(SUBTYPE_INSTANT))
+        .when(tc["subtype"] == SUBTYPE_SEQUENCESET, F.lit(SUBTYPE_SEQUENCESET))
+        .otherwise(F.lit(SUBTYPE_SEQUENCE))
     )
     return F.when(n_seq > 0, _temporal_struct(subtype, interp_col, sorted_seqs))
 

@@ -1,0 +1,1121 @@
+"""Golden-test replay harness.
+
+Parses the reference's sqllogictest files (/root/reference/test/sql/*.test
+— read at test runtime, never copied into this repo) and replays each
+single-expression `query I` case through the engine: literals are parsed
+with textio, the function call tree is translated to our Column functions,
+evaluated on a one-row DataFrame, and the result is rendered back to
+MobilityDB text form for comparison with the expected output.
+
+Unsupported constructs are reported as skips (with reasons); any case the
+translator claims to support MUST match exactly — tests/test_reference_
+goldens.py enforces a minimum replayed-case floor and zero mismatches.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Any
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import textio
+from .functions import box as B
+from .functions import set_ as ST
+from .functions import span as S
+from .functions import temporal as TT
+from .functions import tpoint as TP
+from .types import (
+    POINT_TYPE,
+    set_type,
+    span_type,
+    spanset_type,
+    temporal_type,
+)
+
+# ---------------------------------------------------------------- case load
+CASE_RE = re.compile(
+    r"^query I\s*\n(SELECT .*?;)\s*\n----\s*\n(.*?)(?=\n\s*\n|\Z)",
+    re.M | re.S,
+)
+
+
+def load_cases(path: str) -> list[tuple[str, str]]:
+    text = open(path).read()
+    out = []
+    for m in CASE_RE.finditer(text):
+        sql = " ".join(m.group(1).split())
+        expected = m.group(2).rstrip("\n")
+        out.append((sql, expected))
+    return out
+
+
+# ---------------------------------------------------------------- tokenizer
+@dataclass
+class Node:
+    kind: str  # 'call' | 'lit' | 'array' | 'cast'
+    name: str = ""
+    args: list["Node"] = field(default_factory=list)
+    value: Any = None
+    littype: str = ""  # for 'lit': the SQL type name (lowercase)
+
+
+_TYPE_WORDS = {
+    "tint", "tbool", "tfloat", "ttext", "tgeompoint", "tgeometry",
+    "timestamptz", "timestamp", "date", "interval",
+    "intspan", "bigintspan", "floatspan", "datespan", "tstzspan",
+    "intset", "bigintset", "floatset", "textset", "dateset", "tstzset",
+    "intspanset", "bigintspanset", "floatspanset", "datespanset",
+    "tstzspanset", "stbox", "tbox", "geometry", "wkb_blob",
+}
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^']|'')*')
+      | (?P<num>-?\d+\.\d+|-?\d+)
+      | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<sym>::|[(),\[\]])
+    )""",
+    re.X,
+)
+
+
+def _tokens(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN.match(s, i)
+        if not m:
+            raise ValueError(f"tokenize error at {s[i:i+20]!r}")
+        i = m.end()
+        for g in ("str", "num", "word", "sym"):
+            if m.group(g) is not None:
+                out.append((g, m.group(g)))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        g, v = self.next()
+        if v != val:
+            raise ValueError(f"expected {val!r} got {v!r}")
+
+    def parse_expr(self) -> Node:
+        node = self.parse_primary()
+        while self.peek()[1] == "::":
+            self.next()
+            g, v = self.next()
+            if g != "word":
+                raise ValueError("cast target missing")
+            node = Node("cast", name=v.lower(), args=[node])
+        return node
+
+    def parse_primary(self) -> Node:
+        g, v = self.next()
+        if g == "str":
+            return Node("lit", value=v[1:-1].replace("''", "'"), littype="str")
+        if g == "num":
+            return Node("lit", value=v, littype="num")
+        if g == "word":
+            lv = v.lower()
+            if lv in ("true", "false"):
+                return Node("lit", value=lv == "true", littype="bool")
+            if lv == "array":
+                self.expect("[")
+                items = [self.parse_expr()]
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.parse_expr())
+                self.expect("]")
+                return Node("array", args=items)
+            if lv in _TYPE_WORDS and self.peek()[0] == "str":
+                _, s = self.next()
+                return Node("lit", value=s[1:-1].replace("''", "'"), littype=lv)
+            if self.peek()[1] == "(":
+                self.next()
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.parse_expr())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.parse_expr())
+                self.expect(")")
+                return Node("call", name=lv, args=args)
+            # bare word (e.g. NULL)
+            return Node("lit", value=v, littype="word")
+        raise ValueError(f"unexpected token {v!r}")
+
+
+def parse_select(sql: str) -> Node:
+    m = re.match(r"(?is)^SELECT\s+(.*?)(?:\s+as\s+\w+)?\s*;$", sql.strip())
+    if not m:
+        raise ValueError("not a simple SELECT")
+    body = m.group(1)
+    if re.search(r"(?i)\bfrom\b", body):
+        raise ValueError("FROM clause")
+    return _Parser(_tokens(body)).parse_expr()
+
+
+# ---------------------------------------------------------------- value model
+# vkind: ('temporal', base) ('span', base) ('spanset', base) ('set', base)
+#        ('scalar', 'int'|'float'|'bool'|'text'|'timestamp'|'interval')
+#        ('tbox', None) ('stbox', None) ('point', None)
+_BASE_SPARK = {
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "text": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "point": POINT_TYPE,
+}
+
+_TEMPORAL_LIT = {
+    "tint": "int", "tbool": "bool", "tfloat": "float", "ttext": "text",
+    "tgeompoint": "point",
+}
+_SPAN_LIT = {
+    "intspan": "int", "bigintspan": "int", "floatspan": "float",
+    "tstzspan": "timestamp", "datespan": "date",
+}
+_SET_LIT = {
+    "intset": "int", "bigintset": "int", "floatset": "float",
+    "textset": "text", "tstzset": "timestamp", "dateset": "date",
+}
+_SPANSET_LIT = {
+    "intspanset": "int", "bigintspanset": "int", "floatspanset": "float",
+    "tstzspanset": "timestamp", "datespanset": "date",
+}
+
+
+def _parse_interval(s: str) -> timedelta:
+    total = timedelta()
+    for num, unit in re.findall(r"(-?\d+)\s*(\w+)", s):
+        n = int(num)
+        u = unit.lower().rstrip("s")
+        table = {
+            "day": timedelta(days=1), "hour": timedelta(hours=1),
+            "minute": timedelta(minutes=1), "min": timedelta(minutes=1),
+            "second": timedelta(seconds=1), "week": timedelta(weeks=1),
+            "month": timedelta(days=30), "year": timedelta(days=365),
+        }
+        if u not in table:
+            raise ValueError(f"interval unit {unit!r}")
+        total += table[u] * n
+    return total
+
+
+class Translator:
+    """Builds (python literal row, Column expression, output vkind)."""
+
+    def __init__(self):
+        self.lit_values: list[Any] = []
+        self.lit_schemas: list[T.DataType] = []
+
+    def _add_lit(self, value, dtype) -> F.Column:
+        idx = len(self.lit_values)
+        self.lit_values.append(value)
+        self.lit_schemas.append(dtype)
+        return F.col(f"lit{idx}")
+
+    # ---------------- literals
+    def lit(self, node: Node):
+        t = node.littype
+        if t == "num":
+            if "." in node.value:
+                return F.lit(float(node.value)), ("scalar", "float")
+            return F.lit(int(node.value)), ("scalar", "int")
+        if t == "bool":
+            return F.lit(node.value), ("scalar", "bool")
+        if t == "str":
+            return F.lit(node.value), ("scalar", "text")
+        if t in _TEMPORAL_LIT:
+            base = _TEMPORAL_LIT[t]
+            v = textio.parse_temporal(node.value, base)
+            col = self._add_lit(v, temporal_type(_BASE_SPARK[base]))
+            return col, ("temporal", base)
+        if t in _SPAN_LIT:
+            base = _SPAN_LIT[t]
+            v = textio.parse_span(node.value, base)
+            col = self._add_lit(v, span_type(_BASE_SPARK[base]))
+            return col, ("span", base)
+        if t in _SET_LIT:
+            base = _SET_LIT[t]
+            v = textio.parse_set(node.value, base)
+            col = self._add_lit(v, set_type(_BASE_SPARK[base]))
+            return col, ("set", base)
+        if t in _SPANSET_LIT:
+            base = _SPANSET_LIT[t]
+            v = textio.parse_spanset(node.value, base)
+            col = self._add_lit(v, spanset_type(_BASE_SPARK[base]))
+            return col, ("spanset", base)
+        if t in ("timestamptz", "timestamp"):
+            return (
+                self._add_lit(textio.parse_ts(node.value), T.TimestampType()),
+                ("scalar", "timestamp"),
+            )
+        if t == "interval":
+            return F.lit(_parse_interval(node.value)), ("scalar", "interval")
+        if t == "tbox":
+            v, base = textio.parse_tbox(node.value)
+            from .types import TBOX_TYPE
+
+            col = self._add_lit(v, TBOX_TYPE)
+            return col, ("tbox", base)
+        raise ValueError(f"unsupported literal type {t!r}")
+
+    # ---------------- casts
+    def cast(self, node: Node):
+        col, kind = self.eval(node.args[0])
+        target = node.name
+        src = node.args[0]
+        # string literal cast: re-parse as typed literal
+        if src.kind == "lit" and src.littype == "str":
+            return self.lit(Node("lit", value=src.value, littype=target))
+        if target in ("timestamptz", "timestamp") and kind == ("scalar", "text"):
+            return self.lit(Node("lit", value=src.value, littype="timestamptz"))
+        if target in _SPANSET_LIT and kind[0] == "span":
+            return S.spanset(F.array(col)), ("spanset", kind[1])
+        if target in _SPANSET_LIT and kind[0] == "set":
+            return (
+                S.spanset(F.transform(col, lambda v: S.span_of_value(v))),
+                ("spanset", kind[1]),
+            )
+        if target in _SPAN_LIT and kind[0] == "spanset":
+            return S.spanset_to_span(col), ("span", kind[1])
+        if target in _SPAN_LIT and kind[0] == "temporal":
+            if target == "tstzspan":
+                return TT.time_span(col), ("span", "timestamp")
+            return TT.value_span(col, int_base=kind[1] == "int"), ("span", kind[1])
+        if target == "tstzspan" and kind[0] == "temporal":
+            return TT.time_span(col), ("span", "timestamp")
+        if target == "floatspan" and kind == ("span", "int"):
+            sc = F.struct(
+                col["lower"].cast("double").alias("lower"),
+                col["upper"].cast("double").alias("upper"),
+                col["lower_inc"].alias("lower_inc"),
+                col["upper_inc"].alias("upper_inc"),
+            )
+            return sc, ("span", "float")
+        if target == "floatset" and kind == ("set", "int"):
+            return F.transform(col, lambda v: v.cast("double")), ("set", "float")
+        raise ValueError(f"unsupported cast {kind} -> {target}")
+
+    # ---------------- arrays
+    def array(self, node: Node):
+        # ARRAY[intspan '[1,2)', '[3,4)'] — untyped string members adopt
+        # the first typed sibling's literal type (SQL array inference)
+        typed = next(
+            (a.littype for a in node.args
+             if a.kind == "lit" and a.littype not in ("str", "num")),
+            None,
+        )
+        if typed:
+            for a in node.args:
+                if a.kind == "lit" and a.littype == "str":
+                    a.littype = typed
+        cols, kinds = zip(*[self.eval(a) for a in node.args])
+        return F.array(*cols), ("array", kinds[0])
+
+    # ---------------- calls
+    def call(self, node: Node):
+        name = node.name
+        fn = getattr(self, f"fn_{name}", None)
+        if fn is None:
+            # type-name-as-constructor: tstzspan('...'), intspan('...')
+            if (
+                name in _TYPE_WORDS
+                and len(node.args) == 1
+                and node.args[0].kind == "lit"
+                and node.args[0].littype == "str"
+            ):
+                return self.lit(
+                    Node("lit", value=node.args[0].value, littype=name)
+                )
+            raise ValueError(f"unsupported function {name!r}")
+        return fn(node)
+
+    def eval(self, node: Node):
+        if node.kind == "lit":
+            return self.lit(node)
+        if node.kind == "cast":
+            return self.cast(node)
+        if node.kind == "array":
+            return self.array(node)
+        return self.call(node)
+
+    # ---------------- function handlers
+    def _args(self, node):
+        return [self.eval(a) for a in node.args]
+
+    # constructors
+    def _t_ctor(self, node, base):
+        (vc, _), (tc, _) = self._args(node)
+        if base == "int":
+            vc = vc.cast("long")
+        if base == "float":
+            vc = vc.cast("double")
+        return TT.tinstant(vc, tc), ("temporal", base)
+
+    def fn_tint(self, node):
+        return self._t_ctor(node, "int")
+
+    def fn_tbool(self, node):
+        return self._t_ctor(node, "bool")
+
+    def fn_tfloat(self, node):
+        return self._t_ctor(node, "float")
+
+    def fn_ttext(self, node):
+        return self._t_ctor(node, "text")
+
+    def _t_seq(self, node, interp_default):
+        args = self._args(node)
+        (arr, (_, base)) = args[0]
+        interp = interp_default
+        li, ui = True, True
+        if len(node.args) >= 2:
+            interp = node.args[1].value.lower()
+        if len(node.args) >= 3:
+            li = node.args[2].value
+        if len(node.args) >= 4:
+            ui = node.args[3].value
+        if base == "array":
+            raise ValueError("nested array")
+        # array of temporals (instants) → instant structs
+        inst = F.transform(
+            arr, lambda t: t["seqs"][0]["instants"][0]
+        )
+        return (
+            TT.tsequence(inst, interp=interp, lower_inc=F.lit(li), upper_inc=F.lit(ui)),
+            ("temporal", base[1] if isinstance(base, tuple) else base),
+        )
+
+    def fn_tintseq(self, node):
+        return self._mkseq(node, "step", "int")
+
+    def fn_tboolseq(self, node):
+        return self._mkseq(node, "step", "bool")
+
+    def fn_tfloatseq(self, node):
+        return self._mkseq(node, "linear", "float")
+
+    def fn_ttextseq(self, node):
+        return self._mkseq(node, "step", "text")
+
+    def fn_tgeompointseq(self, node):
+        return self._mkseq(node, "linear", "point")
+
+    def _mkseq(self, node, interp_default, base):
+        args = self._args(node)
+        col0, kind0 = args[0]
+        interp = interp_default
+        li, ui = F.lit(True), F.lit(True)
+        if len(args) >= 2:
+            interp = node.args[1].value.lower() if node.args[1].kind == "lit" else interp_default
+        if len(args) >= 3:
+            li = args[2][0]
+        if len(args) >= 4:
+            ui = args[3][0]
+        if kind0[0] == "array":  # ARRAY[temporal instants]
+            inst = F.transform(col0, lambda t: t["seqs"][0]["instants"][0])
+            return (
+                TT.tsequence(inst, interp=interp, lower_inc=li, upper_inc=ui),
+                ("temporal", kind0[1][1]),
+            )
+        if kind0[0] == "temporal":  # convert — preserve existing interp
+            return TT.to_sequence(col0, None), kind0
+        raise ValueError("tSeq arg")
+
+    def fn_tintseqset(self, node):
+        return self._mkseqset(node, "int", "step")
+
+    def fn_tfloatseqset(self, node):
+        return self._mkseqset(node, "float", "linear")
+
+    def _mkseqset(self, node, base, interp):
+        (col0, kind0) = self._args(node)[0]
+        if kind0[0] == "array":
+            seqs = F.flatten(F.transform(col0, lambda t: t["seqs"]))
+            return TT.tsequenceset(seqs, interp=interp), ("temporal", base)
+        if kind0[0] == "temporal":
+            return (
+                TT._temporal_struct(F.lit(3), col0["interp"], col0["seqs"]),
+                kind0,
+            )
+        raise ValueError("seqset arg")
+
+    def fn_set(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "array":
+            return ST.set_(col), ("set", kind[1][1])
+        return ST.set_of_value(col), ("set", kind[1])
+
+    def fn_spanset(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "array":
+            return S.spanset(col), ("spanset", kind[1][1])
+        if kind[0] == "span":
+            return S.spanset(F.array(col)), ("spanset", kind[1])
+        if kind[0] == "set":
+            return (
+                S.spanset(F.transform(col, lambda v: S.span_of_value(v))),
+                ("spanset", kind[1]),
+            )
+        raise ValueError("spanset arg")
+
+    # accessors — temporal
+    def _t1(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] != "temporal":
+            raise ValueError(f"expected temporal, got {kind}")
+        return col, kind
+
+    def fn_tempsubtype(self, node):
+        col, _ = self._t1(node)
+        return TT.temp_subtype(col), ("scalar", "text")
+
+    def fn_interp(self, node):
+        col, _ = self._t1(node)
+        return TT.interp(col), ("scalar", "text")
+
+    def fn_getvalue(self, node):
+        col, kind = self._t1(node)
+        return TT.get_value(col), ("scalar", kind[1])
+
+    def fn_gettimestamp(self, node):
+        col, _ = self._t1(node)
+        return TT.get_timestamp(col), ("scalar", "timestamp")
+
+    def fn_startvalue(self, node):
+        col, kind = self.eval(node.args[0])
+        if kind[0] == "set":
+            return ST.start_value(col), ("scalar", kind[1])
+        return TT.start_value(col), ("scalar", kind[1])
+
+    def fn_endvalue(self, node):
+        col, kind = self.eval(node.args[0])
+        if kind[0] == "set":
+            return ST.end_value(col), ("scalar", kind[1])
+        return TT.end_value(col), ("scalar", kind[1])
+
+    def fn_minvalue(self, node):
+        col, kind = self._t1(node)
+        return TT.min_value(col), ("scalar", kind[1])
+
+    def fn_maxvalue(self, node):
+        col, kind = self._t1(node)
+        return TT.max_value(col), ("scalar", kind[1])
+
+    def fn_mininstant(self, node):
+        col, kind = self._t1(node)
+        return TT.min_instant(col), kind
+
+    def fn_maxinstant(self, node):
+        col, kind = self._t1(node)
+        return TT.max_instant(col), kind
+
+    def fn_valuen(self, node):
+        (col, kind), (n, _) = self._args(node)
+        if kind[0] == "set":
+            return ST.value_n(col, n), ("scalar", kind[1])
+        return TT.value_n(col, n), ("scalar", kind[1])
+
+    def fn_getvalues(self, node):
+        (col, kind) = self._args(node)[0]
+        return ST.get_values(col), ("set", kind[1])
+
+    def fn_valueset(self, node):
+        col, kind = self._t1(node)
+        return TT.value_set(col), ("set", kind[1])
+
+    def fn_valuespan(self, node):
+        col, kind = self._t1(node)
+        return TT.value_span(col, int_base=kind[1] == "int"), ("span", kind[1])
+
+    def fn_starttimestamp(self, node):
+        col, _ = self._t1(node)
+        return TT.start_timestamp(col), ("scalar", "timestamp")
+
+    def fn_endtimestamp(self, node):
+        col, _ = self._t1(node)
+        return TT.end_timestamp(col), ("scalar", "timestamp")
+
+    def fn_timespan(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "temporal":
+            return TT.time_span(col), ("span", "timestamp")
+        if kind[0] == "tbox":
+            return (
+                S.span(col["tmin"], col["tmax"], col["tmin_inc"], col["tmax_inc"]),
+                ("span", "timestamp"),
+            )
+        raise ValueError("timeSpan arg")
+
+    def fn_gettime(self, node):
+        col, _ = self._t1(node)
+        return TT.get_time(col), ("spanset", "timestamp")
+
+    def fn_duration(self, node):
+        args = self._args(node)
+        (col, kind) = args[0]
+        if kind[0] == "spanset" and kind[1] == "date":
+            if len(args) > 1:
+                days = F.datediff(
+                    S.spanset_upper(col), S.spanset_lower(col)
+                ).cast("long")
+            else:
+                days = F.aggregate(
+                    col,
+                    F.lit(0).cast("long"),
+                    lambda a, sp: a + F.datediff(sp["upper"], sp["lower"]),
+                )
+            return days * F.lit(86_400_000_000), ("scalar", "interval")
+        if kind[0] == "spanset":
+            if len(args) > 1:
+                return (
+                    S.spanset_duration_us(col, boundspan=True),
+                    ("scalar", "interval"),
+                )
+            return S.spanset_duration_us(col), ("scalar", "interval")
+        boundspan = bool(node.args[1].value) if len(node.args) > 1 else False
+        return (
+            (TT.duration_us(col, boundspan=boundspan)),
+            ("scalar", "interval"),
+        )
+
+    def fn_sequences(self, node):
+        col, kind = self._t1(node)
+        return TT.sequences(col), ("array", kind)
+
+    def fn_attime(self, node):
+        (col, kind), (sp, spkind) = self._args(node)
+        cont = kind[1] in ("float", "point")
+        if spkind[0] == "spanset":
+            return (
+                TT.at_time_spanset(
+                    col, sp, continuous=cont, point=kind[1] == "point"
+                ),
+                kind,
+            )
+        return (
+            TT.at_time(col, sp, continuous=cont, point=kind[1] == "point"),
+            kind,
+        )
+
+    def fn_atvalues(self, node):
+        (col, kind), (v, _) = self._args(node)
+        return TT.at_values(col, v), kind
+
+    def fn_whentrue(self, node):
+        col, _ = self._t1(node)
+        return TT.when_true(col), ("spanset", "timestamp")
+
+    def fn_valueattimestamp(self, node):
+        (col, kind), (ts, _) = self._args(node)
+        if kind[1] == "point":
+            return TP.value_at_timestamp(col, ts), ("scalar", "point")
+        return (
+            TT.value_at_timestamp(col, ts, continuous=kind[1] == "float"),
+            ("scalar", kind[1]),
+        )
+
+    def fn_shiftvalue(self, node):
+        (col, kind), (d, _) = self._args(node)
+        if kind[0] == "tbox":
+            return B.tbox_shift_value(col, d.cast("double")), kind
+        return TT.shift_value(col, d), kind
+
+    def fn_scalevalue(self, node):
+        (col, kind), (w, _) = self._args(node)
+        if kind[0] == "tbox":
+            return _tbox_scale_value(col, w, kind[1]), kind
+        return TT.scale_value(col, w, int_base=kind[1] == "int"), kind
+
+    def fn_shiftscalevalue(self, node):
+        (col, kind), (d, _), (w, _) = self._args(node)
+        if kind[0] == "tbox":
+            return (
+                B.tbox_shift_value(
+                    _tbox_scale_value(col, w, kind[1]), d.cast("double")
+                ),
+                kind,
+            )
+        return TT.shift_scale_value(col, d, w, int_base=kind[1] == "int"), kind
+
+    # sets / spans / spansets
+    def fn_numvalues(self, node):
+        (col, _) = self._args(node)[0]
+        return ST.num_values(col), ("scalar", "int")
+
+    def _delta(self, node_arg, base):
+        """Evaluate a shift/scale delta; bare strings on timestamp bases
+        are interval literals."""
+        if base in ("timestamp", "date") and node_arg.kind == "lit"                 and node_arg.littype == "str":
+            return F.lit(_parse_interval(node_arg.value)), ("scalar", "interval")
+        return self.eval(node_arg)
+
+    def fn_shift(self, node):
+        (col, kind) = self.eval(node.args[0])
+        (d, _) = self._delta(node.args[1], kind[1])
+        if kind[0] == "set":
+            return ST.shift(col, d), kind
+        if kind[0] == "span":
+            return S.shift(col, d), kind
+        if kind[0] == "spanset":
+            return S.spanset_shift(col, d), kind
+        raise ValueError("shift arg")
+
+    def fn_scale(self, node):
+        (col, kind) = self.eval(node.args[0])
+        (w, _) = self._delta(node.args[1], kind[1])
+        if kind[0] == "set":
+            if kind[1] == "date":
+                raise ValueError("date-set scale semantics")
+            if kind[1] == "timestamp":
+                return ST.scale_tstz(col, w), kind
+            return ST.scale(col, w, int_base=kind[1] == "int"), kind
+        raise ValueError("scale arg")
+
+    def fn_shiftscale(self, node):
+        (col, kind) = self.eval(node.args[0])
+        (d, _) = self._delta(node.args[1], kind[1])
+        (w, _) = self._delta(node.args[2], kind[1])
+        if kind[0] == "set":
+            if kind[1] == "date":
+                raise ValueError("date-set scale semantics")
+            if kind[1] == "timestamp":
+                return ST.shift(ST.scale_tstz(col, w), d), kind
+            return (
+                ST.shift(ST.scale(col, w, int_base=kind[1] == "int"), d),
+                kind,
+            )
+        raise ValueError("shiftScale arg")
+
+    def fn_numspans(self, node):
+        (col, _) = self._args(node)[0]
+        return S.spanset_num_spans(col), ("scalar", "int")
+
+    def fn_startspan(self, node):
+        (col, kind) = self._args(node)[0]
+        return S.spanset_start_span(col), ("span", kind[1])
+
+    def fn_endspan(self, node):
+        (col, kind) = self._args(node)[0]
+        return S.spanset_end_span(col), ("span", kind[1])
+
+    def fn_spann(self, node):
+        (col, kind), (n, _) = self._args(node)
+        return S.spanset_span_n(col, n), ("span", kind[1])
+
+    def fn_width(self, node):
+        args = self._args(node)
+        (col, kind) = args[0]
+        boundspan = bool(node.args[1].value) if len(node.args) > 1 else False
+        if kind[0] == "spanset":
+            w = S.spanset_width(col, boundspan=boundspan)
+            if kind[1] == "int":
+                w = w.cast("long")
+            return w, ("scalar", kind[1])
+        return S.width(col), ("scalar", kind[1])
+
+    def fn_lower(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "set" and kind[1] == "text":
+            return ST.lower_set(col), kind
+        if kind[0] == "spanset":
+            return S.spanset_lower(col), ("scalar", kind[1])
+        return S.lower(col), ("scalar", kind[1])
+
+    def fn_upper(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "set" and kind[1] == "text":
+            return ST.upper_set(col), kind
+        if kind[0] == "spanset":
+            return S.spanset_upper(col), ("scalar", kind[1])
+        return S.upper(col), ("scalar", kind[1])
+
+    def fn_lowerinc(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "spanset":
+            return S.spanset_start_span(col)["lower_inc"], ("scalar", "bool")
+        return S.lower_inc(col), ("scalar", "bool")
+
+    def fn_upperinc(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "spanset":
+            return S.spanset_end_span(col)["upper_inc"], ("scalar", "bool")
+        return S.upper_inc(col), ("scalar", "bool")
+
+    def fn_floor(self, node):
+        (col, kind) = self._args(node)[0]
+        return ST.floor_set(col), ("set", "float")
+
+    def fn_ceil(self, node):
+        (col, kind) = self._args(node)[0]
+        return ST.ceil_set(col), ("set", "float")
+
+    def fn_round(self, node):
+        args = self._args(node)
+        (col, kind) = args[0]
+        d = int(node.args[1].value) if len(node.args) > 1 else 0
+        return ST.round_set(col, d), kind
+
+    def fn_initcap(self, node):
+        (col, kind) = self._args(node)[0]
+        return ST.initcap_set(col), kind
+
+    # tbox / stbox
+    def fn_tbox(self, node):
+        args = self._args(node)
+        kinds = [k for _, k in args]
+        cols = [c for c, _ in args]
+        if len(args) == 2:
+            (a, ka), (b, kb) = args
+            if ka[0] == "scalar" and ka[1] in ("int", "float") and kb == ("scalar", "timestamp"):
+                if ka[1] == "int":
+                    return (
+                        B.tbox(
+                            xmin=a.cast("double"),
+                            xmax=a.cast("double") + 1,
+                            xmax_inc=False,
+                            tmin=b,
+                        ),
+                        ("tbox", "int"),
+                    )
+                return B.tbox(xmin=a.cast("double"), tmin=b), ("tbox", ka[1])
+            if ka[0] == "span" and kb == ("scalar", "timestamp"):
+                return (
+                    B.tbox_from_span(value_span=_as_float_span(a, ka)),
+                    ("tbox", None),
+                ) if False else (
+                    B.tbox(
+                        xmin=a["lower"].cast("double"),
+                        xmax=a["upper"].cast("double"),
+                        xmin_inc=a["lower_inc"], xmax_inc=a["upper_inc"],
+                        tmin=b,
+                    ),
+                    ("tbox", ka[1]),
+                )
+            if ka[0] == "scalar" and kb[0] == "span":
+                xmax = a.cast("double") + 1 if ka[1] == "int" else None
+                return (
+                    B.tbox(
+                        xmin=a.cast("double"),
+                        xmax=xmax,
+                        xmax_inc=ka[1] != "int",
+                        tmin=b["lower"], tmax=b["upper"],
+                        tmin_inc=b["lower_inc"], tmax_inc=b["upper_inc"],
+                    ),
+                    ("tbox", ka[1]),
+                )
+            if ka[0] == "span" and kb[0] == "span":
+                return (
+                    B.tbox(
+                        xmin=a["lower"].cast("double"),
+                        xmax=a["upper"].cast("double"),
+                        xmin_inc=a["lower_inc"], xmax_inc=a["upper_inc"],
+                        tmin=b["lower"], tmax=b["upper"],
+                        tmin_inc=b["lower_inc"], tmax_inc=b["upper_inc"],
+                    ),
+                    ("tbox", ka[1]),
+                )
+        if len(args) == 1:
+            (a, ka) = args[0]
+            if ka == ("scalar", "timestamp"):
+                return B.tbox(tmin=a), ("tbox", None)
+            if ka[0] == "scalar":
+                if ka[1] == "int":
+                    return (
+                        B.tbox(
+                            xmin=a.cast("double"),
+                            xmax=a.cast("double") + 1,
+                            xmax_inc=False,
+                        ),
+                        ("tbox", "int"),
+                    )
+                return B.tbox(xmin=a.cast("double")), ("tbox", ka[1])
+            if ka[0] == "span" and ka[1] == "timestamp":
+                return (
+                    B.tbox(
+                        tmin=a["lower"], tmax=a["upper"],
+                        tmin_inc=a["lower_inc"], tmax_inc=a["upper_inc"],
+                    ),
+                    ("tbox", None),
+                )
+            if ka[0] == "span":
+                return (
+                    B.tbox(
+                        xmin=a["lower"].cast("double"),
+                        xmax=a["upper"].cast("double"),
+                        xmin_inc=a["lower_inc"], xmax_inc=a["upper_inc"],
+                    ),
+                    ("tbox", ka[1]),
+                )
+            if ka[0] == "set" and ka[1] == "timestamp":
+                return (
+                    B.tbox(tmin=F.array_min(a), tmax=F.array_max(a)),
+                    ("tbox", None),
+                )
+            if ka[0] == "set":
+                if ka[1] == "int":
+                    return (
+                        B.tbox(
+                            xmin=F.array_min(a).cast("double"),
+                            xmax=F.array_max(a).cast("double") + 1,
+                            xmax_inc=False,
+                        ),
+                        ("tbox", "int"),
+                    )
+                return (
+                    B.tbox(
+                        xmin=F.array_min(a).cast("double"),
+                        xmax=F.array_max(a).cast("double"),
+                    ),
+                    ("tbox", ka[1]),
+                )
+        raise ValueError(f"tbox overload {kinds}")
+
+    def fn_astext(self, node):
+        if len(node.args) > 1:
+            raise ValueError("asText precision arg")
+        col, kind = self.eval(node.args[0])
+        if kind == ("temporal", "point"):
+            return col, ("temporal", "point_text")
+        return col, kind  # rendered identically by our renderer
+
+    def fn_asewkt(self, node):
+        if len(node.args) > 1:
+            raise ValueError("asEWKT precision arg")
+        col, kind = self.eval(node.args[0])
+        if kind == ("temporal", "point"):
+            return col, ("temporal", "point_text")
+        return col, kind
+
+    def fn_tgeompoint(self, node):
+        (vc, vk), (tc, _) = self._args(node)
+        if vk != ("scalar", "point"):
+            raise ValueError("tgeompoint ctor arg")
+        return TT.tinstant(vc, tc), ("temporal", "point")
+
+    def fn_hasx(self, node):
+        (col, _) = self._args(node)[0]
+        return B.has_x(col), ("scalar", "bool")
+
+    def fn_hast(self, node):
+        (col, _) = self._args(node)[0]
+        return B.has_t(col), ("scalar", "bool")
+
+    def fn_xmin(self, node):
+        (col, _) = self._args(node)[0]
+        return col["xmin"], ("scalar", "float")
+
+    def fn_xmax(self, node):
+        (col, _) = self._args(node)[0]
+        return col["xmax"], ("scalar", "float")
+
+    def fn_tmin(self, node):
+        (col, _) = self._args(node)[0]
+        return col["tmin"], ("scalar", "timestamp")
+
+    def fn_tmax(self, node):
+        (col, _) = self._args(node)[0]
+        return col["tmax"], ("scalar", "timestamp")
+
+    def fn_xmininc(self, node):
+        (col, _) = self._args(node)[0]
+        return col["xmin_inc"], ("scalar", "bool")
+
+    def fn_xmaxinc(self, node):
+        (col, _) = self._args(node)[0]
+        return col["xmax_inc"], ("scalar", "bool")
+
+    def fn_tmininc(self, node):
+        (col, _) = self._args(node)[0]
+        return col["tmin_inc"], ("scalar", "bool")
+
+    def fn_tmaxinc(self, node):
+        (col, _) = self._args(node)[0]
+        return col["tmax_inc"], ("scalar", "bool")
+
+
+def _tbox_scale_value(col, w, base):
+    """scaleValue(TBOX, w): value extent rescaled to width w keeping xmin
+    (int boxes canonicalize exclusive upper: [lo, lo+w+1) — golden
+    tbox.test scaleValue TBOXINT [2,4] → [2, 8))."""
+    new_xmax = (
+        col["xmin"] + w.cast("double") + 1
+        if base == "int"
+        else col["xmin"] + w.cast("double")
+    )
+    return col.withField("xmax", new_xmax)
+
+
+# ---------------------------------------------------------------- rendering
+def render(value, vkind) -> str:
+    k, base = vkind
+    if value is None:
+        return "NULL"
+    if k == "temporal":
+        if base == "point":
+            return _format_temporal_wkb(value)
+        if base == "point_text":
+            return textio.format_temporal(value, "point")
+        return textio.format_temporal(value, base)
+    if k == "span":
+        return textio.format_span(value, base)
+    if k == "spanset":
+        return textio.format_spanset(value, base)
+    if k == "set":
+        vals = list(value)
+        return textio.format_set(vals, base)
+    if k == "array" and isinstance(base, tuple) and base[0] == "temporal":
+        return (
+            "["
+            + ", ".join(
+                f"'{textio.format_temporal(v, base[1])}'" for v in value
+            )
+            + "]"
+        )
+    if k == "tbox":
+        return _render_tbox(value, base)
+    if k == "scalar":
+        if base == "bool":
+            return "true" if value else "false"
+        if base == "timestamp":
+            return textio.format_ts(value)
+        if base == "interval":
+            return _render_interval_us(int(value))
+        if base == "float":
+            return textio.format_base(float(value), "float")
+        if base == "point":
+            return textio.format_base(value, "point")
+        return str(value)
+    raise ValueError(f"render {vkind}")
+
+
+def _wkb_point_hex(p) -> str:
+    import struct
+
+    d = p.asDict() if hasattr(p, "asDict") else p
+    return (
+        "0101000000"
+        + struct.pack("<d", d["x"]).hex().upper()
+        + struct.pack("<d", d["y"]).hex().upper()
+    )
+
+
+def _format_temporal_wkb(t) -> str:
+    """Plain SELECT of a tgeompoint renders positions as hex WKB
+    (the reference's VARCHAR cast shows EWKB bytes)."""
+    d = t.asDict() if hasattr(t, "asDict") else t
+    seqs = [s.asDict() if hasattr(s, "asDict") else s for s in d["seqs"]]
+
+    def fmt_inst(i):
+        ii = i.asDict() if hasattr(i, "asDict") else i
+        return f"{_wkb_point_hex(ii['v'])}@{textio.format_ts(ii['t'])}"
+
+    def fmt_seq(s):
+        lo = "[" if s["lower_inc"] else "("
+        hi = "]" if s["upper_inc"] else ")"
+        return lo + ", ".join(fmt_inst(i) for i in s["instants"]) + hi
+
+    if d["subtype"] == 1:
+        return fmt_inst(seqs[0]["instants"][0])
+    if d["interp"] == 1:
+        return "{" + ", ".join(fmt_inst(i) for s in seqs for i in s["instants"]) + "}"
+    if d["subtype"] == 2:
+        return fmt_seq(seqs[0])
+    return "{" + ", ".join(fmt_seq(s) for s in seqs) + "}"
+
+
+def _render_tbox(v, base=None) -> str:
+    d = v.asDict() if hasattr(v, "asDict") else v
+    name = {"int": "TBOXINT", "float": "TBOXFLOAT"}.get(base, "TBOX")
+    parts = []
+    if d.get("xmin") is not None:
+        lo = "[" if d["xmin_inc"] else "("
+        hi = "]" if d["xmax_inc"] else ")"
+        fmt = (lambda x: str(int(x))) if base == "int" else (
+            lambda x: textio.format_base(x, "float")
+        )
+        parts.append(f"{lo}{fmt(d['xmin'])}, {fmt(d['xmax'])}{hi}")
+    if d.get("tmin") is not None:
+        lo = "[" if d["tmin_inc"] else "("
+        hi = "]" if d["tmax_inc"] else ")"
+        parts.append(
+            f"{lo}{textio.format_ts(d['tmin'])}, {textio.format_ts(d['tmax'])}{hi}"
+        )
+    if len(parts) == 2:
+        return f"{name} XT({parts[0]},{parts[1]})"
+    if d.get("xmin") is not None:
+        return f"{name} X({parts[0]})"
+    return "TBOX T(" + parts[0] + ")"
+
+
+def _render_interval_us(us: int) -> str:
+    secs, rem_us = divmod(us, 1_000_000)
+    days, rem = divmod(secs, 86400)
+    hh, rem = divmod(rem, 3600)
+    mm, ss = divmod(rem, 60)
+    parts = []
+    if days:
+        parts.append(f"{days} day" + ("s" if days != 1 else ""))
+    if hh or mm or ss or rem_us or not parts:
+        t = f"{hh:02d}:{mm:02d}:{ss:02d}"
+        if rem_us:
+            t += f".{rem_us:06d}".rstrip("0")
+        if t != "00:00:00" or not parts:
+            parts.append(t)
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------- replay
+def replay_case(spark, sql: str, expected: str):
+    """Returns ('pass'|'fail'|'skip', detail)."""
+    try:
+        ast = parse_select(sql)
+    except ValueError as e:
+        return "skip", f"parse: {e}"
+    tr = Translator()
+    try:
+        col, vkind = tr.eval(ast)
+    except ValueError as e:
+        return "skip", f"translate: {e}"
+    except Exception as e:  # translator bug — surface as failure
+        return "fail", f"translator error: {e!r}"
+    schema = T.StructType(
+        [
+            T.StructField(f"lit{i}", dt, True)
+            for i, dt in enumerate(tr.lit_schemas)
+        ]
+    )
+    df = spark.createDataFrame([tuple(tr.lit_values)], schema) if tr.lit_values \
+        else spark.range(1)
+    try:
+        got = render(df.select(col.alias("r")).collect()[0]["r"], vkind)
+    except Exception as e:
+        return "fail", f"eval error: {e!r}"
+    exp = expected.strip()
+    if got == exp:
+        return "pass", ""
+    if vkind == ("scalar", "bool") and {got, exp} in (
+        {"true", "1"}, {"false", "0"}
+    ):
+        return "pass", ""
+    return "fail", f"got {got!r} expected {exp!r}"

@@ -249,6 +249,15 @@ def parse_span(s: str, base: str) -> dict:
         if out["upper_inc"]:
             out["upper"] += 1
             out["upper_inc"] = False
+    if base == "date":  # canonicalize to [lo, hi+1day)
+        from datetime import timedelta as _td
+
+        if not out["lower_inc"]:
+            out["lower"] += _td(days=1)
+            out["lower_inc"] = True
+        if out["upper_inc"]:
+            out["upper"] += _td(days=1)
+            out["upper_inc"] = False
     return out
 
 
@@ -275,7 +284,9 @@ def format_spanset(ss, base: str) -> str:
 
 def parse_set(s: str, base: str) -> list:
     s = s.strip()
-    assert s[0] == "{" and s[-1] == "}", f"bad set literal: {s!r}"
+    if not (s.startswith("{") and s.endswith("}")):
+        # base → set cast accepts a bare value literal
+        return [parse_base(s, base)]
     return sorted({_hashable(parse_base(x, base)) for x in _split_top(s[1:-1])})
 
 
@@ -286,4 +297,41 @@ def _hashable(v):
 def format_set(vals, base: str) -> str:
     if vals is None:
         return "NULL"
+    if base in ("timestamp", "tstz"):
+        # reference renders timestamp set members quoted
+        # (test/sql/set.test: {"2001-01-01 08:00:00+00", ...})
+        return "{" + ", ".join(f'"{format_ts(v)}"' for v in vals) + "}"
     return "{" + ", ".join(format_base(v, base) for v in vals) + "}"
+
+
+def parse_tbox(s: str) -> dict:
+    """Parse TBOX/TBOXINT/TBOXFLOAT X/T/XT literal → dict + base kind."""
+    m = re.match(r"(?i)^\s*(TBOXINT|TBOXFLOAT|TBOX)\s+(XT|X|T)\s*\((.*)\)\s*$", s.strip(), re.S)
+    if not m:
+        raise ValueError(f"bad tbox literal: {s!r}")
+    kindword, dims, body = m.group(1).upper(), m.group(2).upper(), m.group(3)
+    base = "int" if kindword == "TBOXINT" else "float"
+    out = {"xmin": None, "xmax": None, "xmin_inc": None, "xmax_inc": None,
+           "tmin": None, "tmax": None, "tmin_inc": None, "tmax_inc": None}
+
+    def span_part(txt, is_time):
+        sp = parse_span(txt.strip(), "timestamp" if is_time else ("int" if base == "int" else "float"))
+        return sp
+
+    if dims == "XT":
+        x_txt, t_txt = _split_top(body)
+        xs = span_part(x_txt, False)
+        ts_ = span_part(t_txt, True)
+        out.update(xmin=float(xs["lower"]), xmax=float(xs["upper"]),
+                   xmin_inc=xs["lower_inc"], xmax_inc=xs["upper_inc"],
+                   tmin=ts_["lower"], tmax=ts_["upper"],
+                   tmin_inc=ts_["lower_inc"], tmax_inc=ts_["upper_inc"])
+    elif dims == "X":
+        xs = span_part(body, False)
+        out.update(xmin=float(xs["lower"]), xmax=float(xs["upper"]),
+                   xmin_inc=xs["lower_inc"], xmax_inc=xs["upper_inc"])
+    else:
+        ts_ = span_part(body, True)
+        out.update(tmin=ts_["lower"], tmax=ts_["upper"],
+                   tmin_inc=ts_["lower_inc"], tmax_inc=ts_["upper_inc"])
+    return out, base

@@ -106,8 +106,8 @@ def test_tsequence_constructor_sorts_and_dedups(spark):
 
 def test_at_time_step(spark):
     # atTime(tint '{[1@01, 2@02, 1@03],[3@04, 3@05]}', tstzspan '[01,02]')
-    # = {[1@01, 2@02]} (tint.test:351-354) — our subtype collapses to
-    # a single Sequence, rendered without the outer braces.
+    # = {[1@01, 2@02]} (tint.test:351-354) — SequenceSet subtype is
+    # preserved through restriction, so braces remain.
     df = temporal_df(
         spark,
         ["{[1@2000-01-01, 2@2000-01-02, 1@2000-01-03], [3@2000-01-04, 3@2000-01-05]}"],
@@ -120,7 +120,7 @@ def test_at_time_step(spark):
         F.lit(True),
     )
     r = fmt_t(df, TT.at_time(F.col("t"), sp, continuous=False), "int")
-    assert r == "[1@2000-01-01 00:00:00+00, 2@2000-01-02 00:00:00+00]"
+    assert r == "{[1@2000-01-01 00:00:00+00, 2@2000-01-02 00:00:00+00]}"
 
 
 def test_at_time_step_interpolates_boundary(spark):
