@@ -183,11 +183,12 @@ _BASE_SPARK = {
     "timestamp": T.TimestampType(),
     "date": T.DateType(),
     "point": POINT_TYPE,
+    "geom": T.StringType(),  # normalized WKT carrier (generic TGEOMETRY)
 }
 
 _TEMPORAL_LIT = {
     "tint": "int", "tbool": "bool", "tfloat": "float", "ttext": "text",
-    "tgeompoint": "point",
+    "tgeompoint": "point", "tgeometry": "geom",
 }
 _SPAN_LIT = {
     "intspan": "int", "bigintspan": "int", "floatspan": "float",
@@ -897,6 +898,8 @@ class Translator:
         col, kind = self.eval(node.args[0])
         if kind == ("temporal", "point"):
             return col, ("temporal", "point_text")
+        if kind == ("temporal", "geom"):
+            return col, ("temporal", "geom_text")
         return col, kind  # rendered identically by our renderer
 
     def fn_asewkt(self, node):
@@ -905,6 +908,8 @@ class Translator:
         col, kind = self.eval(node.args[0])
         if kind == ("temporal", "point"):
             return col, ("temporal", "point_text")
+        if kind == ("temporal", "geom"):
+            return col, ("temporal", "geom_text")
         return col, kind
 
     def fn_tgeompoint(self, node):
@@ -912,6 +917,135 @@ class Translator:
         if vk != ("scalar", "point"):
             raise ValueError("tgeompoint ctor arg")
         return TT.tinstant(vc, tc), ("temporal", "point")
+
+    def _bool_arg(self, n: Node) -> bool:
+        if n.kind == "lit" and n.littype == "str":
+            return n.value.lower() == "true"
+        if n.kind == "lit" and n.littype == "bool":
+            return n.value
+        raise ValueError("bool arg")
+
+    def fn_tgeometry(self, node):
+        from .wkt import normalize_wkt
+
+        if len(node.args) == 1:
+            return self.lit(
+                Node("lit", value=node.args[0].value, littype="tgeometry")
+            )
+        if len(node.args) >= 2 and node.args[0].kind == "lit":
+            wkt_txt = normalize_wkt(node.args[0].value)
+            second = self.eval(node.args[1])
+            if second[1] == ("scalar", "timestamp"):
+                return (
+                    TT.tinstant(F.lit(wkt_txt), second[0]),
+                    ("temporal", "geom"),
+                )
+            if second[1][0] == "span":
+                # constant value over a period → two-instant sequence
+                sp = second[0]
+                interp = (
+                    node.args[2].value.lower() if len(node.args) > 2 else "step"
+                )
+                inst = F.array(
+                    F.struct(sp["lower"].alias("t"), F.lit(wkt_txt).alias("v")),
+                    F.struct(sp["upper"].alias("t"), F.lit(wkt_txt).alias("v")),
+                )
+                return (
+                    TT.tsequence(
+                        inst, interp=interp,
+                        lower_inc=sp["lower_inc"], upper_inc=sp["upper_inc"],
+                    ),
+                    ("temporal", "geom"),
+                )
+        raise ValueError("tgeometry ctor")
+
+    def fn_tgeometryseq(self, node):
+        args0 = self.eval(node.args[0])
+        col0, kind0 = args0
+        interp = "step"
+        li = ui = True
+        if len(node.args) >= 2 and node.args[1].kind == "lit":
+            interp = str(node.args[1].value).lower()
+        if len(node.args) >= 3:
+            li = self._bool_arg(node.args[2])
+        if len(node.args) >= 4:
+            ui = self._bool_arg(node.args[3])
+        if kind0[0] == "array":
+            inst = F.transform(col0, lambda t: t["seqs"][0]["instants"][0])
+            return (
+                TT.tsequence(
+                    inst, interp=interp, lower_inc=F.lit(li), upper_inc=F.lit(ui)
+                ),
+                ("temporal", kind0[1][1]),
+            )
+        if kind0[0] == "temporal":
+            return TT.to_sequence(col0, None), kind0
+        raise ValueError("tgeometrySeq arg")
+
+    def fn_tgeometryinst(self, node):
+        col, kind = self._t1(node)
+        return TT.start_instant(col), kind
+
+    def fn_tgeometryseqset(self, node):
+        (col0, kind0) = self._args(node)[0]
+        if kind0[0] == "array":
+            seqs = F.flatten(F.transform(col0, lambda t: t["seqs"]))
+            return TT.tsequenceset(seqs, interp="step"), ("temporal", kind0[1][1])
+        if kind0[0] == "temporal":
+            return (
+                TT._temporal_struct(F.lit(3), col0["interp"], col0["seqs"]),
+                kind0,
+            )
+        raise ValueError("seqset arg")
+
+    def fn_numinstants(self, node):
+        col, _ = self._t1(node)
+        return TT.num_instants(col), ("scalar", "int")
+
+    def fn_numsequences(self, node):
+        col, _ = self._t1(node)
+        return TT.num_sequences(col), ("scalar", "int")
+
+    def fn_instantn(self, node):
+        (col, kind), (n, _) = self._args(node)
+        return TT.instant_n(col, n), kind
+
+    def fn_startinstant(self, node):
+        col, kind = self._t1(node)
+        return TT.start_instant(col), kind
+
+    def fn_endinstant(self, node):
+        col, kind = self._t1(node)
+        return TT.end_instant(col), kind
+
+    def fn_setinterp(self, node):
+        (col, kind) = self._args(node)[0]
+        interp = node.args[1].value.lower()
+        retagged = TT.set_interp(col, interp)
+        # setInterp on an Instant yields a (one-element) Sequence of the
+        # requested interpolation (golden tgeometry.test)
+        promoted = TT._temporal_struct(
+            F.when(col["subtype"] == 1, F.lit(2)).otherwise(col["subtype"]),
+            retagged["interp"],
+            col["seqs"],
+        )
+        return promoted, kind
+
+    def fn_merge(self, node):
+        (a, kind), (b, _) = self._args(node)
+        # merging two Instants yields a Discrete sequence (MEOS
+        # temporal_merge); otherwise sequences merge into a SequenceSet
+        both_inst = (a["subtype"] == 1) & (b["subtype"] == 1)
+        disc = TT.tsequence(
+            F.concat(
+                a["seqs"][0]["instants"], b["seqs"][0]["instants"]
+            ),
+            interp="discrete",
+        )
+        return (
+            F.when(both_inst, disc).otherwise(TT.merge(a, b)),
+            kind,
+        )
 
     def fn_hasx(self, node):
         (col, _) = self._args(node)[0]
@@ -976,6 +1110,10 @@ def render(value, vkind) -> str:
             return _format_temporal_wkb(value)
         if base == "point_text":
             return textio.format_temporal(value, "point")
+        if base == "geom":
+            return _format_temporal_wkb(value, from_wkt=True)
+        if base == "geom_text":
+            return textio.format_temporal(value, "geom")
         return textio.format_temporal(value, base)
     if k == "span":
         return textio.format_span(value, base)
@@ -1020,14 +1158,16 @@ def _wkb_point_hex(p) -> str:
     )
 
 
-def _format_temporal_wkb(t) -> str:
-    """Plain SELECT of a tgeompoint renders positions as hex WKB
-    (the reference's VARCHAR cast shows EWKB bytes)."""
+def _format_temporal_wkb(t, from_wkt=False) -> str:
+    """Plain SELECT of a tgeompoint/tgeometry renders positions as hex
+    WKB (the reference's VARCHAR cast shows EWKB bytes)."""
     d = t.asDict() if hasattr(t, "asDict") else t
     seqs = [s.asDict() if hasattr(s, "asDict") else s for s in d["seqs"]]
 
     def fmt_inst(i):
         ii = i.asDict() if hasattr(i, "asDict") else i
+        if from_wkt:
+            return f"{wkt_mod.wkb_hex(ii['v'])}@{textio.format_ts(ii['t'])}"
         return f"{_wkb_point_hex(ii['v'])}@{textio.format_ts(ii['t'])}"
 
     def fmt_seq(s):
@@ -1092,6 +1232,17 @@ def replay_case(spark, sql: str, expected: str):
         ast = parse_select(sql)
     except ValueError as e:
         return "skip", f"parse: {e}"
+    # python-side path for stbox / geoset trees
+    try:
+        got = render_python(python_eval(ast))
+        exp = expected.strip()
+        if got == exp:
+            return "pass", ""
+        return "fail", f"got {got!r} expected {exp!r}"
+    except _NotPy:
+        pass
+    except ValueError as e:
+        return "skip", f"pyeval: {e}"
     tr = Translator()
     try:
         col, vkind = tr.eval(ast)
@@ -1119,3 +1270,248 @@ def replay_case(spark, sql: str, expected: str):
     ):
         return "pass", ""
     return "fail", f"got {got!r} expected {exp!r}"
+
+
+# ---------------------------------------------------------------- python eval
+# STBOX and geomset/geogset golden cases are literal-echo + scalar ops;
+# they evaluate python-side (no benefit from a Spark roundtrip here —
+# the engine's stbox Column functions are exercised by tests/test_box_
+# tpoint.py and the bm query pack).
+class _NotPy(Exception):
+    pass
+
+
+def _parse_stbox(s: str) -> dict:
+    m = re.match(
+        r"(?is)^\s*(?:SRID\s*=\s*(\d+)\s*;)?\s*(GEODSTBOX|STBOX)\s+(ZT|XT|Z|X|T)\s*\((.*)\)\s*$",
+        s.strip(),
+    )
+    if not m:
+        raise ValueError(f"bad stbox literal: {s!r}")
+    srid = int(m.group(1)) if m.group(1) else None
+    geod = m.group(2).upper() == "GEODSTBOX"
+    dims = m.group(3).upper()
+    body = m.group(4)
+    d = {
+        "geodetic": geod, "srid": srid,
+        "xmin": None, "ymin": None, "zmin": None,
+        "xmax": None, "ymax": None, "zmax": None,
+        "tmin": None, "tmax": None, "tmin_inc": True, "tmax_inc": True,
+    }
+
+    def corners(txt):
+        pts = re.findall(r"\(([^()]*)\)", txt)
+        lo = [float(x) for x in pts[0].split(",")]
+        hi = [float(x) for x in pts[1].split(",")]
+        return lo, hi
+
+    if dims in ("X", "Z"):
+        lo, hi = corners(body)
+    elif dims in ("XT", "ZT"):
+        sp_txt, t_txt = body.rsplit(",[", 1) if ",[" in body else body.rsplit(",(", 1)
+        brack = body[len(sp_txt) + 1]
+        lo, hi = corners(sp_txt)
+        t_span = textio.parse_span(brack + t_txt, "timestamp")
+        d.update(tmin=t_span["lower"], tmax=t_span["upper"],
+                 tmin_inc=t_span["lower_inc"], tmax_inc=t_span["upper_inc"])
+    else:  # T
+        t_span = textio.parse_span(body.strip(), "timestamp")
+        d.update(tmin=t_span["lower"], tmax=t_span["upper"],
+                 tmin_inc=t_span["lower_inc"], tmax_inc=t_span["upper_inc"])
+        lo = hi = None
+    if lo is not None:
+        d.update(xmin=lo[0], ymin=lo[1], xmax=hi[0], ymax=hi[1])
+        if len(lo) > 2:
+            d.update(zmin=lo[2], zmax=hi[2])
+    if d["srid"] is None:
+        d["srid"] = 4326 if (geod and lo is not None) else 0
+    return d
+
+
+def _render_stbox(d: dict) -> str:
+    name = "GEODSTBOX" if d["geodetic"] else "STBOX"
+    nn = wkt_mod._n
+    has_x = d["xmin"] is not None
+    has_z = d["zmin"] is not None
+    has_t = d["tmin"] is not None
+    if has_x:
+        dims = ("Z" if has_z else "X") + ("T" if has_t else "")
+    else:
+        dims = "T"
+    parts = []
+    if has_x:
+        lo = [d["xmin"], d["ymin"]] + ([d["zmin"]] if has_z else [])
+        hi = [d["xmax"], d["ymax"]] + ([d["zmax"]] if has_z else [])
+        sp = f"(({','.join(nn(v) for v in lo)}),({','.join(nn(v) for v in hi)}))"
+        parts.append(sp)
+    if has_t:
+        lo_b = "[" if d["tmin_inc"] else "("
+        hi_b = "]" if d["tmax_inc"] else ")"
+        parts.append(
+            f"{lo_b}{textio.format_ts(d['tmin'])}, {textio.format_ts(d['tmax'])}{hi_b}"
+        )
+    if has_x and has_t:
+        body = f"{dims}({parts[0]},{parts[1]})"
+    elif has_x:
+        body = f"{dims}{parts[0]}"  # X/Z-only: no extra wrapping parens
+    else:
+        body = f"T({parts[0]})"
+    prefix = f"SRID={d['srid']};" if d["srid"] not in (0, None) else ""
+    return f"{prefix}{name} {body}"
+
+
+def _parse_geoset(s: str, default_srid: int) -> dict:
+    m = re.match(r"(?is)^\s*(?:SRID\s*=\s*(\d+)\s*;)?\s*\{(.*)\}\s*$", s.strip())
+    if not m:
+        raise ValueError(f"bad geoset literal: {s!r}")
+    srid = int(m.group(1)) if m.group(1) else default_srid
+    vals = []
+    for item in textio._split_top(m.group(2)):
+        item = item.strip()
+        if item.startswith('"') and item.endswith('"'):
+            item = item[1:-1]
+        vals.append(wkt_mod.normalize_wkt(item))
+    return {"srid": srid, "vals": vals}
+
+
+def python_eval(node: Node):
+    """Evaluate stbox/geoset expression trees python-side. Returns a
+    rendered string or raises _NotPy/ValueError."""
+    if node.kind == "lit":
+        if node.littype == "stbox":
+            return ("stbox", _parse_stbox(node.value))
+        if node.littype in ("geomset", "geogset"):
+            return (
+                "geoset",
+                _parse_geoset(node.value, 0 if node.littype == "geomset" else 4326),
+            )
+        if node.littype == "num":
+            return ("num", float(node.value))
+        raise _NotPy()
+    if node.kind == "cast":
+        v = python_eval(node.args[0])
+        if node.name == "geometry" and v[0] == "geomval":
+            return ("text", wkt_mod.normalize_wkt(v[1], style="duckdb"))
+        raise _NotPy()
+    if node.kind != "call":
+        raise _NotPy()
+    name = node.name
+    if name == "stbox" and len(node.args) == 1 and node.args[0].kind == "lit" \
+            and node.args[0].littype == "str":
+        return ("stbox", _parse_stbox(node.args[0].value))
+    if name in ("geomset", "geogset") and len(node.args) == 1 \
+            and node.args[0].kind == "lit":
+        return (
+            "geoset",
+            _parse_geoset(node.args[0].value, 0 if name == "geomset" else 4326),
+        )
+    if name in ("astext", "asewkt"):
+        if len(node.args) > 1:
+            raise ValueError("precision arg")
+        v = python_eval(node.args[0])
+        if v[0] == "stbox":
+            return ("text", _render_stbox(v[1]))
+        if v[0] == "geoset":
+            g = v[1]
+            prefix = f"SRID={g['srid']};" if name == "asewkt" and g["srid"] else ""
+            return (
+                "text",
+                prefix + "{" + ", ".join(f'"{w}"' for w in g["vals"]) + "}",
+            )
+        raise _NotPy()
+    if name == "area":
+        v = python_eval(node.args[0])
+        if v[0] == "stbox" and v[1]["xmin"] is not None:
+            d = v[1]
+            return ("num", (d["xmax"] - d["xmin"]) * (d["ymax"] - d["ymin"]))
+        raise ValueError("area of T-only stbox")
+    if name == "expandspace":
+        v = python_eval(node.args[0])
+        w = python_eval(node.args[1])
+        if v[0] == "stbox" and w[0] == "num":
+            d = dict(v[1])
+            for k in ("xmin", "ymin", "zmin"):
+                if d[k] is not None:
+                    d[k] -= w[1]
+            for k in ("xmax", "ymax", "zmax"):
+                if d[k] is not None:
+                    d[k] += w[1]
+            return ("stbox", d)
+        raise _NotPy()
+    if name in ("xmin", "ymin", "zmin", "xmax", "ymax", "zmax"):
+        v = python_eval(node.args[0])
+        if v[0] == "stbox":
+            val = v[1][name]
+            if val is None:
+                return ("text", "NULL")
+            return ("num", val)
+    if name in ("tmin", "tmax"):
+        v = python_eval(node.args[0])
+        if v[0] == "stbox":
+            val = v[1][name]
+            return ("text", "NULL" if val is None else textio.format_ts(val))
+    if name == "hasx":
+        v = python_eval(node.args[0])
+        return ("bool", v[1]["xmin"] is not None)
+    if name == "hast":
+        v = python_eval(node.args[0])
+        return ("bool", v[1]["tmin"] is not None)
+    if name == "hasz":
+        v = python_eval(node.args[0])
+        return ("bool", v[1]["zmin"] is not None)
+    if name == "isgeodetic":
+        v = python_eval(node.args[0])
+        return ("bool", v[1]["geodetic"])
+    if name == "srid":
+        v = python_eval(node.args[0])
+        return ("num", float(v[1]["srid"]))
+    if name == "setsrid":
+        v = python_eval(node.args[0])
+        w = python_eval(node.args[1])
+        d = dict(v[1]) if v[0] == "stbox" else dict(v[1])
+        d["srid"] = int(w[1])
+        return (v[0], d)
+    if name == "numvalues":
+        v = python_eval(node.args[0])
+        if v[0] == "geoset":
+            return ("num", float(len(v[1]["vals"])))
+    if name == "startvalue":
+        v = python_eval(node.args[0])
+        if v[0] == "geoset":
+            return ("geomval", v[1]["vals"][0])
+    if name == "endvalue":
+        v = python_eval(node.args[0])
+        if v[0] == "geoset":
+            return ("geomval", v[1]["vals"][-1])
+    if name == "valuen":
+        v = python_eval(node.args[0])
+        n = int(float(python_eval(node.args[1])[1]))
+        if v[0] == "geoset":
+            vals = v[1]["vals"]
+            if 1 <= n <= len(vals):
+                return ("geomval", vals[n - 1])
+            return ("text", "NULL")
+    if name == "stboxfrombinary" and node.args[0].kind == "call" \
+            and node.args[0].name == "asbinary":
+        return python_eval(node.args[0].args[0])
+    raise _NotPy()
+
+
+def render_python(v) -> str:
+    k, val = v
+    if k == "stbox":
+        return _render_stbox(val)
+    if k == "geoset":
+        return "{" + ", ".join(
+            wkt_mod.wkb_hex(w) for w in val["vals"]
+        ) + "}"
+    if k == "geomval":
+        return wkt_mod.wkb_hex(val)
+    if k == "num":
+        return textio.format_base(val, "float")
+    if k == "bool":
+        return "true" if val else "false"
+    return str(val)
+
+
+from . import wkt as wkt_mod  # noqa: E402

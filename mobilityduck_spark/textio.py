@@ -86,6 +86,10 @@ def parse_base(s: str, base: str) -> Any:
         if not m:
             raise ValueError(f"bad point literal: {s!r}")
         return {"x": float(m[1]), "y": float(m[2])}
+    if base == "geom":
+        from .wkt import normalize_wkt
+
+        return normalize_wkt(s)
     raise ValueError(f"unknown base type: {base}")
 
 
@@ -107,6 +111,8 @@ def format_base(v: Any, base: str) -> str:
     if base == "point":
         x, y = (v["x"], v["y"]) if isinstance(v, dict) else (v.x, v.y)
         return f"POINT({_num(x)} {_num(y)})"
+    if base == "geom":
+        return str(v)  # already-normalized WKT
     return str(v)
 
 
