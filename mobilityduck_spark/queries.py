@@ -714,3 +714,18 @@ def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BerlinMOD query pack registers bm_q1..bm_q17 on import (placed at module
 # end so `register` is defined when berlinmod resolves the circular import)
 from . import berlinmod  # noqa: E402,F401
+
+
+@register("embed_ivf_topk", None)  # KMeans centroids are model-dependent
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means cells + n_probe search) — the ANN
+    index path for 100 TB embedding tables."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "vec_id", "cos", "rank"
+    )

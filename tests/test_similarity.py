@@ -1,0 +1,53 @@
+"""Similarity-search operators: exact top-k vs LSH and IVF recall."""
+
+from pyspark.sql import functions as F
+
+from mobilityduck_spark.operators import similarity as SIM
+from mobilityduck_spark.sources import tables as SRC
+
+SF = "/root/testdata/sf0.001"
+
+
+def _setup(spark):
+    emb = SRC.load(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return emb, queries
+
+
+def _pairs(df):
+    return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+
+def test_brute_force_topk_shape(spark):
+    emb, q = _setup(spark)
+    bf = SIM.brute_force_topk(emb, q, k=5)
+    rows = bf.collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
+        cs = [c for _, c in ranks]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb, q = _setup(spark)
+    exact = _pairs(SIM.brute_force_topk(emb, q, k=5))
+    ivf = _pairs(SIM.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4))
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # full probe = exact
+    ivf_full = _pairs(SIM.ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8))
+    assert ivf_full == exact
+
+
+def test_lsh_topk_subset_of_universe(spark):
+    emb, q = _setup(spark)
+    lsh = SIM.lsh_topk(emb, q, k=5, dim=64, n_planes=6)
+    rows = lsh.collect()
+    assert all(r["rank"] <= 5 for r in rows)
