@@ -53,6 +53,20 @@ def ngram_set(text, n: int = 3) -> Column:
     return F.array_distinct(TX.rolling_hash_shingles(text, k=n))
 
 
+def ngram_set_from_tokens(toks, n: int = 3) -> Column:
+    """Distinct word-n-gram hash set from an ALREADY-MATERIALIZED token
+    array column. Callers should project `tokens(text)` in its own
+    select first: referencing the tokenize subtree inside the
+    per-element lambda re-evaluates it per gram (interpreted HOF, no
+    CSE) — O(tokens²) per doc, measured 5 s for 5 k docs at sf0.1."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " "))
+        )
+    )
+
+
 def jaccard(a, b) -> Column:
     inter = F.size(F.array_intersect(_c(a), _c(b)))
     union = F.size(F.array_union(_c(a), _c(b)))
@@ -94,6 +108,34 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- minhash
 _LONG_MAX = (1 << 63) - 1
+
+# persisted intermediates owned by this module (banded signatures);
+# long-lived sessions call release_caches() to free them explicitly
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame this module has cached; returns count."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before a
+    compute-heavy per-row stage. A small single-row-group parquet file
+    arrives as ONE partition and serializes the whole stage onto one
+    core; at corpus scale inputs already have >> cores partitions and
+    this is a no-op (no shuffle inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_signature_from_shingles(shingles, num_hashes: int = 32) -> Column:
@@ -171,12 +213,15 @@ def minhash_lsh_pairs(
     the plan that scales to billions of docs.
     """
     rows = num_hashes // bands
-    # select barriers: shingles once (JVM xxhash), then the signature in a
-    # numpy pandas UDF (vectorized lane-min — the interpreted fold costs
-    # ~8s at sf0.1, the numpy kernel <1s)
-    shingled = docs.select(
+    # select barriers: tokens once, shingles once (JVM xxhash), then the
+    # signature in a numpy pandas UDF (vectorized lane-min — the
+    # interpreted fold costs ~8s at sf0.1, the numpy kernel <1s)
+    shingled = _spread(docs).select(
         F.col(id_col).alias("id"),
-        TX.rolling_hash_shingles(F.col(text_col), k=shingle_k).alias("sh"),
+        TX.tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "id",
+        TX.rolling_hash_shingles_from_tokens(F.col("_toks"), k=shingle_k).alias("sh"),
     )
     sig_udf = minhash_signature_numpy_udf()
     sig = shingled.select(
@@ -201,8 +246,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
     # both sides of the candidate self-join read the banded signatures;
-    # materialize once (shingle+signature is the expensive stage)
-    banded = banded.persist()
+    # materialize once (shingle+signature is the expensive stage).
+    # MEMORY_AND_DISK: a 10⁹-doc signature table spills instead of
+    # evicting; the handle is registered for release_caches().
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(banded)
     other = banded.select(
         F.col("id").alias("id_b"),
         F.col("sig").alias("sig_b"),
@@ -318,6 +368,7 @@ def ngram_jaccard_pairs_exploded(
     n: int = 3,
     threshold: float = 0.5,
     block_cols: tuple[str, ...] = ("lang",),
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Scalable exact n-gram Jaccard: explode grams → equi-join on
     (block, gram) → count shared grams per pair → |A∩B| / (|A|+|B|−|A∩B|).
@@ -327,15 +378,57 @@ def ngram_jaccard_pairs_exploded(
     in block size, measured 22s at sf0.1), the intersection is a plain
     shuffled hash join on gram hash — partitions by gram, no per-row
     array scans, and survives block-size skew at 100 TB.
+
+    `max_gram_df` drops stop-grams (document frequency above the cap
+    within a block) BEFORE the self-join — without it, one gram shared
+    by f docs produces f² join rows, and a corpus-wide stop-gram at
+    10⁹ docs is a quadratic bucket that no amount of partitioning saves.
+    Jaccard is then computed over the df-filtered gram universe on both
+    sides of the ratio (the standard DF-filter semantics: similarity on
+    content-bearing grams only).
     """
-    pre = docs.select(
+    # staged selects are deliberate barriers (CollapseProject keeps them:
+    # each heavy column is referenced >1× downstream); explode_outer, not
+    # explode — InferFiltersFromGenerate would add `size(grams) > 0` and
+    # push the whole tokenize+shingle subtree down below the repartition
+    # (re-evaluated on the raw scan; measured 3 s at sf0.1). Gram arrays
+    # are never empty (sequence floor of 1), so outer ≡ inner here.
+    pre = _spread(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
-        ngram_set(F.col(text_col), n).alias("grams"),
+        TX.tokens(F.col(text_col)).alias("_toks"),
     ).select(
-        *block_cols, "id", F.size("grams").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        *block_cols, "id",
+        ngram_set_from_tokens(F.col("_toks"), n).alias("grams"),
+    ).select(
+        *block_cols, "id", F.size("grams").alias("n_grams"), "grams"
+    ).select(
+        *block_cols, "id", "n_grams",
+        F.explode_outer("grams").alias("gram"),
     )
+    if max_gram_df is not None:
+        # gram df per block → keep rare grams only; recount per-doc gram
+        # cardinality over the filtered universe so the Jaccard
+        # denominator matches the numerator's gram space. Window counts
+        # keep the lineage LINEAR (a groupBy+join-back formulation reads
+        # the gram table 3×); both shuffles hash-partition on
+        # bounded-skew keys (gram, id).
+        wg = Window.partitionBy(*block_cols, "gram")
+        wi = Window.partitionBy("id")
+        pre = (
+            pre.drop("n_grams")
+            .withColumn("_df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_df") <= max_gram_df)
+            .drop("_df")
+            .withColumn("n_grams", F.count(F.lit(1)).over(wi))
+            .select(*block_cols, "id", "n_grams", "gram")
+        )
+    # both self-join sides read the (filtered) gram table; materialize
+    # the tokenize+shingle+df-cap pipeline exactly once
+    from pyspark import StorageLevel
+
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(pre)
     a = pre
     b = pre.select(
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
@@ -365,69 +458,104 @@ def ngram_jaccard_pairs_exploded(
     )
 
 
-def simhash_pairs_numpy(
+# 128-bit chunk boundaries: 6 chunks of 21–22 bits, aligned so no chunk
+# spans the word0/word1 boundary at bit 64 (i*128//6 hits 64 exactly).
+_SH128_BOUNDS = [i * 128 // 6 for i in range(7)]  # [0,21,42,64,85,106,128]
+
+
+def _fp128_udf(id_col: str):
+    """Pandas UDF: two seeded token-hash arrays → 128-bit SimHash as
+    ARRAY<LONG>[w0, w1]. Tokens are hashed JVM-side (xxhash64); the
+    kernel only does the bit-vote matrix sum — no Python hashing in the
+    row path (the old md5-per-token version cost 12 s at sf0.1)."""
+    from pyspark.sql import types as T_
+
+    lanes = np.arange(64, dtype=np.uint64)
+
+    def word(hs_list) -> int:
+        hs = np.asarray(hs_list, dtype=np.int64).astype(np.uint64)
+        bits = (hs[:, None] >> lanes) & np.uint64(1)
+        votes = bits.sum(0) * 2 - len(hs)
+        w = ((votes > 0).astype(np.uint64) << lanes).sum(dtype=np.uint64)
+        return int(np.int64(w))
+
+    @F.pandas_udf(T_.ArrayType(T_.LongType()))
+    def fp(h0: pd.Series, h1: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(h0, h1):
+            if a is None or len(a) == 0:
+                out.append([0, 0])
+                continue
+            out.append([word(a), word(b)])
+        return pd.Series(out, dtype="object")
+
+    return fp
+
+
+def _chunk_key(word0, word1, c: int):
+    """Extract chunk c ([start, end) bit range of the 128-bit fp) as a
+    bucket key — pure JVM bit arithmetic."""
+    s, e = _SH128_BOUNDS[c], _SH128_BOUNDS[c + 1]
+    mask = (1 << (e - s)) - 1
+    src, off = (word0, s) if e <= 64 else (word1, s - 64)
+    return F.shiftrightunsigned(src, off).bitwiseAND(F.lit(mask))
+
+
+def simhash128_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    chunks: int = 4,
+    max_hamming: int = 10,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs with the fingerprint computed in a
-    mapInPandas numpy kernel (md5-based token hashes, bit votes as a
-    (tokens × 64) matrix sum) — ~10× the interpreted-expression simhash
-    at sf0.1. Bucketing/verify stays relational (same as
-    simhash_near_dup_pairs)."""
-    import hashlib
+    """SimHash near-dup pairs over a 128-bit fingerprint (two 64-bit
+    lanes from independently-seeded xxhash64 token hashes).
 
-    import numpy as np
-    import pandas as pd
+    Scale shape: candidates share one of six ~21-bit fingerprint chunks
+    → up to 2²¹ ≈ 2M buckets per chunk (vs 65k for 16-bit chunks of a
+    64-bit fp, which made candidate pairs grow O(N²/65k) past ~10⁸
+    docs). Pigeonhole guarantees recall for hamming ≤ 5; pairs at
+    hamming 6..max_hamming are found when any chunk survives intact
+    (high probability for near-dups, documented approximation).
 
-    def compute(batches):
-        for pdf in batches:
-            fps = []
-            for text in pdf[text_col]:
-                toks = str(text).lower().split()
-                if not toks:
-                    fps.append(0)
-                    continue
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                        for t in set(toks) and toks
-                    ),
-                    dtype=np.uint64,
-                    count=len(toks),
-                )
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = bits.sum(0) * 2 - len(toks)
-                fp = np.uint64(0)
-                fp_bits = (votes > 0).astype(np.uint64)
-                fp = (fp_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-                fps.append(int(np.int64(fp)))  # reinterpret as signed
-            yield pd.DataFrame({"id": pdf[id_col], "sh": fps})
-
-    sh = docs.mapInPandas(compute, schema="id long, sh long")
-    width = 64 // chunks
-    mask = (1 << width) - 1
+    `max_bucket_size` drops degenerate buckets (boilerplate clusters)
+    before the self-join — the bucket-size analog of the n-gram df-cap,
+    the standard guard against quadratic buckets at corpus scale.
+    """
+    toks = TX.tokens(F.col(text_col))
+    h0 = F.transform(toks, lambda w: F.xxhash64(w))
+    h1 = F.transform(toks, lambda w: F.xxhash64(F.lit(1), w))
+    fp = _fp128_udf(id_col)
+    sh = _spread(docs).select(F.col(id_col).alias("id"), fp(h0, h1).alias("fp")).select(
+        "id", F.col("fp")[0].alias("w0"), F.col("fp")[1].alias("w1")
+    )
     chunked = sh.select(
         "id",
-        "sh",
+        "w0",
+        "w1",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sh"), c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("ckey"),
+                        _chunk_key(F.col("w0"), F.col("w1"), c).alias("ckey"),
                     )
-                    for c in range(chunks)
+                    for c in range(6)
                 ]
             )
         ).alias("cc"),
-    ).select("id", "sh", "cc.chunk", "cc.ckey")
+    ).select("id", "w0", "w1", "cc.chunk", "cc.ckey")
+    if max_bucket_size is not None:
+        ok = (
+            chunked.groupBy("chunk", "ckey")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        chunked = chunked.join(ok, ["chunk", "ckey"])
     other = chunked.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("id").alias("id_b"), F.col("w0").alias("w0_b"),
+        F.col("w1").alias("w1_b"),
         F.col("chunk").alias("chunk_b"), F.col("ckey").alias("ckey_b"),
     )
     cand = chunked.join(
@@ -436,13 +564,20 @@ def simhash_pairs_numpy(
         & (F.col("ckey") == F.col("ckey_b"))
         & (F.col("id") < F.col("id_b")),
     )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("w0_b")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("w1_b")))
+    )
     return (
         cand.groupBy("id", "id_b")
-        .agg(F.first("sh").alias("sh"), F.first("sh_b").alias("sh_b"))
+        .agg(
+            F.first("w0").alias("w0"), F.first("w1").alias("w1"),
+            F.first("w0_b").alias("w0_b"), F.first("w1_b").alias("w1_b"),
+        )
         .select(
             F.col("id").alias("id_a"),
             F.col("id_b"),
-            hamming64(F.col("sh"), F.col("sh_b")).cast("int").alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

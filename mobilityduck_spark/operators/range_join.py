@@ -49,10 +49,15 @@ def bucketed_overlap_join(
     """
     w = F.lit(bucket_width_secs)
 
+    # floor, not cast('long'): cast truncates toward zero, so pre-1970
+    # timestamps would bucket off-by-one and disagree with first_shared
+    def bucket_of(c: str):
+        return F.floor(F.unix_seconds(F.col(c)) / w).cast("long")
+
     def with_buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        b0 = (F.unix_seconds(F.col(lo)) / w).cast("long")
-        b1 = (F.unix_seconds(F.col(hi)) / w).cast("long")
-        return df.withColumn("_bucket", F.explode(F.sequence(b0, b1)))
+        return df.withColumn(
+            "_bucket", F.explode(F.sequence(bucket_of(lo), bucket_of(hi)))
+        )
 
     lb = with_buckets(left, left_lo, left_hi)
     rb = with_buckets(right, right_lo, right_hi).withColumnRenamed(
@@ -61,8 +66,7 @@ def bucketed_overlap_join(
     exact = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
     # keep each overlapping pair only in the first bucket both cover
     first_shared = F.col("_bucket") == F.greatest(
-        (F.unix_seconds(F.col(left_lo)) / w).cast("long"),
-        (F.unix_seconds(F.col(right_lo)) / w).cast("long"),
+        bucket_of(left_lo), bucket_of(right_lo)
     )
     return (
         lb.join(rb, lb["_bucket"] == rb["_rbucket"])

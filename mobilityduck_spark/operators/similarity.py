@@ -148,6 +148,130 @@ def embedding_near_dup_pairs(
     )
 
 
+# persisted IVF assignment tables; long-lived sessions call
+# release_caches() to free them
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    train_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF coarse-quantizer index ONCE: fit MLlib KMeans
+    (optionally on a sample — at 100 TB you fit on ~10⁶ rows, not the
+    corpus), assign every vector to its cell with `model.transform`
+    (JVM-side, model broadcast internally — no N×n_centroids blowup and
+    no literal centroid arrays in any plan), and persist the
+    (id, vec, cell) assignment table.
+
+    Returns (assignments, centroids): `assignments` is the persisted
+    cell-assignment DataFrame; `centroids` is an (cell, centroid) table
+    of n_centroids rows used to route queries. Plan size is O(1) in
+    n_centroids — works at n_centroids=256 and beyond (the previous
+    literal-centroid formulation blew up the plan past ~100 cells).
+    """
+    from pyspark import StorageLevel
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fv = emb.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    train = fv.sample(train_fraction, seed=seed) if train_fraction < 1.0 else fv
+    # cache the training vectors for the duration of the fit: KMeans
+    # iterates over its input, and an uncached input re-scans parquet +
+    # re-converts arrays every iteration
+    # random init: kmeans|| init costs several extra passes and a coarse
+    # quantizer doesn't need it (measured 3.7 s → 0.8 s at sf0.1)
+    train = train.select("features").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, initMode="random"
+        ).fit(train)
+    finally:
+        train.unpersist()
+    assigned = model.transform(fv).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("cell"),
+        norm(F.col(vec_col)).alias("_norm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(assigned)
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Search an IVF index: route each query to its `n_probe` nearest
+    cells (tiny queries×centroids join, exact L2, window top-n), then
+    equi-join candidates on cell id and exact-cosine re-rank. Search
+    cost is O(N·n_probe/n_centroids) per query; the candidate join
+    shuffles on cell — the 100 TB-safe shape."""
+    qc = queries.crossJoin(F.broadcast(centroids))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col(query_vec_col), F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(l2.asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(
+            query_id_col, query_vec_col, "cell",
+            norm(F.col(query_vec_col)).alias("_qnorm"),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    # norms precomputed (index-side at build, query-side in the tiny
+    # probe table) — per-candidate work is one dot product + divide
+    cos_pre = F.when(
+        (F.col("_norm") > 0) & (F.col("_qnorm") > 0),
+        dot(F.col(vec_col), F.col(query_vec_col))
+        / (F.col("_norm") * F.col("_qnorm")),
+    ).otherwise(F.lit(0.0))
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cos_pre, 6).alias("cos"),
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -160,58 +284,15 @@ def ivf_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions vectors into `n_centroids` cells; each query scans only
-    its `n_probe` nearest cells with exact cosine re-rank.
-
-    The index build is one MLlib KMeans fit (sampled at scale); search
-    cost drops from O(N) to O(N·n_probe/n_centroids) per query, and the
-    candidate join is an equi-join on cell id — partition-friendly at
-    100 TB (cells are the shuffle keys; cell sizes are balanced by
-    k-means). Recall is tuned by n_probe.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    train = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
-    centroids = [c.tolist() for c in model.clusterCenters()]
-
-    def nearest_cells(vec, n: int):
-        """Array of the n nearest centroid ids (exact L2 on literals)."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            _c(vec),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(
-            F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n
-        )
-
-    e = emb.withColumn("_cell", nearest_cells(F.col(vec_col), 1)[0])
-    q = queries.withColumn(
-        "_probe", F.explode(nearest_cells(F.col(query_vec_col), n_probe))
+    """IVF (inverted-file) approximate top-k = build_ivf_index (fit once,
+    persisted assignments, centroid TABLE not literals) + ivf_search.
+    Kept as a one-call convenience; pipelines should build the index
+    once and call ivf_search per query batch."""
+    assigned, centroids = build_ivf_index(
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    cand = e.join(F.broadcast(q), F.col("_cell") == F.col("_probe"))
-    scored = cand.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
-    ).filter(F.col(id_col) != F.col(query_id_col))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col).asc()
+    return ivf_search(
+        assigned, centroids, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -124,11 +124,21 @@ def token_estimate(text) -> Column:
     return (pieces + punct).cast("long")
 
 
-def rolling_hash_shingles(text, k: int = 5) -> Column:
-    """Array of hashes of k-word shingles (the MinHash input)."""
-    t = tokens(text)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+def rolling_hash_shingles_from_tokens(toks, k: int = 5) -> Column:
+    """Array of hashes of k-word shingles from a MATERIALIZED token
+    array column. Project `tokens(text)` in its own select first — the
+    per-element lambda references the token array, and an inlined
+    tokenize subtree would re-evaluate per shingle (interpreted HOF,
+    no CSE: O(tokens²) per doc)."""
+    tc = _c(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tc) - k + 1, F.lit(1)))
     return F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, k), " "))
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(tc, i, k), " "))
     )
+
+
+def rolling_hash_shingles(text, k: int = 5) -> Column:
+    """Array of hashes of k-word shingles (the MinHash input).
+    Single-expression convenience; hot paths should tokenize behind a
+    projection barrier and call rolling_hash_shingles_from_tokens."""
+    return rolling_hash_shingles_from_tokens(tokens(text), k)

@@ -233,7 +233,9 @@ def register_tdwithin_udf(spark):
                         "lower": _to_dt(lo),
                         "upper": _to_dt(hi),
                         "lower_inc": True,
-                        "upper_inc": lo != hi or True,
+                        # closed upper bound: at the root of the quadratic
+                        # the distance equals d, which satisfies <= d
+                        "upper_inc": True,
                     }
                     for lo, hi in spans
                 ]

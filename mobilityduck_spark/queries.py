@@ -599,9 +599,12 @@ def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dups(u)
 
 
+_NGRAM_DF_CAP = 64
+
+
 @register(
     "doc_ngram_jaccard",
-    r"""
+    rf"""
     WITH d AS (
       SELECT doc_id, lang, n_chars // 100 AS lb,
              regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -612,27 +615,39 @@ def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
       FROM d
+    ),
+    e AS (SELECT doc_id, lang, lb, unnest(grams) AS gram FROM g),
+    keep AS (
+      SELECT lang, lb, gram FROM e
+      GROUP BY lang, lb, gram HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+    ),
+    k AS (SELECT e.* FROM e JOIN keep USING (lang, lb, gram)),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM k GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM k a JOIN k b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.grams, b.grams))
-                 / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE),
-                 6) AS jac
-    FROM g a JOIN g b
-      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.grams, b.grams))
-          / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter / CAST(na.ng + nb.ng - i.inter AS DOUBLE), 6) AS jac
+    FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+    WHERE i.inter / CAST(na.ng + nb.ng - i.inter AS DOUBLE) >= 0.5
     """,
 )
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs with (lang, length-bucket)
-    blocking."""
+    blocking and a gram df-cap (stop-grams dropped before the
+    self-join — the quadratic-bucket guard at corpus scale)."""
     from .operators import dedup as DD
 
     docs = SRC.load(spark, sf_dir, "documents").withColumn(
         "lb", F.expr("n_chars div 100")
     )
     return DD.ngram_jaccard_pairs_exploded(
-        docs, n=3, threshold=0.5, block_cols=("lang", "lb")
+        docs, n=3, threshold=0.5, block_cols=("lang", "lb"),
+        max_gram_df=_NGRAM_DF_CAP,
     )
 
 
@@ -648,11 +663,13 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_simhash_pairs", None)  # xxhash64-based: rows-only check
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (chunk-bucketed Hamming)."""
+    """SimHash near-dup pairs: 128-bit fingerprint, six ~21-bit chunk
+    buckets (≈2M buckets/chunk), bucket-size cap — the shape that holds
+    at 10⁹ docs."""
     from .operators import dedup as DD
 
     docs = SRC.load(spark, sf_dir, "documents")
-    return DD.simhash_pairs_numpy(docs, max_hamming=6)
+    return DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=2000)
 
 
 # =====================================================================
@@ -719,13 +736,15 @@ from . import berlinmod  # noqa: E402,F401
 @register("embed_ivf_topk", None)  # KMeans centroids are model-dependent
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (k-means cells + n_probe search) — the ANN
-    index path for 100 TB embedding tables."""
+    index path for 100 TB embedding tables. Index built once (persisted
+    assignments + centroid table, no literal centroids in the plan)."""
     from .operators import similarity as SIM
 
     emb = SRC.load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4).select(
+    assigned, centroids = SIM.build_ivf_index(emb, n_centroids=16)
+    return SIM.ivf_search(assigned, centroids, queries_df, k=5, n_probe=4).select(
         "query_id", "vec_id", "cos", "rank"
     )

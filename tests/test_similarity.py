@@ -46,6 +46,20 @@ def test_ivf_recall_vs_exact(spark):
     assert ivf_full == exact
 
 
+def test_ivf_index_many_centroids(spark):
+    # plan size must stay O(1) in n_centroids (centroid TABLE, not
+    # literal arrays) — 256 cells on the sf0.001 table must just work
+    emb, q = _setup(spark)
+    assigned, centroids = SIM.build_ivf_index(emb, n_centroids=256, max_iter=5)
+    assert centroids.count() == 256
+    out = SIM.ivf_search(assigned, centroids, q, k=3, n_probe=8)
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+    plan = str(out._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    SIM.release_caches()
+
+
 def test_lsh_topk_subset_of_universe(spark):
     emb, q = _setup(spark)
     lsh = SIM.lsh_topk(emb, q, k=5, dim=64, n_planes=6)
