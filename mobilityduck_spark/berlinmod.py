@@ -33,6 +33,23 @@ from .sources import berlinmod as BM
 _TRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def release_caches() -> int:
+    """Unpersist every trip/flat-trip DataFrame this module has cached;
+    returns the count released. Long-lived sessions (notebooks, services)
+    should call this when done with a BerlinMOD workload — the module
+    caches otherwise hold executor storage for the session's lifetime."""
+    n = 0
+    for cache in (_TRIP_CACHE, _FLAT_CACHE):
+        while cache:
+            _, df = cache.popitem()
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
+    return n
+
+
 def _trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trips assembly is shared by every bm query — cache per session."""
     key = (id(spark), sf_dir)
@@ -56,13 +73,14 @@ def _flat_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _FLAT_CACHE:
         trips = _trips(spark, sf_dir)
-        ts_, xs, ys = flat_cols(F.col("trip"))
+        ts_, xs, ys, lens = flat_cols(F.col("trip"))
         _FLAT_CACHE[key] = trips.select(
             "vehicle_id",
             "trip",
             ts_.alias("t_arr"),
             xs.alias("x_arr"),
             ys.alias("y_arr"),
+            lens.alias("len_arr"),
             B.stbox_of_tpoint(F.col("trip")).alias("bb"),
         ).persist()
     return _FLAT_CACHE[key]
@@ -224,12 +242,12 @@ def bm_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = ft.join(F.broadcast(l1), "vehicle_id").select(
         F.col("licence").alias("licence1"), F.col("vehicle_id").alias("vid1"),
         F.col("t_arr").alias("t1"), F.col("x_arr").alias("x1"),
-        F.col("y_arr").alias("y1"),
+        F.col("y_arr").alias("y1"), F.col("len_arr").alias("l1"),
     )
     t2 = ft.join(F.broadcast(l2), "vehicle_id").select(
         F.col("licence").alias("licence2"), F.col("vehicle_id").alias("vid2"),
         F.col("t_arr").alias("t2"), F.col("x_arr").alias("x2"),
-        F.col("y_arr").alias("y2"),
+        F.col("y_arr").alias("y2"), F.col("len_arr").alias("l2"),
     )
     # broadcast hint: a non-equi self-join otherwise plans as a
     # CartesianProduct with shuffle.partitions² tasks (40 000 tasks ≈ 50s
@@ -240,7 +258,7 @@ def bm_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "licence1",
         "licence2",
         F.round(
-            udfs["min_traj_distance"]("t1", "x1", "y1", "t2", "x2", "y2"), 3
+            udfs["min_traj_distance"]("t1", "x1", "y1", "l1", "t2", "x2", "y2", "l2"), 3
         ).alias("min_dist"),
     )
 
@@ -259,12 +277,14 @@ def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = t.select(
         F.col("vehicle_id").alias("vid1"), F.col("licence").alias("licence1"),
         F.col("t_arr").alias("ta1"), F.col("x_arr").alias("xa1"),
-        F.col("y_arr").alias("ya1"), F.col("bb").alias("bb1"),
+        F.col("y_arr").alias("ya1"), F.col("len_arr").alias("la1"),
+        F.col("bb").alias("bb1"),
     )
     t2 = t.select(
         F.col("vehicle_id").alias("vid2"), F.col("licence").alias("licence2"),
         F.col("t_arr").alias("ta2"), F.col("x_arr").alias("xa2"),
-        F.col("y_arr").alias("ya2"), F.col("bb").alias("bb2"),
+        F.col("y_arr").alias("ya2"), F.col("len_arr").alias("la2"),
+        F.col("bb").alias("bb2"),
     )
     pairs = t1.join(
         F.broadcast(t2),
@@ -273,7 +293,7 @@ def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.filter(
-            udfs["e_dwithin"]("ta1", "xa1", "ya1", "ta2", "xa2", "ya2", F.lit(10.0))
+            udfs["e_dwithin"]("ta1", "xa1", "ya1", "la1", "ta2", "xa2", "ya2", "la2", F.lit(10.0))
         )
         .select("licence1", "licence2")
         .distinct()
@@ -435,12 +455,14 @@ def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = ft.join(F.broadcast(l1), "vehicle_id").select(
         F.col("vehicle_id").alias("vid1"), F.col("licence").alias("licence1"),
         F.col("t_arr").alias("ta1"), F.col("x_arr").alias("xa1"),
-        F.col("y_arr").alias("ya1"), F.col("bb").alias("bb1"),
+        F.col("y_arr").alias("ya1"), F.col("len_arr").alias("la1"),
+        F.col("bb").alias("bb1"),
     )
     t2 = ft.select(
         F.col("vehicle_id").alias("vid2"),
         F.col("t_arr").alias("ta2"), F.col("x_arr").alias("xa2"),
-        F.col("y_arr").alias("ya2"), F.col("bb").alias("bb2"),
+        F.col("y_arr").alias("ya2"), F.col("len_arr").alias("la2"),
+        F.col("bb").alias("bb2"),
     )
     pairs = F.broadcast(t1).join(
         t2,
@@ -452,7 +474,7 @@ def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.filter(
-            udfs["e_dwithin"]("ta1", "xa1", "ya1", "ta2", "xa2", "ya2", F.lit(3.0))
+            udfs["e_dwithin"]("ta1", "xa1", "ya1", "la1", "ta2", "xa2", "ya2", "la2", F.lit(3.0))
         )
         .select("licence1", F.col("vid2").alias("vehicle_id2"))
         .distinct()

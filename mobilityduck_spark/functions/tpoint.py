@@ -199,6 +199,218 @@ def at_box_sampled(t, box) -> Column:
     )
 
 
+def _inside_box(i: Column, b: Column) -> Column:
+    """Instant i inside STBOX b (borders inclusive — MEOS border_inc)."""
+    sp_ok = F.when(
+        b["hasx"],
+        (i["v"]["x"] >= b["xmin"]) & (i["v"]["x"] <= b["xmax"])
+        & (i["v"]["y"] >= b["ymin"]) & (i["v"]["y"] <= b["ymax"]),
+    ).otherwise(F.lit(True))
+    t_ok = F.when(
+        b["hast"], (i["t"] >= b["tmin"]) & (i["t"] <= b["tmax"])
+    ).otherwise(F.lit(True))
+    return sp_ok & t_ok
+
+
+def clip_spanset(t, box) -> Column:
+    """tstzspanset during which the temporal point is inside the STBOX —
+    EXACT semantics: linear segments are clipped against the box
+    boundary (Liang–Barsky in the time parameter), so a trajectory that
+    crosses a region corner between samples contributes the interpolated
+    crossing interval, not just observed instants.
+
+    Per linear segment p→q over [t0, t1]: for each axis the inside
+    window in u ∈ [0, 1] is [(lo−v0)/dv, (hi−v0)/dv] (sorted); the
+    segment is inside on [max(0, ux_lo, uy_lo), min(1, ux_hi, uy_hi)].
+    Crossing times quantize to µs with FLOOR (the oracle uses the same
+    double-precision formula). Step sequences contribute constant-value
+    spans; discrete/instant subtypes contribute instantaneous spans.
+    The per-segment spans are normalized+merged by spanset().
+
+    Reference: atGeometry/atStbox, src/geo/tgeompoint.cpp:265-273 (impl
+    tgeompoint_functions.cpp:559-608, MEOS tgeo_at_geom /
+    tpoint_at_stbox with border_inc=true).
+    """
+    from . import span as S
+
+    tc, b = _c(t), _c(box)
+
+    def ts_span(lo_us, hi_us):
+        lo = F.timestamp_micros(lo_us)
+        hi = F.timestamp_micros(hi_us)
+        lo2 = F.when(b["hast"], F.greatest(lo, b["tmin"])).otherwise(lo)
+        hi2 = F.when(b["hast"], F.least(hi, b["tmax"])).otherwise(hi)
+        return F.when(
+            lo2 <= hi2, S.span(lo2, hi2, F.lit(True), F.lit(True))
+        )
+
+    def clip_seg(p: Column, q: Column) -> Column:
+        t0u = F.unix_micros(p["t"])
+        t1u = F.unix_micros(q["t"])
+        dtu = (t1u - t0u).cast("double")
+
+        def axis(v0: Column, v1: Column, lo: Column, hi: Column):
+            dv = v1 - v0
+            a = (lo - v0) / dv
+            c = (hi - v0) / dv
+            flat_in = (v0 >= lo) & (v0 <= hi)
+            u_lo = F.when(
+                dv == 0, F.when(flat_in, F.lit(0.0)).otherwise(F.lit(1.0))
+            ).otherwise(F.least(a, c))
+            u_hi = F.when(
+                dv == 0, F.when(flat_in, F.lit(1.0)).otherwise(F.lit(0.0))
+            ).otherwise(F.greatest(a, c))
+            return u_lo, u_hi
+
+        ux_lo, ux_hi = axis(p["v"]["x"], q["v"]["x"], b["xmin"], b["xmax"])
+        uy_lo, uy_hi = axis(p["v"]["y"], q["v"]["y"], b["ymin"], b["ymax"])
+        u0 = F.when(b["hasx"], F.greatest(F.lit(0.0), ux_lo, uy_lo)).otherwise(
+            F.lit(0.0)
+        )
+        u1 = F.when(b["hasx"], F.least(F.lit(1.0), ux_hi, uy_hi)).otherwise(
+            F.lit(1.0)
+        )
+        enter_us = F.floor(t0u.cast("double") + u0 * dtu).cast("long")
+        exit_us = F.floor(t0u.cast("double") + u1 * dtu).cast("long")
+        return F.when(u0 <= u1, ts_span(enter_us, exit_us))
+
+    def inst_span(i: Column) -> Column:
+        us = F.unix_micros(i["t"])
+        return F.when(_inside_box(i, b), ts_span(us, us))
+
+    def step_span(p: Column, q: Column) -> Column:
+        # constant value on [t0, t1): inside iff p inside the space box;
+        # time clip via ts_span
+        sp_ok = F.when(
+            b["hasx"],
+            (p["v"]["x"] >= b["xmin"]) & (p["v"]["x"] <= b["xmax"])
+            & (p["v"]["y"] >= b["ymin"]) & (p["v"]["y"] <= b["ymax"]),
+        ).otherwise(F.lit(True))
+        raw = ts_span(F.unix_micros(p["t"]), F.unix_micros(q["t"]))
+        # open upper bound: the step value changes at q
+        opened = F.when(
+            raw.isNotNull() & (raw["upper"] < q["t"]), raw
+        ).otherwise(
+            F.when(
+                raw.isNotNull(),
+                S.span(raw["lower"], raw["upper"], raw["lower_inc"], F.lit(False)),
+            )
+        )
+        return F.when(sp_ok, opened)
+
+    def seq_spans(seq: Column) -> Column:
+        inst = seq["instants"]
+        n = F.size(inst)
+        single = F.array(inst_span(inst[0]))
+        lin = F.zip_with(
+            F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1), clip_seg
+        )
+        stp = F.concat(
+            F.zip_with(F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1), step_span),
+            F.when(
+                seq["upper_inc"],
+                F.array(inst_span(F.try_element_at(inst, F.lit(-1)))),
+            ).otherwise(F.array().cast("array<struct<lower:timestamp,upper:timestamp,lower_inc:boolean,upper_inc:boolean>>")),
+        )
+        body = (
+            F.when(tc["interp"] == 3, lin)
+            .when(tc["interp"] == 2, stp)
+            .otherwise(F.transform(inst, inst_span))
+        )
+        return F.when(n == 1, single).otherwise(body)
+
+    all_spans = F.flatten(F.transform(tc["seqs"], seq_spans))
+    return S.spanset(all_spans)
+
+
+def clip_duration_us(t, box) -> Column:
+    """Total µs the temporal point spends inside the STBOX, with EXACT
+    boundary-crossing interpolation — the O(n) single-pass form of
+    `duration(atStbox(t, box))` for linear sequences.
+
+    Same Liang–Barsky per-segment clip as clip_spanset (identical
+    double-precision formula, µs FLOOR quantization) but sums clipped
+    segment lengths directly instead of materializing the spanset and
+    rebuilding the restricted temporal: segments partition time, so
+    duration is additive per segment and no merge/normalize is needed.
+    One zip_with + one aggregate — stays linear in instants where the
+    restrict-then-measure form is O(spans × instants) interpreted HOF.
+
+    Reference: src/geo/tgeompoint.cpp:265-273 (tpoint_at_stbox) +
+    temporal duration; semantics equal clip_spanset duration.
+    """
+    tc, b = _c(t), _c(box)
+
+    def seg_us(p: Column, q: Column) -> Column:
+        t0u = F.unix_micros(p["t"])
+        t1u = F.unix_micros(q["t"])
+        dtu = (t1u - t0u).cast("double")
+
+        def axis(v0: Column, v1: Column, lo: Column, hi: Column):
+            dv = v1 - v0
+            a = (lo - v0) / dv
+            c = (hi - v0) / dv
+            flat_in = (v0 >= lo) & (v0 <= hi)
+            u_lo = F.when(
+                dv == 0, F.when(flat_in, F.lit(0.0)).otherwise(F.lit(1.0))
+            ).otherwise(F.least(a, c))
+            u_hi = F.when(
+                dv == 0, F.when(flat_in, F.lit(1.0)).otherwise(F.lit(0.0))
+            ).otherwise(F.greatest(a, c))
+            return u_lo, u_hi
+
+        ux_lo, ux_hi = axis(p["v"]["x"], q["v"]["x"], b["xmin"], b["xmax"])
+        uy_lo, uy_hi = axis(p["v"]["y"], q["v"]["y"], b["ymin"], b["ymax"])
+        u0 = F.when(b["hasx"], F.greatest(F.lit(0.0), ux_lo, uy_lo)).otherwise(
+            F.lit(0.0)
+        )
+        u1 = F.when(b["hasx"], F.least(F.lit(1.0), ux_hi, uy_hi)).otherwise(
+            F.lit(1.0)
+        )
+        enter = F.floor(t0u.cast("double") + u0 * dtu).cast("long")
+        exit_ = F.floor(t0u.cast("double") + u1 * dtu).cast("long")
+        # time-box clamp (post-floor, matching clip_spanset's ts_span)
+        enter2 = F.when(b["hast"], F.greatest(enter, F.unix_micros(b["tmin"]))).otherwise(enter)
+        exit2 = F.when(b["hast"], F.least(exit_, F.unix_micros(b["tmax"]))).otherwise(exit_)
+        return F.when(
+            (u0 <= u1) & (enter2 <= exit2), exit2 - enter2
+        ).otherwise(F.lit(0).cast("long"))
+
+    def seq_us(seq: Column) -> Column:
+        inst = seq["instants"]
+        n = F.size(inst)
+        per_seg = F.zip_with(
+            F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1), seg_us
+        )
+        return F.aggregate(
+            per_seg, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    return F.aggregate(
+        F.transform(tc["seqs"], seq_us),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def at_stbox(t, box) -> Column:
+    """atStbox/atGeometry(box region) with EXACT boundary-crossing
+    interpolation: restrict the temporal point to the spanset where it
+    is inside the box (clip_spanset), reusing atTime's boundary
+    interpolation to materialize entry/exit instants. NULL when the
+    restriction is empty.
+
+    Replaces at_box_sampled's observed-instants approximation: a
+    segment that clips a region corner between samples is now kept
+    (with interpolated crossing instants), and clipped durations are
+    unbiased. Reference: src/geo/tgeompoint.cpp:265-273."""
+    tc = _c(t)
+    ss = clip_spanset(tc, box)
+    return F.when(
+        F.size(ss) > 0, TT.at_time_spanset(tc, ss, continuous=True, point=True)
+    )
+
+
 def speed(t) -> Column:
     """Average speed (length / duration); 0 for degenerate temporals."""
     tc = _c(t)

@@ -39,28 +39,55 @@ def _has_seqs(tv) -> bool:
     return seqs is not None and len(seqs) > 0
 
 
-def _extract(tv) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Temporal struct (as nested dict/Row) → (t_us, x, y) arrays over all
-    instants (sequence bounds ignored: closed-bound trajectories)."""
+def _extract(tv) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Temporal struct (as nested dict/Row) → (t_secs, x, y, seq_lens)
+    arrays over all instants. seq_lens records per-sequence instant
+    counts so synchronization can mask the inter-sequence gaps where the
+    temporal is undefined (MEOS synchronizes only over defined
+    sequences — interpolating across a gap-split trip's >2h holes would
+    fabricate straight-line positions)."""
     seqs = tv["seqs"] if isinstance(tv, dict) else tv.seqs
-    ts, xs, ys = [], [], []
+    ts, xs, ys, lens = [], [], [], []
     for s in seqs:
         insts = s["instants"] if isinstance(s, dict) else s.instants
+        lens.append(len(insts))
         for i in insts:
             ii = i if isinstance(i, dict) else i.asDict()
             v = ii["v"] if isinstance(ii["v"], dict) else ii["v"].asDict()
             ts.append(ii["t"].timestamp())
             xs.append(v["x"])
             ys.append(v["y"])
-    return np.asarray(ts), np.asarray(xs), np.asarray(ys)
+    return (
+        np.asarray(ts),
+        np.asarray(xs),
+        np.asarray(ys),
+        np.asarray(lens, dtype=np.int64),
+    )
+
+
+def _gaps(side) -> list[tuple[float, float]]:
+    """(gap_lo, gap_hi) second windows where the temporal is undefined,
+    derived from per-sequence lengths; [] when single-sequence."""
+    ts = side[0]
+    lens = side[3] if len(side) > 3 and side[3] is not None else None
+    if lens is None or len(lens) <= 1:
+        return []
+    offs = np.cumsum(lens)[:-1]  # first index of each later sequence
+    return [(ts[o - 1], ts[o]) for o in offs if ts[o] > ts[o - 1]]
 
 
 def _sync_segments(a, b):
     """Synchronize two linear trajectories on the union of their
-    timestamps within the overlapping window; returns per-shared-segment
-    endpoint positions (x1a, y1a, x2a, y2a, x1b, ...)."""
-    ta, xa, ya = a
-    tb, xb, yb = b
+    timestamps within the overlapping window. Returns (ts, pax, pay,
+    pbx, pby, valid_knot, valid_seg) — validity masks are False where
+    either side is undefined (inside an inter-sequence gap), so gap
+    intervals contribute neither knot distances nor segment quadratics.
+    Gap boundaries are knots of their own side, so every union segment
+    lies entirely in or out of each gap; a midpoint test classifies it.
+    Returns None when the windows don't overlap or no co-defined instant
+    exists."""
+    ta, xa, ya = a[0], a[1], a[2]
+    tb, xb, yb = b[0], b[1], b[2]
     lo = max(ta[0], tb[0])
     hi = min(ta[-1], tb[-1])
     if lo > hi:
@@ -69,27 +96,42 @@ def _sync_segments(a, b):
     ts = ts[(ts >= lo) & (ts <= hi)]
     if ts.size == 0:
         return None
+    gaps = _gaps(a) + _gaps(b)
+    valid_knot = np.ones(ts.size, dtype=bool)
+    if ts.size >= 2:
+        mid = (ts[:-1] + ts[1:]) * 0.5
+        valid_seg = np.ones(mid.size, dtype=bool)
+    else:
+        mid = np.empty(0)
+        valid_seg = np.empty(0, dtype=bool)
+    for glo, ghi in gaps:
+        valid_knot &= ~((ts > glo) & (ts < ghi))
+        if mid.size:
+            valid_seg &= ~((mid > glo) & (mid < ghi))
+    if not valid_knot.any():
+        return None
     pax = np.interp(ts, ta, xa)
     pay = np.interp(ts, ta, ya)
     pbx = np.interp(ts, tb, xb)
     pby = np.interp(ts, tb, yb)
-    return ts, pax, pay, pbx, pby
+    return ts, pax, pay, pbx, pby, valid_knot, valid_seg
 
 
 def _min_dist_sq_profile(sync):
     """Minimum of ‖pa(t)−pb(t)‖² over the synced window (exact: per
     segment the relative motion is linear, so the squared distance is a
-    quadratic in t — evaluate its vertex when interior)."""
-    ts, pax, pay, pbx, pby = sync
+    quadratic in t — evaluate its vertex when interior). Knots/segments
+    masked invalid (either side undefined) are excluded."""
+    ts, pax, pay, pbx, pby, vk, vs = sync
     dx = pax - pbx
     dy = pay - pby
     d2_at_knots = dx * dx + dy * dy
-    best = float(d2_at_knots.min())
-    if ts.size >= 2:
+    best = float(d2_at_knots[vk].min())
+    if ts.size >= 2 and vs.any():
         # per segment: d(t) = (dx0 + vx·u, dy0 + vy·u), u ∈ [0,1]
-        dx0, dy0 = dx[:-1], dy[:-1]
-        vx = dx[1:] - dx[:-1]
-        vy = dy[1:] - dy[:-1]
+        dx0, dy0 = dx[:-1][vs], dy[:-1][vs]
+        vx = dx[1:][vs] - dx0
+        vy = dy[1:][vs] - dy0
         denom = vx * vx + vy * vy
         with np.errstate(divide="ignore", invalid="ignore"):
             u = np.where(denom > 0, -(dx0 * vx + dy0 * vy) / denom, 0.0)
@@ -153,8 +195,11 @@ def _dwithin_intervals(sync, dist: float):
     ‖pa(t)−pb(t)‖ ≤ dist: per synced segment the squared distance is a
     quadratic in u ∈ [0,1]; intersect its ≤ d² root interval with the
     segment and merge adjacent results (MEOS tdwithin_tgeo_tgeo
-    semantics, reference impl tgeompoint_functions.cpp:693-741)."""
-    ts, pax, pay, pbx, pby = sync
+    semantics, reference impl tgeompoint_functions.cpp:693-741).
+    Segments inside an inter-sequence gap (valid_seg False) are skipped;
+    merging never bridges a gap because the gap segment between two
+    within-d spans is absent from the output."""
+    ts, pax, pay, pbx, pby, vk, vs = sync
     d2 = dist * dist
     out: list[list[float]] = []
 
@@ -167,10 +212,15 @@ def _dwithin_intervals(sync, dist: float):
     dx = pax - pbx
     dy = pay - pby
     if ts.size == 1:
-        if dx[0] * dx[0] + dy[0] * dy[0] <= d2:
+        if vk[0] and dx[0] * dx[0] + dy[0] * dy[0] <= d2:
             push(ts[0], ts[0])
         return out
     for i in range(ts.size - 1):
+        if not vs[i]:
+            # isolated co-defined knot bordered by gaps on both sides
+            if vk[i] and (i == 0 or not vs[i - 1]) and dx[i] ** 2 + dy[i] ** 2 <= d2:
+                push(ts[i], ts[i])
+            continue
         t0, t1 = ts[i], ts[i + 1]
         dx0, dy0 = dx[i], dy[i]
         vx, vy = dx[i + 1] - dx[i], dy[i + 1] - dy[i]
@@ -189,6 +239,9 @@ def _dwithin_intervals(sync, dist: float):
         u2 = min((-b + sq) / (2 * a), 1.0)
         if u1 <= u2:
             push(t0 + (t1 - t0) * u1, t0 + (t1 - t0) * u2)
+    # last knot isolated (final segment invalid): evaluate it alone
+    if ts.size >= 2 and not vs[-1] and vk[-1] and dx[-1] ** 2 + dy[-1] ** 2 <= d2:
+        push(ts[-1], ts[-1])
     return out
 
 
@@ -245,14 +298,31 @@ def register_tdwithin_udf(spark):
     return dwithin_periods
 
 
+def _seg_mask(side, n: int) -> np.ndarray | None:
+    """Boolean mask over the n-1 consecutive-point segments of a
+    flattened trajectory: False for the fictitious segments that would
+    connect the end of one sequence to the start of the next (a seqset's
+    trajectory is a MULTILINESTRING — those edges don't exist)."""
+    lens = side[3] if len(side) > 3 and side[3] is not None else None
+    if lens is None or len(lens) <= 1:
+        return None
+    mask = np.ones(n - 1, dtype=bool)
+    mask[np.cumsum(lens)[:-1] - 1] = False
+    return mask
+
+
 def _min_polyline_dist(a, b) -> float:
     """Min distance between two STATIC polylines (trajectory geometries,
     time ignored) — ST_Distance(trajectory(t1), trajectory(t2)) semantics
-    (BerlinMOD q5). Vectorized segment-pair point-to-segment distance."""
-    _, xa, ya = a
-    _, xb, yb = b
+    (BerlinMOD q5). Vectorized segment-pair point-to-segment distance.
+    Multi-sequence trips are treated as MULTILINESTRINGs: segments never
+    span an inter-sequence gap."""
+    xa, ya = a[1], a[2]
+    xb, yb = b[1], b[2]
     pa = np.column_stack([xa, ya])
     pb = np.column_stack([xb, yb])
+    ma = _seg_mask(a, len(pa))
+    mb = _seg_mask(b, len(pb))
 
     def seg_pt_min(p0, p1, q):
         """min over segments (p0→p1) × points q of point-segment dist²."""
@@ -267,28 +337,46 @@ def _min_polyline_dist(a, b) -> float:
         delta = q[:, None, :] - proj
         return float((delta * delta).sum(2).min())
 
+    def segs(p, m):
+        p0, p1 = p[:-1], p[1:]
+        if m is not None:
+            p0, p1 = p0[m], p1[m]
+        return p0, p1
+
     best = np.inf
     if len(pa) > 1:
-        best = min(best, seg_pt_min(pa[:-1], pa[1:], pb))
+        a0, a1 = segs(pa, ma)
+        if len(a0):
+            best = min(best, seg_pt_min(a0, a1, pb))
     if len(pb) > 1:
-        best = min(best, seg_pt_min(pb[:-1], pb[1:], pa))
-    if len(pa) == 1 and len(pb) == 1:
-        d = pa[0] - pb[0]
-        best = float((d * d).sum())
+        b0, b1 = segs(pb, mb)
+        if len(b0):
+            best = min(best, seg_pt_min(b0, b1, pa))
+    if np.isinf(best):
+        # point-vs-point (or all segments masked): nearest point pair
+        d2 = ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(2)
+        best = float(d2.min())
     # NOTE: segment-segment crossing (distance 0) is caught because a
     # crossing implies an endpoint of one polyline on each side of the
     # other — endpoint-to-segment distance still bounds it above; for
     # exact crossing detection add an intersection test:
     if len(pa) > 1 and len(pb) > 1 and best > 0:
-        if _any_cross(pa, pb):
+        if _any_cross(pa, pb, ma, mb):
             return 0.0
     return float(np.sqrt(best))
 
 
-def _any_cross(pa: np.ndarray, pb: np.ndarray) -> bool:
-    """True iff any segment of pa properly crosses any segment of pb."""
+def _any_cross(pa: np.ndarray, pb: np.ndarray, ma=None, mb=None) -> bool:
+    """True iff any real segment of pa properly crosses any of pb
+    (gap-spanning segments excluded via the masks)."""
     p0, p1 = pa[:-1], pa[1:]
     q0, q1 = pb[:-1], pb[1:]
+    if ma is not None:
+        p0, p1 = p0[ma], p1[ma]
+    if mb is not None:
+        q0, q1 = q0[mb], q1[mb]
+    if not len(p0) or not len(q0):
+        return False
 
     def cross(o, a, b):
         return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
@@ -329,7 +417,10 @@ def register_traj_distance_udf(spark):
 # trajectory by `flat_cols` — and skip _extract entirely. Same math.
 
 def flat_cols(trip):
-    """(t_secs, xs, ys) ARRAY<DOUBLE> columns from a temporal point."""
+    """(t_secs, xs, ys, seq_lens) ARRAY columns from a temporal point.
+    seq_lens (ARRAY<INT>, one instant count per sequence) carries the
+    sequence structure the flat arrays lose, so the numpy kernels can
+    mask inter-sequence gaps instead of interpolating across them."""
     from ..functions import temporal as TT
 
     inst = TT.instants(trip)
@@ -337,6 +428,7 @@ def flat_cols(trip):
         F.transform(inst, lambda i: F.unix_micros(i["t"]) / F.lit(1_000_000.0)),
         F.transform(inst, lambda i: i["v"]["x"]),
         F.transform(inst, lambda i: i["v"]["y"]),
+        F.transform(trip["seqs"], lambda s: F.size(s["instants"])),
     )
 
 
@@ -344,50 +436,71 @@ def _np(v) -> np.ndarray:
     return np.asarray(v, dtype=np.float64)
 
 
+def _npl(v) -> np.ndarray | None:
+    return None if v is None else np.asarray(v, dtype=np.int64)
+
+
 def register_flat_pair_udfs(spark):
+    """Flat-path pairwise UDFs. Each takes (t, x, y, seq_lens) per side —
+    produce the columns with `flat_cols`; seq_lens masks inter-sequence
+    gaps (see _sync_segments / _seg_mask)."""
+
     @F.pandas_udf(T.DoubleType())
     def min_pair_distance_flat(
-        ta: pd.Series, xa: pd.Series, ya: pd.Series,
-        tb: pd.Series, xb: pd.Series, yb: pd.Series,
+        ta: pd.Series, xa: pd.Series, ya: pd.Series, la: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series, lb: pd.Series,
     ) -> pd.Series:
         out = []
-        for t1, x1, y1, t2, x2, y2 in zip(ta, xa, ya, tb, xb, yb):
-            sync = _sync_segments((_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2)))
+        for t1, x1, y1, l1, t2, x2, y2, l2 in zip(ta, xa, ya, la, tb, xb, yb, lb):
+            sync = _sync_segments(
+                (_np(t1), _np(x1), _np(y1), _npl(l1)),
+                (_np(t2), _np(x2), _np(y2), _npl(l2)),
+            )
             out.append(float(np.sqrt(_min_dist_sq_profile(sync))) if sync else None)
         return pd.Series(out, dtype="float64")
 
     @F.pandas_udf(T.BooleanType())
     def e_dwithin_flat(
-        ta: pd.Series, xa: pd.Series, ya: pd.Series,
-        tb: pd.Series, xb: pd.Series, yb: pd.Series, d: pd.Series,
+        ta: pd.Series, xa: pd.Series, ya: pd.Series, la: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series, lb: pd.Series,
+        d: pd.Series,
     ) -> pd.Series:
         out = []
-        for t1, x1, y1, t2, x2, y2, dv in zip(ta, xa, ya, tb, xb, yb, d):
-            sync = _sync_segments((_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2)))
+        for t1, x1, y1, l1, t2, x2, y2, l2, dv in zip(
+            ta, xa, ya, la, tb, xb, yb, lb, d
+        ):
+            sync = _sync_segments(
+                (_np(t1), _np(x1), _np(y1), _npl(l1)),
+                (_np(t2), _np(x2), _np(y2), _npl(l2)),
+            )
             out.append(bool(_min_dist_sq_profile(sync) <= dv * dv) if sync else False)
         return pd.Series(out, dtype="object")
 
     @F.pandas_udf(T.BooleanType())
     def a_disjoint_flat(
-        ta: pd.Series, xa: pd.Series, ya: pd.Series,
-        tb: pd.Series, xb: pd.Series, yb: pd.Series,
+        ta: pd.Series, xa: pd.Series, ya: pd.Series, la: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series, lb: pd.Series,
     ) -> pd.Series:
         out = []
-        for t1, x1, y1, t2, x2, y2 in zip(ta, xa, ya, tb, xb, yb):
-            sync = _sync_segments((_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2)))
+        for t1, x1, y1, l1, t2, x2, y2, l2 in zip(ta, xa, ya, la, tb, xb, yb, lb):
+            sync = _sync_segments(
+                (_np(t1), _np(x1), _np(y1), _npl(l1)),
+                (_np(t2), _np(x2), _np(y2), _npl(l2)),
+            )
             out.append(True if sync is None else bool(_min_dist_sq_profile(sync) > 0))
         return pd.Series(out, dtype="object")
 
     @F.pandas_udf(T.DoubleType())
     def min_traj_distance_flat(
-        ta: pd.Series, xa: pd.Series, ya: pd.Series,
-        tb: pd.Series, xb: pd.Series, yb: pd.Series,
+        ta: pd.Series, xa: pd.Series, ya: pd.Series, la: pd.Series,
+        tb: pd.Series, xb: pd.Series, yb: pd.Series, lb: pd.Series,
     ) -> pd.Series:
         out = []
-        for t1, x1, y1, t2, x2, y2 in zip(ta, xa, ya, tb, xb, yb):
+        for t1, x1, y1, l1, t2, x2, y2, l2 in zip(ta, xa, ya, la, tb, xb, yb, lb):
             out.append(
                 _min_polyline_dist(
-                    (_np(t1), _np(x1), _np(y1)), (_np(t2), _np(x2), _np(y2))
+                    (_np(t1), _np(x1), _np(y1), _npl(l1)),
+                    (_np(t2), _np(x2), _np(y2), _npl(l2)),
                 )
             )
         return pd.Series(out, dtype="float64")

@@ -479,6 +479,69 @@ def tpoint_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "at_stbox_duration",
+    f"""
+    WITH pts AS ({_TRAJ_SQL}),
+    seg AS (
+      SELECT user_id, ts, x, y,
+             lead(ts) OVER w AS nts, lead(x) OVER w AS nx, lead(y) OVER w AS ny
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    c AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS DOUBLE) AS t0u,
+             CAST(epoch_us(nts) - epoch_us(ts) AS DOUBLE) AS dtu,
+             GREATEST(0.0,
+               CASE WHEN nx = x
+                    THEN CASE WHEN x >= 20.0 AND x <= 60.0 THEN 0.0 ELSE 1.0 END
+                    ELSE LEAST((20.0 - x)/(nx - x), (60.0 - x)/(nx - x)) END,
+               CASE WHEN ny = y
+                    THEN CASE WHEN y >= 20.0 AND y <= 60.0 THEN 0.0 ELSE 1.0 END
+                    ELSE LEAST((20.0 - y)/(ny - y), (60.0 - y)/(ny - y)) END
+             ) AS u0,
+             LEAST(1.0,
+               CASE WHEN nx = x
+                    THEN CASE WHEN x >= 20.0 AND x <= 60.0 THEN 1.0 ELSE 0.0 END
+                    ELSE GREATEST((20.0 - x)/(nx - x), (60.0 - x)/(nx - x)) END,
+               CASE WHEN ny = y
+                    THEN CASE WHEN y >= 20.0 AND y <= 60.0 THEN 1.0 ELSE 0.0 END
+                    ELSE GREATEST((20.0 - y)/(ny - y), (60.0 - y)/(ny - y)) END
+             ) AS u1
+      FROM seg WHERE nts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(FLOOR(t0u + u1 * dtu) AS BIGINT)
+                  - CAST(FLOOR(t0u + u0 * dtu) AS BIGINT)) AS BIGINT) AS in_us
+    FROM c WHERE u0 <= u1
+    GROUP BY user_id
+    HAVING SUM(CAST(FLOOR(t0u + u1 * dtu) AS BIGINT)
+             - CAST(FLOOR(t0u + u0 * dtu) AS BIGINT)) > 0
+    """,
+)
+def at_stbox_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT atStbox with boundary-crossing interpolation: time spent
+    inside a spatial box per user. The oracle runs the identical
+    Liang–Barsky per-segment clip in ANSI SQL (same double-precision
+    formula, same µs FLOOR quantization) — this is the crossing-interp
+    correctness gate the sampled semantics couldn't provide.
+    Reference: atGeometry, src/geo/tgeompoint.cpp:265-273."""
+    from .functions import box as B
+    from .functions import tpoint as TP
+
+    tr = _user_trajectories(spark, sf_dir)
+    box = B.stbox(
+        xmin=F.lit(20.0), ymin=F.lit(20.0), xmax=F.lit(60.0), ymax=F.lit(60.0)
+    )
+    return (
+        tr.select(
+            "user_id",
+            TP.clip_duration_us(F.col("tp"), box).alias("in_us"),
+        )
+        .filter(F.col("in_us") > 0)
+    )
+
+
 # =====================================================================
 # Training-data pipeline: text analysis over documents
 # =====================================================================

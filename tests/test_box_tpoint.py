@@ -120,3 +120,96 @@ def test_at_values_point(spark):
     r = one(df, TP.at_values_point(F.col("tp"), F.lit(3.0), F.lit(4.0)))
     assert r is not None and r["subtype"] == 1
     assert one(df, TP.at_values_point(F.col("tp"), F.lit(9.0), F.lit(9.0))) is None
+
+
+def _line(spark, pts, **kw):
+    """Linear tpoint through (x, y, 'ts') triples."""
+    mk = lambda x, y, t: F.struct(  # noqa: E731
+        F.to_timestamp(F.lit(t)).alias("t"),
+        TP.point(F.lit(float(x)), F.lit(float(y))).alias("v"),
+    )
+    return spark.range(1).select(
+        TP.tpoint_seq(F.array(*[mk(*p) for p in pts]), **kw).alias("tp")
+    )
+
+
+def test_at_stbox_crossing_between_samples(spark):
+    # (0,0)@00:00 → (10,0)@00:10 crosses x∈[4,6] entirely between
+    # samples: sampled semantics sees nothing, exact clip keeps the
+    # 2-minute interior crossing with interpolated entry/exit instants.
+    df = _line(spark, [(0, 0, "2000-01-01 00:00:00"), (10, 0, "2000-01-01 00:10:00")])
+    box = B.stbox(xmin=4, ymin=-1, xmax=6, ymax=1)
+    assert one(df, TP.at_box_sampled(F.col("tp"), box)) is None
+    r = one(df, TP.at_stbox(F.col("tp"), box))
+    assert r is not None
+    inst = r["seqs"][0]["instants"]
+    assert inst[0]["t"] == datetime.datetime(2000, 1, 1, 0, 4)
+    assert inst[-1]["t"] == datetime.datetime(2000, 1, 1, 0, 6)
+    assert abs(inst[0]["v"]["x"] - 4.0) < 1e-9
+    assert abs(inst[-1]["v"]["x"] - 6.0) < 1e-9
+    assert one(df, TT.duration_us(TP.at_stbox(F.col("tp"), box))) == 120_000_000
+
+
+def test_at_stbox_corner_clip_diagonal(spark):
+    # Diagonal (0,0)→(10,10) through box x∈[2,4], y∈[2,4]: inside on
+    # u∈[0.2,0.4] → 2 of 10 minutes.
+    df = _line(spark, [(0, 0, "2000-01-01 00:00:00"), (10, 10, "2000-01-01 00:10:00")])
+    box = B.stbox(xmin=2, ymin=2, xmax=4, ymax=4)
+    assert one(df, TT.duration_us(TP.at_stbox(F.col("tp"), box))) == 120_000_000
+    # corner-miss: box x∈[2,4], y∈[6,8] — diagonal never inside both
+    miss = B.stbox(xmin=2, ymin=6, xmax=4, ymax=8)
+    assert one(df, TP.at_stbox(F.col("tp"), miss)) is None
+
+
+def test_at_stbox_time_clip(spark):
+    # Box with both space and time extents: space admits u∈[0,1] but
+    # time window trims to the middle 4 minutes.
+    df = _line(spark, [(0, 0, "2000-01-01 00:00:00"), (10, 0, "2000-01-01 00:10:00")])
+    box = B.stbox(
+        xmin=-1, ymin=-1, xmax=11, ymax=1,
+        tmin=ts("2000-01-01 00:03:00"), tmax=ts("2000-01-01 00:07:00"),
+    )
+    r = one(df, TP.at_stbox(F.col("tp"), box))
+    inst = r["seqs"][0]["instants"]
+    assert inst[0]["t"] == datetime.datetime(2000, 1, 1, 0, 3)
+    assert inst[-1]["t"] == datetime.datetime(2000, 1, 1, 0, 7)
+    assert abs(inst[0]["v"]["x"] - 3.0) < 1e-9  # interpolated at entry
+
+
+def test_at_stbox_multi_segment_reentry(spark):
+    # Zig-zag: enters the box twice → two spans in the restriction.
+    df = _line(
+        spark,
+        [
+            (0, 0, "2000-01-01 00:00:00"),
+            (10, 0, "2000-01-01 00:10:00"),
+            (0, 0, "2000-01-01 00:20:00"),
+        ],
+    )
+    box = B.stbox(xmin=4, ymin=-1, xmax=6, ymax=1)
+    ss = one(df, TP.clip_spanset(F.col("tp"), box))
+    assert len(ss) == 2
+    assert one(df, TT.duration_us(TP.at_stbox(F.col("tp"), box))) == 240_000_000
+
+
+def test_clip_duration_matches_at_stbox(spark):
+    df = _line(
+        spark,
+        [
+            (0, 0, "2000-01-01 00:00:00"),
+            (10, 10, "2000-01-01 00:10:00"),
+            (0, 5, "2000-01-01 00:25:00"),
+        ],
+    )
+    for box in (
+        B.stbox(xmin=2, ymin=2, xmax=4, ymax=4),
+        B.stbox(xmin=2, ymin=2, xmax=8, ymax=60),
+        B.stbox(
+            xmin=-1, ymin=-1, xmax=11, ymax=11,
+            tmin=ts("2000-01-01 00:03:00"), tmax=ts("2000-01-01 00:07:00"),
+        ),
+        B.stbox(xmin=50, ymin=50, xmax=60, ymax=60),
+    ):
+        direct = one(df, TP.clip_duration_us(F.col("tp"), box))
+        via_restrict = one(df, TT.duration_us(TP.at_stbox(F.col("tp"), box)))
+        assert direct == (via_restrict or 0)
