@@ -277,3 +277,15 @@ def stbox_to_wkt(b) -> Column:
         _wkt_num(b["xmin"]), F.lit(" "), _wkt_num(b["ymin"]),
         F.lit("))"),
     )
+
+
+def tbox_scale_time(b, duration) -> Column:
+    """scaleTime(TBOX, interval): keep tmin, set tmax = tmin + duration —
+    tbox.cpp:431-545 (tbox_shift_scale_time)."""
+    b = _c(b)
+    return b.withField("tmax", b["tmin"] + _c(duration))
+
+
+def tbox_shift_scale_time(b, shift, duration) -> Column:
+    """shiftScaleTime(TBOX, shift, duration) — tbox.cpp:431-545."""
+    return tbox_scale_time(tbox_shift_time(b, shift), duration)

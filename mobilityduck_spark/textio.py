@@ -341,3 +341,114 @@ def parse_tbox(s: str) -> dict:
         out.update(tmin=ts_["lower"], tmax=ts_["upper"],
                    tmin_inc=ts_["lower_inc"], tmax_inc=ts_["upper_inc"])
     return out, base
+
+
+# ------------------------------------------------------------ STBOX / geoset
+# Text forms for STBOX (X/Z/XT/ZT/T, GEODSTBOX, SRID prefix) and
+# geometry sets. Reference: src/geo/stbox.cpp:30-141 (stbox_in/stbox_out),
+# src/geo/tgeometry.cpp set I/O.
+
+def _wkt_n(x):
+    from .wkt import _n
+    return _n(x)
+
+
+def _wkt_normalize(s, style="meos"):
+    from .wkt import normalize_wkt
+    return normalize_wkt(s, style=style)
+
+
+def parse_stbox(s: str) -> dict:
+    m = re.match(
+        r"(?is)^\s*(?:SRID\s*=\s*(\d+)\s*;)?\s*(GEODSTBOX|STBOX)\s+(ZT|XT|Z|X|T)\s*\((.*)\)\s*$",
+        s.strip(),
+    )
+    if not m:
+        raise ValueError(f"bad stbox literal: {s!r}")
+    srid = int(m.group(1)) if m.group(1) else None
+    geod = m.group(2).upper() == "GEODSTBOX"
+    dims = m.group(3).upper()
+    body = m.group(4)
+    d = {
+        "geodetic": geod, "srid": srid,
+        "xmin": None, "ymin": None, "zmin": None,
+        "xmax": None, "ymax": None, "zmax": None,
+        "tmin": None, "tmax": None, "tmin_inc": True, "tmax_inc": True,
+    }
+
+    def corners(txt):
+        pts = re.findall(r"\(([^()]*)\)", txt)
+        lo = [float(x) for x in pts[0].split(",")]
+        hi = [float(x) for x in pts[1].split(",")]
+        return lo, hi
+
+    if dims in ("X", "Z"):
+        lo, hi = corners(body)
+    elif dims in ("XT", "ZT"):
+        sp_txt, t_txt = body.rsplit(",[", 1) if ",[" in body else body.rsplit(",(", 1)
+        brack = body[len(sp_txt) + 1]
+        lo, hi = corners(sp_txt)
+        t_span = parse_span(brack + t_txt, "timestamp")
+        d.update(tmin=t_span["lower"], tmax=t_span["upper"],
+                 tmin_inc=t_span["lower_inc"], tmax_inc=t_span["upper_inc"])
+    else:  # T
+        t_span = parse_span(body.strip(), "timestamp")
+        d.update(tmin=t_span["lower"], tmax=t_span["upper"],
+                 tmin_inc=t_span["lower_inc"], tmax_inc=t_span["upper_inc"])
+        lo = hi = None
+    if lo is not None:
+        d.update(xmin=lo[0], ymin=lo[1], xmax=hi[0], ymax=hi[1])
+        if len(lo) > 2:
+            d.update(zmin=lo[2], zmax=hi[2])
+    if d["srid"] is None:
+        d["srid"] = 4326 if (geod and lo is not None) else 0
+    return d
+
+
+
+def format_stbox(d: dict) -> str:
+    name = "GEODSTBOX" if d["geodetic"] else "STBOX"
+    nn = _wkt_n
+    has_x = d["xmin"] is not None
+    has_z = d["zmin"] is not None
+    has_t = d["tmin"] is not None
+    if has_x:
+        dims = ("Z" if has_z else "X") + ("T" if has_t else "")
+    else:
+        dims = "T"
+    parts = []
+    if has_x:
+        lo = [d["xmin"], d["ymin"]] + ([d["zmin"]] if has_z else [])
+        hi = [d["xmax"], d["ymax"]] + ([d["zmax"]] if has_z else [])
+        sp = f"(({','.join(nn(v) for v in lo)}),({','.join(nn(v) for v in hi)}))"
+        parts.append(sp)
+    if has_t:
+        lo_b = "[" if d["tmin_inc"] else "("
+        hi_b = "]" if d["tmax_inc"] else ")"
+        parts.append(
+            f"{lo_b}{format_ts(d['tmin'])}, {format_ts(d['tmax'])}{hi_b}"
+        )
+    if has_x and has_t:
+        body = f"{dims}({parts[0]},{parts[1]})"
+    elif has_x:
+        body = f"{dims}{parts[0]}"  # X/Z-only: no extra wrapping parens
+    else:
+        body = f"T({parts[0]})"
+    prefix = f"SRID={d['srid']};" if d["srid"] not in (0, None) else ""
+    return f"{prefix}{name} {body}"
+
+
+
+def parse_geoset(s: str, default_srid: int) -> dict:
+    m = re.match(r"(?is)^\s*(?:SRID\s*=\s*(\d+)\s*;)?\s*\{(.*)\}\s*$", s.strip())
+    if not m:
+        raise ValueError(f"bad geoset literal: {s!r}")
+    srid = int(m.group(1)) if m.group(1) else default_srid
+    vals = []
+    for item in _split_top(m.group(2)):
+        item = item.strip()
+        if item.startswith('"') and item.endswith('"'):
+            item = item[1:-1]
+        vals.append(_wkt_normalize(item))
+    return {"srid": srid, "vals": vals}
+
