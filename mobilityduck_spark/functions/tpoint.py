@@ -81,29 +81,68 @@ def _pt_txt(p) -> Column:
 def trajectory_wkt(t) -> Column:
     """trajectory(TGEOMPOINT) — src/geo/tgeompoint.cpp:244-253 (MEOS
     tpoint_trajectory): POINT for a single position, LINESTRING for one
-    sequence, MULTILINESTRING for a sequence set."""
+    moving sequence, MULTILINESTRING for several, MULTIPOINT for
+    discrete temporals, and GEOMETRYCOLLECTION (points first, then
+    lines — MEOS geo_collect order) when a sequence set mixes moving
+    sequences with stationary/single-instant ones (golden
+    test/sql/tgeompoint.test:173-175)."""
     tc = _c(t)
     inst = TT.instants(tc)
-    n_seq = F.size(tc["seqs"])
+    discrete = (tc["interp"] == 1) | (tc["subtype"] == 1)
 
-    def seq_line(s: Column) -> Column:
-        return F.concat(
-            F.lit("("),
-            F.array_join(F.transform(s["instants"], lambda i: _pt_txt(i["v"])), ", "),
-            F.lit(")"),
+    def seq_pts(s: Column) -> Column:
+        return F.transform(s["instants"], lambda i: _pt_txt(i["v"]))
+
+    def is_stationary(s: Column) -> Column:
+        # every position equals the first -> trajectory degenerates to a
+        # single point
+        return F.size(F.array_distinct(seq_pts(s))) == 1
+
+    # distinct stationary-sequence points (or all instants for discrete)
+    pts_discrete = F.array_distinct(F.transform(inst, lambda i: _pt_txt(i["v"])))
+    pts_seq = F.array_distinct(
+        F.transform(
+            F.filter(tc["seqs"], is_stationary),
+            lambda s: _pt_txt(s["instants"][0]["v"]),
         )
+    )
+    pts = F.when(discrete, pts_discrete).otherwise(pts_seq)
 
-    single_pt = F.concat(F.lit("POINT("), _pt_txt(inst[0]["v"]), F.lit(")"))
-    one_line = F.concat(F.lit("LINESTRING"), seq_line(tc["seqs"][0]))
-    multi = F.concat(
-        F.lit("MULTILINESTRING("),
-        F.array_join(F.transform(tc["seqs"], seq_line), ", "),
+    lines = F.when(discrete, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.filter(tc["seqs"], lambda s: ~is_stationary(s)),
+            lambda s: F.concat(
+                F.lit("("), F.array_join(seq_pts(s), ", "), F.lit(")")
+            ),
+        )
+    )
+
+    n_pts, n_lines = F.size(pts), F.size(lines)
+    single_pt = F.concat(F.lit("POINT("), pts[0], F.lit(")"))
+    multi_pt = F.concat(
+        F.lit("MULTIPOINT("), F.array_join(pts, ", "), F.lit(")")
+    )
+    one_line = F.concat(F.lit("LINESTRING"), lines[0])
+    multi_line = F.concat(
+        F.lit("MULTILINESTRING("), F.array_join(lines, ", "), F.lit(")")
+    )
+    collection = F.concat(
+        F.lit("GEOMETRYCOLLECTION("),
+        F.array_join(
+            F.concat(
+                F.transform(pts, lambda p: F.concat(F.lit("POINT("), p, F.lit(")"))),
+                F.transform(lines, lambda l: F.concat(F.lit("LINESTRING"), l)),
+            ),
+            ", ",
+        ),
         F.lit(")"),
     )
     return (
-        F.when(F.size(inst) == 1, single_pt)
-        .when(n_seq == 1, one_line)
-        .otherwise(multi)
+        F.when((n_lines == 0) & (n_pts == 1), single_pt)
+        .when(n_lines == 0, multi_pt)
+        .when((n_pts == 0) & (n_lines == 1), one_line)
+        .when(n_pts == 0, multi_line)
+        .otherwise(collection)
     )
 
 

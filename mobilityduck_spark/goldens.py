@@ -488,9 +488,13 @@ class Translator:
         if target == "wkb_blob":
             return col, kind
         if target == "geometry" and kind[0] == "scalar" and kind[1] in (
-            "point", "geom", "text"
+            "point", "point_wkt", "geom", "geom_wkt", "text"
         ):
-            return col, ("scalar", "geom" if kind[1] != "point" else "point")
+            # ::GEOMETRY materializes a duckdb-spatial value; a plain
+            # SELECT of it prints duckdb-style WKT (space after tag)
+            if kind[1] in ("point", "point_wkt"):
+                return col, ("scalar", "point_wkt")
+            return col, ("scalar", "geom_wkt")
         raise ValueError(f"unsupported cast {kind} -> {target}")
 
     def _tbox_value_span(self, col, target):
@@ -1246,9 +1250,9 @@ class Translator:
 
     def fn_st_astext(self, node):
         (col, kind) = self._args(node)[0]
-        if kind == ("scalar", "point"):
+        if kind[0] == "scalar" and kind[1] in ("point", "point_wkt"):
             return col, ("scalar", "point_wkt")
-        if kind == ("scalar", "geom"):
+        if kind[0] == "scalar" and kind[1] in ("geom", "geom_wkt"):
             return col, ("scalar", "geom_wkt")
         raise ValueError(f"ST_AsText of {kind}")
 
@@ -1569,6 +1573,15 @@ def render(value, vkind) -> str:
         )
     if k == "tbox":
         return _render_tbox(value, base)
+    if k == "stbox":
+        return _render_stbox_row(value)
+    if k == "rows":
+        # setUnnest table function: one canonical set element per output
+        # row (duckdb prints bare values — text unquoted)
+        return "\n".join(
+            str(v) if base == "text" else textio.format_base(v, base)
+            for v in value
+        )
     if k == "scalar":
         if base == "bool":
             return "true" if value else "false"
@@ -1577,11 +1590,59 @@ def render(value, vkind) -> str:
         if base == "interval":
             return _render_interval_us(int(value))
         if base == "float":
-            return textio.format_base(float(value), "float")
+            # scalar DOUBLE results are printed by duckdb itself
+            # (shortest round-trip), not by the MEOS 15-decimal printer
+            v = float(value)
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
         if base == "point":
             return textio.format_base(value, "point")
+        if base == "point_wkt":
+            # duckdb-spatial ST_AsText style: space after the tag
+            d = value.asDict() if hasattr(value, "asDict") else value
+            return (
+                f"POINT ({textio._num(d['x'])} {textio._num(d['y'])})"
+            )
+        if base == "geom_wkt":
+            return _duckdb_wkt_style(str(value))
         return str(value)
     raise ValueError(f"render {vkind}")
+
+
+_WKT_TAGS = (
+    "GEOMETRYCOLLECTION|MULTILINESTRING|MULTIPOLYGON|MULTIPOINT|"
+    "LINESTRING|POLYGON|POINT"
+)
+
+
+def _duckdb_wkt_style(s: str) -> str:
+    """MEOS-compact WKT -> duckdb-spatial style: space after each
+    geometry tag, space after every comma."""
+    import re
+
+    s = re.sub(rf"\b({_WKT_TAGS})\(", r"\1 (", s)
+    return re.sub(r",(?=\S)", ", ", s)
+
+
+def _render_stbox_row(value) -> str:
+    """Render an engine STBOX struct Row (functions/box.py:169) through
+    the public textio.format_stbox printer (span bounds default
+    inclusive — MEOS stbox text always prints [..] for point-in-time /
+    closed constructor inputs)."""
+    if value is None:
+        return "NULL"
+    d = value.asDict() if hasattr(value, "asDict") else dict(value)
+    full = {
+        "xmin": d.get("xmin"), "ymin": d.get("ymin"),
+        "xmax": d.get("xmax"), "ymax": d.get("ymax"),
+        "zmin": d.get("zmin"), "zmax": d.get("zmax"),
+        "tmin": d.get("tmin"), "tmax": d.get("tmax"),
+        "tmin_inc": d.get("tmin_inc", True),
+        "tmax_inc": d.get("tmax_inc", True),
+        "srid": d.get("srid", 0), "geodetic": d.get("geodetic", False),
+    }
+    return textio.format_stbox(full)
 
 
 def _wkb_point_hex(p) -> str:

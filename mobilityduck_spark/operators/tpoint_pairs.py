@@ -522,8 +522,6 @@ def register_tdwithin_tbool_udf(spark=None):
     whenTrue spanset form, which every recorded reference query consumes."""
     import datetime
 
-    from ..functions.temporal import _py  # noqa: F401  (doc anchor)
-
     def _to_dt(s: float):
         return datetime.datetime.fromtimestamp(s, tz=datetime.timezone.utc).replace(
             tzinfo=None
@@ -548,7 +546,9 @@ def register_tdwithin_tbool_udf(spark=None):
     ])
 
     @F.pandas_udf(tbool_type)
-    def tdwithin_tbool(a: pd.DataFrame, b: pd.DataFrame, d: pd.Series) -> pd.Series:
+    def tdwithin_tbool(
+        a: pd.DataFrame, b: pd.DataFrame, d: pd.Series
+    ) -> pd.DataFrame:
         out = []
         for av, bv, dv in zip(_rows(a), _rows(b), list(d)):
             if av is None or bv is None or not _has_seqs(av) or not _has_seqs(bv):
@@ -574,6 +574,15 @@ def register_tdwithin_tbool_udf(spark=None):
                 "interp": 1,
                 "seqs": [{"lower_inc": True, "upper_inc": True, "instants": insts}],
             })
-        return pd.Series(out, dtype="object")
+        # StructType pandas UDFs must return a DataFrame (one column per
+        # struct field); a None row maps to all-null fields
+        return pd.DataFrame(
+            [
+                r if r is not None
+                else {"subtype": None, "interp": None, "seqs": None}
+                for r in out
+            ],
+            columns=["subtype", "interp", "seqs"],
+        )
 
     return tdwithin_tbool

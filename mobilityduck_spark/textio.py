@@ -101,7 +101,17 @@ def format_base(v: Any, base: str) -> str:
     if base == "float":
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(v)
+        # MEOS prints the shortest round-trip form capped at
+        # OUT_DEFAULT_DECIMAL_DIGITS=15 digits after the decimal point
+        # (liblwgeom lwprint_double; goldens: radians(45) ->
+        # 0.785398163397448 but degrees(0.5) -> 28.64788975654116)
+        s = repr(v)
+        if "e" in s or "E" in s:
+            return s
+        frac = s.split(".", 1)[1] if "." in s else ""
+        if len(frac) > 15:
+            return f"{v:.15f}".rstrip("0").rstrip(".")
+        return s
     if base in ("timestamp", "tstz"):
         return format_ts(v)
     if base == "date":

@@ -4,9 +4,9 @@ the engine via mobilityduck_spark.goldens.
 
 Gate: zero mismatches among supported cases, and a minimum floor of
 replayed cases so translator regressions (silently skipping more) fail
-loudly. Current census: 298 pass / 0 fail / 121 skip (geo-WKB, stbox,
-memSize, infix operators and precision-arg printers are out of the
-translator's scope — tracked in SURVEY.md §2 notes)."""
+loudly. Current census: 398 pass / 0 fail / 21 skip (remaining skips:
+geoset edge forms and tgeompoint geo-WKB literals — tracked in
+SURVEY.md §2 notes)."""
 
 import glob
 import os
@@ -16,7 +16,7 @@ import pytest
 from mobilityduck_spark import goldens as G
 
 REF_DIR = "/root/reference/test/sql"
-MIN_PASS = 295
+MIN_PASS = 395
 
 
 @pytest.mark.skipif(
