@@ -539,8 +539,12 @@ def bm_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q12: pairs of vehicles at the same probe point at the same
-    instant."""
-    at_pt = bm_q11(spark, sf_dir)
+    instant. The q11 subtree (interpolation over every trip × instant)
+    is materialized once via localCheckpoint — its output is a few rows,
+    while its lineage is the most expensive part of the query — so the
+    self-join below reads the materialized result twice instead of
+    re-deriving the whole subtree per side."""
+    at_pt = bm_q11(spark, sf_dir).localCheckpoint()
     a = at_pt.select(
         "point_id", "instant_id", F.col("licence").alias("licence1")
     )

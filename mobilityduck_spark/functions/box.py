@@ -281,9 +281,13 @@ def stbox_to_wkt(b) -> Column:
 
 def tbox_scale_time(b, duration) -> Column:
     """scaleTime(TBOX, interval): keep tmin, set tmax = tmin + duration —
-    tbox.cpp:431-545 (tbox_shift_scale_time)."""
+    tbox.cpp:431-545 (tbox_shift_scale_time). A value-only box (hast
+    false) has no time dimension to scale: MEOS errors, we return the
+    box unchanged rather than silently fabricating a tmax."""
     b = _c(b)
-    return b.withField("tmax", b["tmin"] + _c(duration))
+    return F.when(
+        b["tmin"].isNotNull(), b.withField("tmax", b["tmin"] + _c(duration))
+    ).otherwise(b)
 
 
 def tbox_shift_scale_time(b, shift, duration) -> Column:

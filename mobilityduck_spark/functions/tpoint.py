@@ -356,7 +356,28 @@ def clip_spanset(t, box) -> Column:
             .when(tc["interp"] == 2, stp)
             .otherwise(F.transform(inst, inst_span))
         )
-        return F.when(n == 1, single).otherwise(body)
+        res = F.when(n == 1, single).otherwise(body)
+        # honor exclusive sequence bounds: a span that starts/ends exactly
+        # at an open sequence boundary must not include that instant
+        # (MEOS tpoint_at_stbox keeps the restriction inside the
+        # sequence's own bound flags)
+        first_t = inst[0]["t"]
+        last_t = F.try_element_at(inst, F.lit(-1))["t"]
+        span_t = "struct<lower:timestamp,upper:timestamp,lower_inc:boolean,upper_inc:boolean>"
+
+        def fix(sp: Column) -> Column:
+            lo_inc = sp["lower_inc"] & ~(
+                (sp["lower"] == first_t) & ~seq["lower_inc"]
+            )
+            hi_inc = sp["upper_inc"] & ~(
+                (sp["upper"] == last_t) & ~seq["upper_inc"]
+            )
+            empty = (sp["lower"] == sp["upper"]) & ~(lo_inc & hi_inc)
+            return F.when(
+                sp.isNull() | empty, F.lit(None).cast(span_t)
+            ).otherwise(S.span(sp["lower"], sp["upper"], lo_inc, hi_inc))
+
+        return F.transform(res, fix)
 
     all_spans = F.flatten(F.transform(tc["seqs"], seq_spans))
     return S.spanset(all_spans)

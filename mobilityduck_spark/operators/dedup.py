@@ -414,7 +414,9 @@ def ngram_jaccard_pairs_exploded(
         # the gram table 3×); both shuffles hash-partition on
         # bounded-skew keys (gram, id).
         wg = Window.partitionBy(*block_cols, "gram")
-        wi = Window.partitionBy("id")
+        # include block cols: the API only requires id uniqueness per
+        # block, so a bare id partition could conflate blocks
+        wi = Window.partitionBy(*block_cols, "id")
         pre = (
             pre.drop("n_grams")
             .withColumn("_df", F.count(F.lit(1)).over(wg))
@@ -477,7 +479,9 @@ def _fp128_udf(id_col: str):
         bits = (hs[:, None] >> lanes) & np.uint64(1)
         votes = bits.sum(0) * 2 - len(hs)
         w = ((votes > 0).astype(np.uint64) << lanes).sum(dtype=np.uint64)
-        return int(np.int64(w))
+        # view-reinterpret: numpy>=2.0 raises OverflowError on
+        # int(np.int64(uint64_val >= 2**63)); .view is version-stable
+        return int(np.uint64(w).view(np.int64))
 
     @F.pandas_udf(T_.ArrayType(T_.LongType()))
     def fp(h0: pd.Series, h1: pd.Series) -> pd.Series:

@@ -213,3 +213,66 @@ def test_clip_duration_matches_at_stbox(spark):
         direct = one(df, TP.clip_duration_us(F.col("tp"), box))
         via_restrict = one(df, TT.duration_us(TP.at_stbox(F.col("tp"), box)))
         assert direct == (via_restrict or 0)
+
+
+def test_clip_spanset_exclusive_sequence_bounds(spark):
+    # sequence ((0,0)@00:00, (10,0)@00:10] with exclusive lower bound,
+    # box covering x in [0,5]: the restriction starts exactly at the
+    # open sequence boundary, so the emitted span must be lower-open
+    # (MEOS keeps the sequence's own bound flags).
+    df = _line(
+        spark,
+        [(0, 0, "2000-01-01 00:00:00"), (10, 0, "2000-01-01 00:10:00")],
+        lower_inc=False,
+    )
+    box = B.stbox(xmin=0, ymin=-1, xmax=5, ymax=1)
+    ss = one(df, TP.clip_spanset(F.col("tp"), box))
+    assert len(ss) == 1
+    assert ss[0]["lower_inc"] is False
+    assert ss[0]["upper_inc"] is True
+    assert ss[0]["lower"] == datetime.datetime(2000, 1, 1, 0, 0)
+    assert ss[0]["upper"] == datetime.datetime(2000, 1, 1, 0, 5)
+    # closed-bound control: same clip is lower-closed
+    df2 = _line(
+        spark,
+        [(0, 0, "2000-01-01 00:00:00"), (10, 0, "2000-01-01 00:10:00")],
+    )
+    ss2 = one(df2, TP.clip_spanset(F.col("tp"), box))
+    assert ss2[0]["lower_inc"] is True
+
+
+def test_trajectory_wkt_collection_and_multipoint(spark):
+    # seqset {[P(1,1)@01, P(2,2)@02], [P(3,3)@04, P(3,3)@05]}: the
+    # stationary sequence degenerates to a POINT -> mixed collection,
+    # points first (golden test/sql/tgeompoint.test:173-175)
+    mk = lambda x, y, d: F.struct(  # noqa: E731
+        F.to_timestamp(F.lit(f"2000-01-0{d}")).alias("t"),
+        TP.point(F.lit(float(x)), F.lit(float(y))).alias("v"),
+    )
+    seq1 = TP.tpoint_seq(F.array(mk(1, 1, 1), mk(2, 2, 2)))
+    seq2 = TP.tpoint_seq(F.array(mk(3, 3, 4), mk(3, 3, 5)))
+    ss = TT.tsequenceset(
+        F.concat(seq1["seqs"], seq2["seqs"]), interp="linear"
+    )
+    df = spark.range(1).select(ss.alias("tp"))
+    assert (
+        one(df, TP.trajectory_wkt(F.col("tp")))
+        == "GEOMETRYCOLLECTION(POINT(3 3), LINESTRING(1 1, 2 2))"
+    )
+    # discrete temporal -> MULTIPOINT of distinct positions
+    disc = TT.tsequence(
+        F.array(mk(1, 1, 1), mk(2, 2, 2), mk(1, 1, 3)), interp="discrete"
+    )
+    dfd = spark.range(1).select(disc.alias("tp"))
+    assert (
+        one(dfd, TP.trajectory_wkt(F.col("tp"))) == "MULTIPOINT(1 1, 2 2)"
+    )
+
+
+def test_tbox_scale_time_value_only_box(spark):
+    # scaleTime on a value-only TBOX (hast=false) must not fabricate a
+    # time dimension (MEOS errors; we return the box unchanged)
+    df = spark.range(1)
+    vx = B.tbox(xmin=1, xmax=5)
+    r = one(df, B.tbox_scale_time(vx, F.expr("INTERVAL 1 DAY")))
+    assert r["tmax"] is None and r["tmin"] is None
