@@ -647,6 +647,225 @@ def bm_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- polygons
+# Shared oracle fragments for the polygon-region variants. The edges CTE
+# pairs each polygon vertex with its ring successor; the ray-cast and
+# proper-crossing formulas are the exact ANSI transliterations of
+# functions/polygon.py (same IEEE ops in the same order — vertices are
+# multiples of 0.5, positions come from the shared interpolation
+# formula, so the verdicts match bit-for-bit).
+_POLY_EDGES_SQL = f"""
+    rv AS ({BM.REGIONS_POLY_SQL}),
+    edges AS (
+      SELECT a.region_id, a.vx AS ax, a.vy AS ay, b.vx AS bx, b.vy AS by_
+      FROM rv a JOIN rv b
+        ON a.region_id = b.region_id AND b.j = (a.j + 1) % 8
+    )
+"""
+
+
+def _sql_raycast(px: str, py: str) -> str:
+    """SUM-of-crossings % 2 = 1 ray-cast HAVING clause (guarded CASE —
+    the divide only evaluates when the edge straddles py)."""
+    return f"""
+      SUM(CASE WHEN (e.ay > {py}) <> (e.by_ > {py})
+               THEN CASE WHEN {px} < (e.bx - e.ax) * ({py} - e.ay)
+                                     / (e.by_ - e.ay) + e.ax
+                         THEN 1 ELSE 0 END
+               ELSE 0 END) % 2 = 1
+    """
+
+
+def _sql_proper_cross(px, py, qx, qy) -> str:
+    """Strict segment×edge crossing (orientation sign tests) against
+    edges e — transliteration of polygon._proper_cross."""
+    d1 = f"(({qx}) - ({px})) * (e.ay - ({py})) - (({qy}) - ({py})) * (e.ax - ({px}))"
+    d2 = f"(({qx}) - ({px})) * (e.by_ - ({py})) - (({qy}) - ({py})) * (e.bx - ({px}))"
+    d3 = f"(e.bx - e.ax) * (({py}) - e.ay) - (e.by_ - e.ay) * (({px}) - e.ax)"
+    d4 = f"(e.bx - e.ax) * (({qy}) - e.ay) - (e.by_ - e.ay) * (({qx}) - e.ax)"
+    return f"""
+      ((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))
+      AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0))
+    """
+
+
+@register(
+    "bm_q14_poly",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    i AS ({BM.INSTANTS1_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    {_POLY_EDGES_SQL},
+    {_INTERP_ORACLE},
+    hits AS (
+      SELECT p.user_id, p.instant_id, e.region_id
+      FROM pos p CROSS JOIN edges e
+      GROUP BY p.user_id, p.instant_id, e.region_id, p.px, p.py
+      HAVING {_sql_raycast('p.px', 'p.py')}
+    )
+    SELECT DISTINCT h.region_id, h.instant_id, v.licence
+    FROM hits h JOIN v ON v.vehicle_id = h.user_id
+    """,
+)
+def bm_q14_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 over REAL polygon regions (the reference's shape —
+    ST_Contains(polygon, valueAtTimestamp(trip, instant)),
+    benchmark/BerlinMOD/sql/queries/query_14.sql:14-17): vehicles whose
+    interpolated position at a probe instant lies inside a star-shaped
+    polygon region. Ray-cast point-in-polygon, bbox-gated, over a
+    broadcast 10-row polygon dim."""
+    from .functions import polygon as PG
+
+    trips = _trips(spark, sf_dir)
+    inst = BM.instants1(spark, sf_dir)
+    polys = BM.regions_poly(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir)
+    bx0, by0, bx1, by1 = PG.ring_bbox(F.col("ring"))
+    pr = polys.select(
+        "region_id",
+        PG.ring_edges(F.col("ring")).alias("edges"),
+        bx0.alias("bx0"), by0.alias("by0"),
+        bx1.alias("bx1"), by1.alias("by1"),
+    )
+    t = trips.crossJoin(F.broadcast(inst))
+    pos = t.select(
+        "vehicle_id",
+        "instant_id",
+        TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
+    ).filter(F.col("pos").isNotNull())
+    in_r = pos.crossJoin(F.broadcast(pr)).filter(
+        (F.col("pos.x") >= F.col("bx0")) & (F.col("pos.x") <= F.col("bx1"))
+        & (F.col("pos.y") >= F.col("by0")) & (F.col("pos.y") <= F.col("by1"))
+        & PG.point_in_edges(F.col("pos.x"), F.col("pos.y"), F.col("edges"))
+    )
+    return (
+        in_r.join(v, "vehicle_id")
+        .select("region_id", "instant_id", "licence")
+        .distinct()
+    )
+
+
+@register(
+    "bm_q13_poly",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    p AS ({BM.PERIODS1_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    {_POLY_EDGES_SQL},
+    seg0 AS (
+      SELECT user_id, island, ts AS t0, x AS x0, y AS y0,
+             lead(ts) OVER w AS t1, lead(x) OVER w AS x1,
+             lead(y) OVER w AS y1, lead(island) OVER w AS isl1
+      FROM isl
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    seg AS (
+      SELECT s.user_id, p.period_id, s.t0, s.x0, s.y0, s.t1, s.x1, s.y1,
+             p.tstart, p.tend
+      FROM seg0 s JOIN p
+        ON s.t1 IS NOT NULL AND s.island = s.isl1
+       AND epoch_us(s.t1) >= epoch_us(p.tstart)
+       AND epoch_us(s.t0) <= epoch_us(p.tend) - 1
+    ),
+    clip AS (
+      SELECT user_id, period_id,
+        CASE WHEN epoch_us(t0) >= epoch_us(tstart) THEN x0
+             ELSE x0 + (x1 - x0) * ((epoch_us(tstart) - epoch_us(t0))
+                  / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS cx0,
+        CASE WHEN epoch_us(t0) >= epoch_us(tstart) THEN y0
+             ELSE y0 + (y1 - y0) * ((epoch_us(tstart) - epoch_us(t0))
+                  / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS cy0,
+        CASE WHEN epoch_us(t1) <= epoch_us(tend) - 1 THEN x1
+             ELSE x0 + (x1 - x0) * (((epoch_us(tend) - 1) - epoch_us(t0))
+                  / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS cx1,
+        CASE WHEN epoch_us(t1) <= epoch_us(tend) - 1 THEN y1
+             ELSE y0 + (y1 - y0) * (((epoch_us(tend) - 1) - epoch_us(t0))
+                  / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS cy1
+      FROM seg
+    ),
+    verts AS (
+      SELECT e.user_id, p.period_id, e.x AS wx, e.y AS wy
+      FROM isl e JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
+      UNION ALL
+      SELECT user_id, period_id, cx0, cy0 FROM clip
+      UNION ALL
+      SELECT user_id, period_id, cx1, cy1 FROM clip
+    ),
+    vhit AS (
+      SELECT w.user_id, w.period_id, e.region_id
+      FROM verts w CROSS JOIN edges e
+      GROUP BY w.user_id, w.period_id, e.region_id, w.wx, w.wy
+      HAVING {_sql_raycast('w.wx', 'w.wy')}
+    ),
+    shit AS (
+      SELECT DISTINCT c.user_id, c.period_id, e.region_id
+      FROM clip c JOIN edges e
+        ON {_sql_proper_cross('c.cx0', 'c.cy0', 'c.cx1', 'c.cy1')}
+    ),
+    hits AS (
+      SELECT user_id, period_id, region_id FROM vhit
+      UNION
+      SELECT user_id, period_id, region_id FROM shit
+    )
+    SELECT DISTINCT h.region_id, h.period_id, v.licence
+    FROM hits h JOIN v ON v.vehicle_id = h.user_id
+    """,
+)
+def bm_q13_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 over REAL polygon regions with EXACT atTime semantics (the
+    reference's shape — ST_Intersects(trajectory(atTime(trip,
+    period))::GEOMETRY, polygon), query_13.sql:14-18): the trip is
+    clipped to the period with interpolated boundary instants, and the
+    clipped trajectory intersects the polygon iff any vertex falls
+    inside or any segment properly crosses an edge.
+
+    Plan shape: at_time evaluated once per (vehicle, period) in a
+    projection below the 10-row broadcast polygon join; the intersect
+    predicate runs JVM-side (HOFs over ~8 edges), bbox-gated."""
+    from .functions import polygon as PG
+
+    trips = _trips(spark, sf_dir)
+    p = BM.periods1(spark, sf_dir)
+    polys = BM.regions_poly(spark, sf_dir)
+    v = BM.vehicles(spark, sf_dir)
+    per = p.select(
+        "period_id",
+        S.span(
+            F.col("tstart"),
+            F.col("tend") - F.expr("INTERVAL 1 MICROSECOND"),
+            F.lit(True), F.lit(True),
+        ).alias("per"),
+    )
+    bx0, by0, bx1, by1 = PG.ring_bbox(F.col("ring"))
+    pr = polys.select(
+        "region_id",
+        PG.ring_edges(F.col("ring")).alias("edges"),
+        bx0.alias("bx0"), by0.alias("by0"),
+        bx1.alias("bx1"), by1.alias("by1"),
+    )
+    t = trips.crossJoin(F.broadcast(per))
+    rest = t.select(
+        "vehicle_id",
+        "period_id",
+        TT.at_time(F.col("trip"), F.col("per"), point=True).alias("rt"),
+    )
+    rest = rest.select(
+        "vehicle_id", "period_id", "rt",
+        B.stbox_of_tpoint(F.col("rt")).alias("bb"),
+    )
+    cand = rest.crossJoin(F.broadcast(pr)).filter(
+        F.col("rt").isNotNull()
+        & (F.col("bb.xmin") <= F.col("bx1")) & (F.col("bb.xmax") >= F.col("bx0"))
+        & (F.col("bb.ymin") <= F.col("by1")) & (F.col("bb.ymax") >= F.col("by0"))
+    )
+    hit = cand.filter(PG.tpoint_intersects_edges(F.col("rt"), F.col("edges")))
+    return (
+        hit.join(v, "vehicle_id")
+        .select("region_id", "period_id", "licence")
+        .distinct()
+    )
+
+
 @register(
     "bm_q15",
     f"""

@@ -1,0 +1,190 @@
+"""Arbitrary simple-polygon regions — the duckdb-spatial subset the
+BerlinMOD benchmark actually exercises (reference loads real polygons via
+ST_MakePolygon(ST_MakeLine(array_agg(...))) —
+benchmark/BerlinMOD/sql/load/04_regions.sql:17-30 — and every region
+query tests ST_Contains(polygon, point) / ST_Intersects(linestring,
+polygon) — sql/queries/query_13.sql:14-18, query_14.sql:14-17).
+
+Representation: a polygon ring is ARRAY<STRUCT<x: double, y: double>>,
+open form (the closing vertex is implicit). Rings here are small probe
+dims (~10 vertices), broadcast to every executor; all predicates are
+pure JVM higher-order-function expressions — no Python in the hot path,
+O(n_line_vertices × n_ring_edges) per row.
+
+Numeric contract: every formula below is written so the identical ANSI
+SQL expression (sources/berlinmod.py REGIONS_POLY_SQL + the bm_q13_poly
+/ bm_q14_poly oracles) evaluates the same IEEE doubles in the same
+order — point-in-polygon and crossing verdicts agree bit-for-bit with
+DuckDB on shared inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def make_polygon(vertices) -> Column:
+    """ST_MakePolygon(ST_MakeLine(...)) — build a ring from an ordered
+    vertex array, dropping an explicit closing vertex when present
+    (duckdb-spatial requires lines to close; our open-ring form keeps
+    each vertex once)."""
+    vs = _c(vertices)
+    n = F.size(vs)
+    first, last = vs[0], F.try_element_at(vs, F.lit(-1))
+    closed = (first["x"] == last["x"]) & (first["y"] == last["y"]) & (n > 1)
+    return F.when(closed, F.slice(vs, 1, n - 1)).otherwise(vs)
+
+
+def ring_wkt(ring) -> Column:
+    """POLYGON((x y, ...)) text of a ring (closing vertex re-added)."""
+    r = _c(ring)
+
+    def fmt(v):
+        num = lambda c: F.when(  # noqa: E731
+            c == F.floor(c), c.cast("long").cast("string")
+        ).otherwise(c.cast("string"))
+        return F.concat(num(v["x"]), F.lit(" "), num(v["y"]))
+
+    return F.concat(
+        F.lit("POLYGON(("),
+        F.array_join(F.transform(r, fmt), ", "),
+        F.lit(", "),
+        fmt(r[0]),
+        F.lit("))"),
+    )
+
+
+def st_geometry_type(wkt) -> Column:
+    """ST_GeometryType(GEOMETRY) — the leading WKT tag (duckdb-spatial
+    returns 'POINT' / 'LINESTRING' / 'POLYGON' / ...)."""
+    return F.upper(F.regexp_extract(_c(wkt), r"^\s*([A-Za-z]+)", 1))
+
+
+def ring_bbox(ring):
+    """(xmin, ymin, xmax, ymax) Columns of a ring — the broadcastable
+    prefilter every polygon predicate should be gated by."""
+    r = _c(ring)
+    xs = F.transform(r, lambda v: v["x"])
+    ys = F.transform(r, lambda v: v["y"])
+    return (
+        F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys)
+    )
+
+
+def ring_edges(ring) -> Column:
+    """Edge structs (a, b) for each ring side including the closing
+    edge last→first. MATERIALIZE THIS AS A COLUMN on the (broadcast)
+    polygon dim when testing many points/lines against the same ring —
+    interpreted HOFs re-evaluate the whole lambda body per element, so
+    an inline edge construction would rebuild the array once per tested
+    vertex."""
+    r = _c(ring)
+    n = F.size(r)
+    nxt = F.concat(F.slice(r, 2, n - 1), F.slice(r, 1, 1))
+    return F.zip_with(
+        r, nxt, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+
+
+def point_in_edges(px, py, edges) -> Column:
+    """Ray-cast point-in-polygon over a prebuilt edge array (even-odd
+    rule, half-open crossing test — the standard PNPOLY form;
+    ANSI-equivalent:
+    SUM(CASE WHEN (ay > py) <> (by > py)
+             AND px < (bx-ax)*(py-ay)/(by-ay)+ax THEN 1 END) % 2 = 1).
+    The divide is guarded by the y-straddle condition (by != ay there),
+    so the expression is ANSI-mode safe."""
+    px, py = _c(px), _c(py)
+
+    def crosses(e: Column) -> Column:
+        a, b = e["a"], e["b"]
+        return F.when(
+            (a["y"] > py) != (b["y"] > py),
+            px
+            < (b["x"] - a["x"]) * (py - a["y"]) / (b["y"] - a["y"]) + a["x"],
+        ).otherwise(F.lit(False))
+
+    n_cross = F.size(F.filter(_c(edges), crosses))
+    return n_cross % 2 == 1
+
+
+def point_in_ring(px, py, ring) -> Column:
+    """point_in_edges over an inline-built edge array (convenience for
+    one-off tests; hot paths should prebuild edges via ring_edges)."""
+    return point_in_edges(px, py, ring_edges(ring))
+
+
+def _proper_cross(px, py, qx, qy, ax, ay, bx, by) -> Column:
+    """Segment pq properly crosses segment ab: the endpoints of each
+    segment lie strictly on opposite sides of the other's line
+    (orientation cross-products with strict signs; collinear touches —
+    measure-zero on continuous data — report false, matching the SQL
+    oracle formulation exactly)."""
+    d1 = (qx - px) * (ay - py) - (qy - py) * (ax - px)
+    d2 = (qx - px) * (by - py) - (qy - py) * (bx - px)
+    d3 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    d4 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    return (
+        ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+    ) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+
+def line_intersects_edges(line, edges) -> Column:
+    """ST_Intersects(LINESTRING, POLYGON) for a vertex array line and a
+    prebuilt ring edge array: true iff any line vertex is inside the
+    ring, or any line segment properly crosses any ring edge. (A
+    segment entering a simple polygon must either start/end inside or
+    cross the boundary, so this is exact up to measure-zero boundary
+    touches.) Handles single-vertex 'lines' (degenerate point) via the
+    vertex arm."""
+    ln = _c(line)
+    edges = _c(edges)
+    vertex_in = F.exists(
+        ln, lambda v: point_in_edges(v["x"], v["y"], edges)
+    )
+    n = F.size(ln)
+    segs = F.zip_with(
+        F.slice(ln, 1, n - 1),
+        F.slice(ln, 2, n - 1),
+        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+    )
+    seg_cross = F.exists(
+        segs,
+        lambda s: F.exists(
+            edges,
+            lambda e: _proper_cross(
+                s["p"]["x"], s["p"]["y"], s["q"]["x"], s["q"]["y"],
+                e["a"]["x"], e["a"]["y"], e["b"]["x"], e["b"]["y"],
+            ),
+        ),
+    )
+    return vertex_in | seg_cross
+
+
+def line_intersects_ring(line, ring) -> Column:
+    return line_intersects_edges(line, ring_edges(ring))
+
+
+def tpoint_intersects_edges(t, edges) -> Column:
+    """ST_Intersects(trajectory(tpoint), POLYGON) without materializing
+    the WKT: per sequence, the instants' positions form the linestring
+    (sequences are disjoint trajectories — no phantom inter-sequence
+    segments)."""
+    tc = _c(t)
+    return F.exists(
+        tc["seqs"],
+        lambda s: line_intersects_edges(
+            F.transform(s["instants"], lambda i: i["v"]), edges
+        ),
+    )
+
+
+def tpoint_intersects_ring(t, ring) -> Column:
+    return tpoint_intersects_edges(t, ring_edges(ring))

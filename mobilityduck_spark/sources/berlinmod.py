@@ -90,6 +90,35 @@ REGIONS1_SQL = """
   FROM generate_series(0, 9) t(k)
 """
 
+# Polygon regions (the reference's regions are real polygons —
+# benchmark/BerlinMOD/sql/load/04_regions.sql:17-30): 10 deterministic
+# star-shaped simple polygons, 8 angle-ordered vertices each. Vertices
+# are center + radius_j * direction_j with RATIONAL directions and
+# half-integer radii, so every coordinate is an exact multiple of 0.5 —
+# bit-identical doubles on Spark and DuckDB with no trig involved.
+# Directions (angle-ordered): (2,0) (2,1) (0,2) (-1,2) (-2,0) (-2,-1)
+# (0,-2) (1,-2); radius_j = (6 + (k*3 + j*5) % 7) / 2 in [3, 6].
+_POLY_DX = [2, 2, 0, -1, -2, -2, 0, 1]
+_POLY_DY = [0, 1, 2, 2, 0, -1, -2, -2]
+
+_DX_CASE = " ".join(
+    f"WHEN {j} THEN {d}" for j, d in enumerate(_POLY_DX)
+)
+_DY_CASE = " ".join(
+    f"WHEN {j} THEN {d}" for j, d in enumerate(_POLY_DY)
+)
+
+REGIONS_POLY_SQL = f"""
+  SELECT CAST(k AS INT) AS region_id, CAST(j AS INT) AS j,
+         CAST(k * 9 % 80 + 10.5 AS DOUBLE)
+           + (6 + (k * 3 + j * 5) % 7) / CAST(2.0 AS DOUBLE)
+             * CAST(CASE CAST(j AS INT) {_DX_CASE} END AS DOUBLE) AS vx,
+         CAST(k * 13 % 80 + 10.5 AS DOUBLE)
+           + (6 + (k * 3 + j * 5) % 7) / CAST(2.0 AS DOUBLE)
+             * CAST(CASE CAST(j AS INT) {_DY_CASE} END AS DOUBLE) AS vy
+  FROM generate_series(0, 9) t(k), generate_series(0, 7) s(j)
+"""
+
 
 # ---------------------------------------------------------------- Spark side
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,3 +225,30 @@ def regions1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k * 13 % 80).cast("double").alias("ry0"),
         (k * 13 % 80 + 21).cast("double").alias("ry1"),
     )
+
+
+def regions_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(region_id, ring) polygon probe regions — same formula as
+    REGIONS_POLY_SQL (identical IEEE doubles: every vertex coordinate
+    is an exact multiple of 0.5)."""
+    k = F.col("id").cast("int")
+    dx = F.array(*[F.lit(d) for d in _POLY_DX])
+    dy = F.array(*[F.lit(d) for d in _POLY_DY])
+    cx = (k * 9 % 80).cast("double") + F.lit(10.5)
+    cy = (k * 13 % 80).cast("double") + F.lit(10.5)
+    ring = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.struct(
+            (
+                cx
+                + (6 + (k * 3 + j * 5) % 7) / F.lit(2.0)
+                * F.element_at(dx, j + 1).cast("double")
+            ).alias("x"),
+            (
+                cy
+                + (6 + (k * 3 + j * 5) % 7) / F.lit(2.0)
+                * F.element_at(dy, j + 1).cast("double")
+            ).alias("y"),
+        ),
+    )
+    return spark.range(10).select(k.alias("region_id"), ring.alias("ring"))

@@ -1,0 +1,113 @@
+"""functions/polygon.py — simple-polygon predicates (the duckdb-spatial
+subset behind the reference's region queries:
+benchmark/BerlinMOD/sql/load/04_regions.sql + query_13/14.sql)."""
+
+from pyspark.sql import functions as F
+
+from mobilityduck_spark.functions import polygon as PG
+from mobilityduck_spark.sources import berlinmod as BM
+
+
+def one(df, col):
+    return df.select(col.alias("r")).collect()[0]["r"]
+
+
+def _ring(*pts):
+    return F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+            for x, y in pts
+        ]
+    )
+
+
+def _line(*pts):
+    return _ring(*pts)
+
+
+SQUARE = [(0, 0), (4, 0), (4, 4), (0, 4)]
+# concave "L" polygon
+ELL = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]
+
+
+def test_point_in_ring(spark):
+    df = spark.range(1)
+    sq = _ring(*SQUARE)
+    assert one(df, PG.point_in_ring(F.lit(2.0), F.lit(2.0), sq)) is True
+    assert one(df, PG.point_in_ring(F.lit(5.0), F.lit(2.0), sq)) is False
+    assert one(df, PG.point_in_ring(F.lit(-0.1), F.lit(0.0), sq)) is False
+    ell = _ring(*ELL)
+    assert one(df, PG.point_in_ring(F.lit(1.0), F.lit(3.0), ell)) is True
+    # inside the bbox but in the concave notch
+    assert one(df, PG.point_in_ring(F.lit(3.0), F.lit(3.0), ell)) is False
+
+
+def test_line_intersects_ring(spark):
+    df = spark.range(1)
+    sq = _ring(*SQUARE)
+    # pass-through: both endpoints outside, crosses two edges
+    assert one(
+        df, PG.line_intersects_ring(_line((-1, 2), (5, 2)), sq)
+    ) is True
+    # vertex inside
+    assert one(
+        df, PG.line_intersects_ring(_line((2, 2), (9, 9)), sq)
+    ) is True
+    # fully outside
+    assert one(
+        df, PG.line_intersects_ring(_line((5, 5), (9, 5), (9, 9)), sq)
+    ) is False
+    # degenerate single-vertex line
+    assert one(df, PG.line_intersects_ring(_line((1, 1)), sq)) is True
+    assert one(df, PG.line_intersects_ring(_line((9, 9)), sq)) is False
+    # concave notch: segment through the notch only -> no intersection
+    ell = _ring(*ELL)
+    assert one(
+        df, PG.line_intersects_ring(_line((3, 5), (3, 2.5)), ell)
+    ) is False
+
+
+def test_make_polygon_and_type(spark):
+    df = spark.range(1)
+    closed = _ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    ring = PG.make_polygon(closed)
+    assert one(df, F.size(ring)) == 4
+    assert one(df, F.size(PG.make_polygon(_ring(*SQUARE)))) == 4
+    assert (
+        one(df, PG.ring_wkt(PG.make_polygon(closed)))
+        == "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"
+    )
+    assert one(df, PG.st_geometry_type(F.lit("  polygon((0 0))"))) == "POLYGON"
+    assert one(df, PG.st_geometry_type(F.lit("POINT (1 1)"))) == "POINT"
+
+
+def test_regions_poly_simple_and_star_shaped(spark):
+    """Generated probe polygons must be simple (angle-ordered star
+    construction): no two non-adjacent edges properly cross."""
+    rows = BM.regions_poly(spark, "").collect()
+    assert len(rows) == 10
+    for r in rows:
+        ring = [(v["x"], v["y"]) for v in r["ring"]]
+        n = len(ring)
+        assert n == 8
+        edges = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (
+                b[0] - o[0]
+            )
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if j in (i, (i + 1) % n, (i - 1) % n):
+                    continue
+                (p, q), (a, b) = edges[i], edges[j]
+                d1, d2 = cross(p, q, a), cross(p, q, b)
+                d3, d4 = cross(a, b, p), cross(a, b, q)
+                proper = (
+                    ((d1 > 0) != (d2 > 0))
+                    and d1 != 0 and d2 != 0
+                    and ((d3 > 0) != (d4 > 0))
+                    and d3 != 0 and d4 != 0
+                )
+                assert not proper, f"region {r['region_id']} self-intersects"
