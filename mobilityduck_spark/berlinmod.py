@@ -8,10 +8,11 @@ Semantics notes vs the reference:
   trajectory passes through an exactly-observed position) — positions
   repeat on a 1000-value lattice so hits are plentiful; continuous
   segment-crossing of a zero-area point is measure-zero anyway.
-- `region` probes are axis-aligned boxes; "passed through region during
-  period" uses sampled semantics (an observed instant inside box×period)
-  — exactly oracle-checkable; trajectories are densely sampled so this
-  matches continuous semantics up to one sampling interval.
+- box-region queries (q13/q16) use EXACT crossing-interpolation
+  semantics (TP.intersects_stbox, Liang–Barsky per segment, oracle in
+  identical ANSI SQL); polygon-region variants (bm_q13_poly/bm_q14_poly)
+  mirror the reference's real ST_MakePolygon regions. The sampled
+  approximation (TP.at_box_sampled) remains available and documented.
 - interpolation-dependent queries (q3/q11/q12/q14) compare the SAME
   closed-form interpolation on both engines → exact float equality.
 - pairwise-UDF queries (q5/q6/q10/q16) have no ANSI oracle → rows-only.
@@ -568,17 +569,79 @@ def bm_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH isl AS ({BM.ISLANDS_SQL}),
     p AS ({BM.PERIODS1_SQL}),
     r AS ({BM.REGIONS1_SQL}),
-    v AS ({BM.VEHICLES_SQL})
-    SELECT DISTINCT r.region_id, p.period_id, v.licence
-    FROM isl e
-    JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
-    JOIN r ON e.x >= r.rx0 AND e.x <= r.rx1 AND e.y >= r.ry0 AND e.y <= r.ry1
-    JOIN v ON v.vehicle_id = e.user_id
+    v AS ({BM.VEHICLES_SQL}),
+    seg0 AS (
+      SELECT user_id, island, ts AS t0, x AS x0, y AS y0,
+             lead(ts) OVER w AS t1, lead(x) OVER w AS x1,
+             lead(y) OVER w AS y1, lead(island) OVER w AS isl1
+      FROM isl
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    c AS (
+      -- Liang-Barsky space window per (segment, region): identical
+      -- double-precision formula as TP.intersects_stbox
+      SELECT s.user_id, r.region_id,
+             CAST(epoch_us(s.t0) AS DOUBLE) AS t0u,
+             CAST(epoch_us(s.t1) - epoch_us(s.t0) AS DOUBLE) AS dtu,
+             GREATEST(0.0,
+               CASE WHEN s.x1 = s.x0
+                    THEN CASE WHEN s.x0 >= r.rx0 AND s.x0 <= r.rx1
+                              THEN 0.0 ELSE 1.0 END
+                    ELSE LEAST((r.rx0 - s.x0)/(s.x1 - s.x0),
+                               (r.rx1 - s.x0)/(s.x1 - s.x0)) END,
+               CASE WHEN s.y1 = s.y0
+                    THEN CASE WHEN s.y0 >= r.ry0 AND s.y0 <= r.ry1
+                              THEN 0.0 ELSE 1.0 END
+                    ELSE LEAST((r.ry0 - s.y0)/(s.y1 - s.y0),
+                               (r.ry1 - s.y0)/(s.y1 - s.y0)) END
+             ) AS u0,
+             LEAST(1.0,
+               CASE WHEN s.x1 = s.x0
+                    THEN CASE WHEN s.x0 >= r.rx0 AND s.x0 <= r.rx1
+                              THEN 1.0 ELSE 0.0 END
+                    ELSE GREATEST((r.rx0 - s.x0)/(s.x1 - s.x0),
+                                  (r.rx1 - s.x0)/(s.x1 - s.x0)) END,
+               CASE WHEN s.y1 = s.y0
+                    THEN CASE WHEN s.y0 >= r.ry0 AND s.y0 <= r.ry1
+                              THEN 1.0 ELSE 0.0 END
+                    ELSE GREATEST((r.ry0 - s.y0)/(s.y1 - s.y0),
+                                  (r.ry1 - s.y0)/(s.y1 - s.y0)) END
+             ) AS u1
+      FROM seg0 s CROSS JOIN r
+      WHERE s.t1 IS NOT NULL AND s.island = s.isl1
+    ),
+    seg_hits AS (
+      SELECT DISTINCT c.user_id, c.region_id, p.period_id
+      FROM c JOIN p
+        ON c.u0 <= c.u1
+       AND GREATEST(CAST(FLOOR(c.t0u + c.u0 * c.dtu) AS BIGINT),
+                    epoch_us(p.tstart))
+           <= LEAST(CAST(FLOOR(c.t0u + c.u1 * c.dtu) AS BIGINT),
+                    epoch_us(p.tend) - 1)
+    ),
+    ping_hits AS (
+      SELECT DISTINCT e.user_id, r.region_id, p.period_id
+      FROM isl e
+      JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
+      JOIN r ON e.x >= r.rx0 AND e.x <= r.rx1
+            AND e.y >= r.ry0 AND e.y <= r.ry1
+    ),
+    hits AS (
+      SELECT user_id, region_id, period_id FROM seg_hits
+      UNION
+      SELECT user_id, region_id, period_id FROM ping_hits
+    )
+    SELECT DISTINCT h.region_id, h.period_id, v.licence
+    FROM hits h JOIN v ON v.vehicle_id = h.user_id
     """,
 )
 def bm_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q13: vehicles that passed a region during a period
-    (Trip && stbox(region, period) + sampled intersection)."""
+    """q13: vehicles that passed a region during a period — EXACT
+    crossing-interpolation semantics (Trip && stbox(region, period) +
+    atStbox non-empty): a trajectory that clips a region corner
+    between samples counts, with the entry/exit interval floored to µs
+    exactly as the oracle's Liang–Barsky SQL does. The sampled
+    approximation remains available as TP.at_box_sampled."""
     trips = _trips(spark, sf_dir)
     p = BM.periods1(spark, sf_dir)
     r = BM.regions1(spark, sf_dir)
@@ -596,12 +659,7 @@ def bm_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = trips.crossJoin(F.broadcast(probe)).filter(
         B.stbox_overlaps(B.stbox_of_tpoint(F.col("trip")), F.col("box"))
     )
-    inside = t.select(
-        "vehicle_id",
-        "region_id",
-        "period_id",
-        TP.at_box_sampled(F.col("trip"), F.col("box")).alias("at_box"),
-    ).filter(F.col("at_box").isNotNull())
+    inside = t.filter(TP.intersects_stbox(F.col("trip"), F.col("box")))
     return (
         inside.join(v, "vehicle_id")
         .select("region_id", "period_id", "licence")
@@ -928,7 +986,8 @@ def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp = S.span(F.col("tstart"), F.col("tend"))
         return (
             t.filter(
-                TP.at_box_sampled(F.col("trip"), F.col("box")).isNotNull()
+                B.stbox_overlaps(B.stbox_of_tpoint(F.col("trip")), F.col("box"))
+                & TP.intersects_stbox(F.col("trip"), F.col("box"))
             )
             .select(
                 F.col("licence").alias(f"licence{n}"),

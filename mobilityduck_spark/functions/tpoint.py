@@ -471,6 +471,75 @@ def at_stbox(t, box) -> Column:
     )
 
 
+def intersects_stbox(t, box) -> Column:
+    """EXISTS form of `at_stbox(t, box) IS NOT NULL` with EXACT
+    boundary-crossing interpolation — the predicate to use when only
+    membership matters ("did the vehicle pass through region×period"):
+    one arithmetic pass over segments, no spanset materialization, no
+    merge. Semantics identical to clip_spanset non-emptiness for
+    linear/instant temporals (a zero-duration boundary touch counts,
+    as in MEOS tpoint_at_stbox): per linear segment the Liang–Barsky
+    space window [u0, u1] must be non-empty and its µs-floored time
+    image must meet [tmin, tmax].
+
+    Reference: src/geo/tgeompoint.cpp:265-273 (tpoint_at_stbox)."""
+    tc, b = _c(t), _c(box)
+    tmin_us, tmax_us = F.unix_micros(b["tmin"]), F.unix_micros(b["tmax"])
+
+    def t_ok(lo_us, hi_us):
+        lo2 = F.when(b["hast"], F.greatest(lo_us, tmin_us)).otherwise(lo_us)
+        hi2 = F.when(b["hast"], F.least(hi_us, tmax_us)).otherwise(hi_us)
+        return lo2 <= hi2
+
+    def seg_hit(p: Column, q: Column) -> Column:
+        t0u = F.unix_micros(p["t"])
+        t1u = F.unix_micros(q["t"])
+        dtu = (t1u - t0u).cast("double")
+
+        def axis(v0: Column, v1: Column, lo: Column, hi: Column):
+            dv = v1 - v0
+            a = (lo - v0) / dv
+            c = (hi - v0) / dv
+            flat_in = (v0 >= lo) & (v0 <= hi)
+            u_lo = F.when(
+                dv == 0, F.when(flat_in, F.lit(0.0)).otherwise(F.lit(1.0))
+            ).otherwise(F.least(a, c))
+            u_hi = F.when(
+                dv == 0, F.when(flat_in, F.lit(1.0)).otherwise(F.lit(0.0))
+            ).otherwise(F.greatest(a, c))
+            return u_lo, u_hi
+
+        ux_lo, ux_hi = axis(p["v"]["x"], q["v"]["x"], b["xmin"], b["xmax"])
+        uy_lo, uy_hi = axis(p["v"]["y"], q["v"]["y"], b["ymin"], b["ymax"])
+        u0 = F.when(b["hasx"], F.greatest(F.lit(0.0), ux_lo, uy_lo)).otherwise(
+            F.lit(0.0)
+        )
+        u1 = F.when(b["hasx"], F.least(F.lit(1.0), ux_hi, uy_hi)).otherwise(
+            F.lit(1.0)
+        )
+        enter_us = F.floor(t0u.cast("double") + u0 * dtu).cast("long")
+        exit_us = F.floor(t0u.cast("double") + u1 * dtu).cast("long")
+        return (u0 <= u1) & t_ok(enter_us, exit_us)
+
+    def seq_hit(s: Column) -> Column:
+        inst = s["instants"]
+        n = F.size(inst)
+        single = _inside_box(inst[0], b)
+        disc = (tc["interp"] == 1) | (tc["subtype"] == 1)
+        any_seg = F.exists(
+            F.zip_with(
+                F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1), seg_hit
+            ),
+            lambda h: h,
+        )
+        any_inst = F.exists(inst, lambda i: _inside_box(i, b))
+        return F.when(n == 1, single).otherwise(
+            F.when(disc, any_inst).otherwise(any_seg)
+        )
+
+    return F.exists(tc["seqs"], seq_hit)
+
+
 def speed(t) -> Column:
     """Average speed (length / duration); 0 for degenerate temporals."""
     tc = _c(t)
