@@ -264,34 +264,67 @@ def bm_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- pair plans
+# Above this per-side row count the broadcast theta-join (small-side
+# BNLJ with bbox prefilter) gives way to the grid-bucketed candidate
+# equi-join — the plan that survives large×large at cluster scale.
+_GRID_PAIR_THRESHOLD = 2000
+
+
+def _pair_frames(t: DataFrame, n: int) -> DataFrame:
+    return t.select(
+        F.col("vehicle_id").alias(f"vid{n}"),
+        F.col("licence").alias(f"licence{n}"),
+        F.col("t_arr").alias(f"ta{n}"), F.col("x_arr").alias(f"xa{n}"),
+        F.col("y_arr").alias(f"ya{n}"), F.col("len_arr").alias(f"la{n}"),
+        F.col("bb").alias(f"bb{n}"),
+    )
+
+
+def _pair_candidates_grid(t1: DataFrame, t2: DataFrame, d: float) -> DataFrame:
+    """Large×large path: grid-key candidate equi-join (no broadcast, no
+    cartesian — operators/range_join.grid_pair_candidates), payloads
+    re-joined once per DISTINCT candidate id pair."""
+    from .operators.range_join import grid_pair_candidates
+
+    cand = grid_pair_candidates(
+        t1.withColumnRenamed("ta1", "t_arr").withColumnRenamed("xa1", "x_arr")
+          .withColumnRenamed("ya1", "y_arr").withColumnRenamed("la1", "len_arr"),
+        t2.withColumnRenamed("ta2", "t_arr").withColumnRenamed("xa2", "x_arr")
+          .withColumnRenamed("ya2", "y_arr").withColumnRenamed("la2", "len_arr"),
+        "vid1", "vid2", d=d,
+    )
+    return cand.join(t1, F.col("vid1_l") == F.col("vid1")).join(
+        t2, F.col("vid2_r") == F.col("vid2")
+    ).drop("vid1_l", "vid2_r")
+
+
 # ================================================================ q6 (rows-only)
 @register("bm_q6", None)
 def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q6: truck pairs that ever came within 10 units
     (bbox expand prefilter + eDwithin — the reference's
-    `Trip && expandSpace(...)` plan, SURVEY.md §2.7)."""
+    `Trip && expandSpace(...)` plan, SURVEY.md §2.7). Plan switches to
+    the grid-bucketed candidate join when the truck fleet outgrows
+    broadcast size."""
     from .operators.tpoint_pairs import register_flat_pair_udfs
 
     udfs = register_flat_pair_udfs(spark)
     v = BM.vehicles(spark, sf_dir).filter(F.col("vehicle_type") == "truck")
     t = _flat_trips(spark, sf_dir).join(F.broadcast(v), "vehicle_id")
-    t1 = t.select(
-        F.col("vehicle_id").alias("vid1"), F.col("licence").alias("licence1"),
-        F.col("t_arr").alias("ta1"), F.col("x_arr").alias("xa1"),
-        F.col("y_arr").alias("ya1"), F.col("len_arr").alias("la1"),
-        F.col("bb").alias("bb1"),
-    )
-    t2 = t.select(
-        F.col("vehicle_id").alias("vid2"), F.col("licence").alias("licence2"),
-        F.col("t_arr").alias("ta2"), F.col("x_arr").alias("xa2"),
-        F.col("y_arr").alias("ya2"), F.col("len_arr").alias("la2"),
-        F.col("bb").alias("bb2"),
-    )
-    pairs = t1.join(
-        F.broadcast(t2),
-        (F.col("vid1") < F.col("vid2"))
-        & B.stbox_overlaps(B.expand_space(F.col("bb1"), F.lit(10.0)), F.col("bb2")),
-    )
+    t1, t2 = _pair_frames(t, 1), _pair_frames(t, 2)
+    if t.count() <= _GRID_PAIR_THRESHOLD:
+        pairs = t1.join(
+            F.broadcast(t2),
+            (F.col("vid1") < F.col("vid2"))
+            & B.stbox_overlaps(
+                B.expand_space(F.col("bb1"), F.lit(10.0)), F.col("bb2")
+            ),
+        )
+    else:
+        pairs = _pair_candidates_grid(t1, t2, 10.0).filter(
+            F.col("vid1") < F.col("vid2")
+        )
     return (
         pairs.filter(
             udfs["e_dwithin"]("ta1", "xa1", "ya1", "la1", "ta2", "xa2", "ya2", "la2", F.lit(10.0))
@@ -447,7 +480,10 @@ def bm_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bm_q10", None)
 def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q10: licences1 vehicles vs everyone: pairs that ever came within
-    3 units (expandSpace bbox prefilter + eDwithin)."""
+    3 units (expandSpace bbox prefilter + eDwithin). The probe side is
+    10 rows in the benchmark (broadcast); if it outgrows broadcast size
+    the plan switches to the grid-bucketed candidate join — the shape
+    that survives a large×large fleet at cluster scale."""
     from .operators.tpoint_pairs import register_flat_pair_udfs
 
     udfs = register_flat_pair_udfs(spark)
@@ -465,14 +501,32 @@ def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_arr").alias("ya2"), F.col("len_arr").alias("la2"),
         F.col("bb").alias("bb2"),
     )
-    pairs = F.broadcast(t1).join(
-        t2,
-        (F.col("vid1") != F.col("vid2"))
-        & B.stbox_overlaps(
-            B.expand_space(F.col("bb1"), F.lit(3.0)),
-            B.expand_space(F.col("bb2"), F.lit(3.0)),
-        ),
-    )
+    if t1.count() <= _GRID_PAIR_THRESHOLD:
+        pairs = F.broadcast(t1).join(
+            t2,
+            (F.col("vid1") != F.col("vid2"))
+            & B.stbox_overlaps(
+                B.expand_space(F.col("bb1"), F.lit(3.0)),
+                B.expand_space(F.col("bb2"), F.lit(3.0)),
+            ),
+        )
+    else:
+        from .operators.range_join import grid_pair_candidates
+
+        cand = grid_pair_candidates(
+            t1.withColumnRenamed("ta1", "t_arr")
+              .withColumnRenamed("xa1", "x_arr")
+              .withColumnRenamed("ya1", "y_arr")
+              .withColumnRenamed("la1", "len_arr"),
+            t2.withColumnRenamed("ta2", "t_arr")
+              .withColumnRenamed("xa2", "x_arr")
+              .withColumnRenamed("ya2", "y_arr")
+              .withColumnRenamed("la2", "len_arr"),
+            "vid1", "vid2", d=3.0,
+        ).filter(F.col("vid1_l") != F.col("vid2_r"))
+        pairs = cand.join(t1, F.col("vid1_l") == F.col("vid1")).join(
+            t2, F.col("vid2_r") == F.col("vid2")
+        )
     return (
         pairs.filter(
             udfs["e_dwithin"]("ta1", "xa1", "ya1", "la1", "ta2", "xa2", "ya2", "la2", F.lit(3.0))
