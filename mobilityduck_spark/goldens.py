@@ -27,6 +27,7 @@ from .functions import box as B
 from .functions import set_ as ST
 from .functions import span as S
 from .functions import temporal as TT
+from .functions import tgeometry as TG
 from .functions import tpoint as TP
 from .types import (
     POINT_TYPE,
@@ -1366,36 +1367,27 @@ class Translator:
             return n.value
         raise ValueError("bool arg")
 
+    # TGEOMETRY constructors delegate to the public API
+    # (functions/tgeometry.py — promoted out of this translator)
     def fn_tgeometry(self, node):
-        from .wkt import normalize_wkt
-
         if len(node.args) == 1:
             return self.lit(
                 Node("lit", value=node.args[0].value, littype="tgeometry")
             )
         if len(node.args) >= 2 and node.args[0].kind == "lit":
-            wkt_txt = normalize_wkt(node.args[0].value)
+            wkt_txt = node.args[0].value
             second = self.eval(node.args[1])
             if second[1] == ("scalar", "timestamp"):
                 return (
-                    TT.tinstant(F.lit(wkt_txt), second[0]),
+                    TG.tgeometry_inst(wkt_txt, second[0]),
                     ("temporal", "geom"),
                 )
             if second[1][0] == "span":
-                # constant value over a period → two-instant sequence
-                sp = second[0]
                 interp = (
                     node.args[2].value.lower() if len(node.args) > 2 else "step"
                 )
-                inst = F.array(
-                    F.struct(sp["lower"].alias("t"), F.lit(wkt_txt).alias("v")),
-                    F.struct(sp["upper"].alias("t"), F.lit(wkt_txt).alias("v")),
-                )
                 return (
-                    TT.tsequence(
-                        inst, interp=interp,
-                        lower_inc=sp["lower_inc"], upper_inc=sp["upper_inc"],
-                    ),
+                    TG.tgeometry_const_seq(wkt_txt, second[0], interp=interp),
                     ("temporal", "geom"),
                 )
         raise ValueError("tgeometry ctor")
@@ -1412,31 +1404,26 @@ class Translator:
         if len(node.args) >= 4:
             ui = self._bool_arg(node.args[3])
         if kind0[0] == "array":
-            inst = F.transform(col0, lambda t: t["seqs"][0]["instants"][0])
             return (
-                TT.tsequence(
-                    inst, interp=interp, lower_inc=F.lit(li), upper_inc=F.lit(ui)
+                TG.tgeometry_seq(
+                    col0, interp=interp, lower_inc=li, upper_inc=ui
                 ),
                 ("temporal", kind0[1][1]),
             )
         if kind0[0] == "temporal":
-            return TT.to_sequence(col0, None), kind0
+            return TG.tgeometry_to_seq(col0), kind0
         raise ValueError("tgeometrySeq arg")
 
     def fn_tgeometryinst(self, node):
         col, kind = self._t1(node)
-        return TT.start_instant(col), kind
+        return TG.tgeometry_inst_of(col), kind
 
     def fn_tgeometryseqset(self, node):
         (col0, kind0) = self._args(node)[0]
         if kind0[0] == "array":
-            seqs = F.flatten(F.transform(col0, lambda t: t["seqs"]))
-            return TT.tsequenceset(seqs, interp="step"), ("temporal", kind0[1][1])
+            return TG.tgeometry_seqset(col0), ("temporal", kind0[1][1])
         if kind0[0] == "temporal":
-            return (
-                TT._temporal_struct(F.lit(3), col0["interp"], col0["seqs"]),
-                kind0,
-            )
+            return TG.tgeometry_seqset_of(col0), kind0
         raise ValueError("seqset arg")
 
     def fn_numinstants(self, node):
