@@ -15,7 +15,11 @@ Semantics notes vs the reference:
   approximation (TP.at_box_sampled) remains available and documented.
 - interpolation-dependent queries (q3/q11/q12/q14) compare the SAME
   closed-form interpolation on both engines → exact float equality.
-- pairwise-UDF queries (q5/q6/q10/q16) have no ANSI oracle → rows-only.
+- pairwise queries q5/q6/q10 now carry full ANSI oracles: q5 via the
+  exhaustive segment×point static-distance formulation, q6/q10 via the
+  synchronized-distance template (_sync_edwithin_oracle — union knots,
+  ASOF interpolation, quadratic vertex minima). q16 (aDisjoint over
+  period-clipped pairs) remains rows-only.
 """
 
 from __future__ import annotations
@@ -228,12 +232,111 @@ def bm_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ================================================================ q5 (rows-only)
-@register("bm_q5", None)
+# ================================================================ q5
+@register(
+    "bm_q5",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    l1 AS ({BM.LICENCES1_SQL}),
+    l2 AS ({BM.LICENCES2_SQL}),
+    p1 AS (
+      SELECT e.user_id, e.ts, e.x, e.y, e.island
+      FROM isl e JOIN l1 ON l1.vehicle_id = e.user_id
+    ),
+    p2 AS (
+      SELECT e.user_id, e.ts, e.x, e.y, e.island
+      FROM isl e JOIN l2 ON l2.vehicle_id = e.user_id
+    ),
+    s1 AS (
+      SELECT user_id, x AS x0, y AS y0,
+             lead(x) OVER w AS x1, lead(y) OVER w AS y1,
+             island, lead(island) OVER w AS isl2
+      FROM p1 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s1v AS (
+      SELECT user_id, x0, y0, x1, y1 FROM s1
+      WHERE x1 IS NOT NULL AND island = isl2
+    ),
+    s2 AS (
+      SELECT user_id, x AS x0, y AS y0,
+             lead(x) OVER w AS x1, lead(y) OVER w AS y1,
+             island, lead(island) OVER w AS isl2
+      FROM p2 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s2v AS (
+      SELECT user_id, x0, y0, x1, y1 FROM s2
+      WHERE x1 IS NOT NULL AND island = isl2
+    ),
+    -- arm 1: l1 segments x l2 points (point-to-segment distance^2,
+    -- identical FP ops as the numpy kernel _min_polyline_dist)
+    a1u AS (
+      SELECT s.user_id AS u1, q.user_id AS u2,
+             s.x0, s.y0, s.x1 - s.x0 AS dx, s.y1 - s.y0 AS dy,
+             q.x AS qx, q.y AS qy,
+             CASE WHEN (s.x1 - s.x0)*(s.x1 - s.x0)
+                       + (s.y1 - s.y0)*(s.y1 - s.y0) > 0
+                  THEN GREATEST(0.0, LEAST(1.0,
+                       (((q.x - s.x0)*(s.x1 - s.x0) + (q.y - s.y0)*(s.y1 - s.y0))
+                        / ((s.x1 - s.x0)*(s.x1 - s.x0)
+                           + (s.y1 - s.y0)*(s.y1 - s.y0)))))
+                  ELSE 0.0 END AS u
+      FROM s1v s CROSS JOIN p2 q
+    ),
+    a1 AS (
+      SELECT u1, u2,
+             MIN((qx - (x0 + u*dx))*(qx - (x0 + u*dx))
+                 + (qy - (y0 + u*dy))*(qy - (y0 + u*dy))) AS m
+      FROM a1u GROUP BY u1, u2
+    ),
+    a2u AS (
+      SELECT q.user_id AS u1, s.user_id AS u2,
+             s.x0, s.y0, s.x1 - s.x0 AS dx, s.y1 - s.y0 AS dy,
+             q.x AS qx, q.y AS qy,
+             CASE WHEN (s.x1 - s.x0)*(s.x1 - s.x0)
+                       + (s.y1 - s.y0)*(s.y1 - s.y0) > 0
+                  THEN GREATEST(0.0, LEAST(1.0,
+                       (((q.x - s.x0)*(s.x1 - s.x0) + (q.y - s.y0)*(s.y1 - s.y0))
+                        / ((s.x1 - s.x0)*(s.x1 - s.x0)
+                           + (s.y1 - s.y0)*(s.y1 - s.y0)))))
+                  ELSE 0.0 END AS u
+      FROM s2v s CROSS JOIN p1 q
+    ),
+    a2 AS (
+      SELECT u1, u2,
+             MIN((qx - (x0 + u*dx))*(qx - (x0 + u*dx))
+                 + (qy - (y0 + u*dy))*(qy - (y0 + u*dy))) AS m
+      FROM a2u GROUP BY u1, u2
+    ),
+    crossed AS (
+      SELECT DISTINCT s.user_id AS u1, t.user_id AS u2
+      FROM s1v s JOIN s2v t
+        ON ((s.x1-s.x0)*(t.y0-s.y0) - (s.y1-s.y0)*(t.x0-s.x0))
+           * ((s.x1-s.x0)*(t.y1-s.y0) - (s.y1-s.y0)*(t.x1-s.x0)) < 0
+       AND ((t.x1-t.x0)*(s.y0-t.y0) - (t.y1-t.y0)*(s.x0-t.x0))
+           * ((t.x1-t.x0)*(s.y1-t.y0) - (t.y1-t.y0)*(s.x1-t.x0)) < 0
+    ),
+    pairs AS (
+      SELECT l1.vehicle_id AS v1, l1.licence AS licence1,
+             l2.vehicle_id AS v2, l2.licence AS licence2
+      FROM l1 CROSS JOIN l2 WHERE l1.vehicle_id < l2.vehicle_id
+    )
+    SELECT p.licence1, p.licence2,
+           ROUND(CASE WHEN c.u1 IS NOT NULL THEN 0.0
+                      ELSE SQRT(LEAST(a1.m, a2.m)) END, 3) AS min_dist
+    FROM pairs p
+    JOIN a1 ON a1.u1 = p.v1 AND a1.u2 = p.v2
+    JOIN a2 ON a2.u1 = p.v1 AND a2.u2 = p.v2
+    LEFT JOIN crossed c ON c.u1 = p.v1 AND c.u2 = p.v2
+    """,
+)
 def bm_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q5: min static trajectory-pair distance for licences1 × licences2
     (the removed collect_gs/trajectory_gs/distance_gs semantics —
-    SURVEY.md §2.9 'known dead references')."""
+    SURVEY.md §2.9 'known dead references'). Oracle: exhaustive
+    segment×point point-to-segment distances + proper-crossing test in
+    ANSI SQL, term-for-term the numpy kernel's formulas (both sides of
+    every probe pair have real segments in this dataset, so the
+    point-point fallback arm is not needed)."""
     from .operators.tpoint_pairs import register_flat_pair_udfs
 
     udfs = register_flat_pair_udfs(spark)
@@ -299,14 +402,149 @@ def _pair_candidates_grid(t1: DataFrame, t2: DataFrame, d: float) -> DataFrame:
     ).drop("vid1_l", "vid2_r")
 
 
-# ================================================================ q6 (rows-only)
-@register("bm_q6", None)
+# ================================================================ q6
+def _sync_edwithin_oracle(tp_filter: str, prs_cond: str, d2: str,
+                          final: str) -> str:
+    """ANSI oracle template for the synchronized eDwithin kernel
+    (_min_dist_sq_profile): union knots per pair with ASOF-join
+    interpolation (np.interp's slope*(t-t0)+f0 form), gap-masked knots
+    and segments, per-segment quadratic vertex minimum. Parameterized
+    by the tp row filter, the pair condition, the squared distance and
+    the final projection."""
+    return f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    l1 AS ({BM.LICENCES1_SQL}),
+    tp AS (
+      SELECT e.user_id, e.ts, e.x, e.y, e.island,
+             CAST(epoch_us(e.ts) AS DOUBLE) / 1000000.0 AS tsd
+      FROM isl e JOIN v ON v.vehicle_id = e.user_id
+      {tp_filter}
+    ),
+    bounds AS (
+      SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM tp GROUP BY user_id
+    ),
+    prs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             GREATEST(a.mn, b.mn) AS lo, LEAST(a.mx, b.mx) AS hi
+      FROM bounds a JOIN bounds b
+        ON {prs_cond} AND GREATEST(a.mn, b.mn) <= LEAST(a.mx, b.mx)
+    ),
+    gaps AS (
+      SELECT user_id, pts AS glo, ts AS ghi,
+             CAST(epoch_us(pts) AS DOUBLE) / 1000000.0 AS glod,
+             CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS ghid
+      FROM (
+        SELECT user_id, ts, island,
+               lag(ts) OVER w AS pts, lag(island) OVER w AS pisl
+        FROM tp WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ) WHERE pisl IS NOT NULL AND pisl <> island AND ts > pts
+    ),
+    knots AS (
+      SELECT p.u1, p.u2, t.ts, t.tsd
+      FROM prs p JOIN tp t
+        ON t.user_id IN (p.u1, p.u2) AND t.ts >= p.lo AND t.ts <= p.hi
+      GROUP BY p.u1, p.u2, t.ts, t.tsd
+    ),
+    -- np.interp transliteration: slope*(t - t0) + f0, exact endpoint on
+    -- coincident knots; bef/aft located with ASOF joins
+    kpos AS (
+      SELECT k.u1, k.u2, k.ts, k.tsd,
+        CASE WHEN a1.tsd = b1.tsd THEN b1.x
+             ELSE (a1.x - b1.x)/(a1.tsd - b1.tsd)*(k.tsd - b1.tsd) + b1.x END AS pax,
+        CASE WHEN a1.tsd = b1.tsd THEN b1.y
+             ELSE (a1.y - b1.y)/(a1.tsd - b1.tsd)*(k.tsd - b1.tsd) + b1.y END AS pay,
+        CASE WHEN a2.tsd = b2.tsd THEN b2.x
+             ELSE (a2.x - b2.x)/(a2.tsd - b2.tsd)*(k.tsd - b2.tsd) + b2.x END AS pbx,
+        CASE WHEN a2.tsd = b2.tsd THEN b2.y
+             ELSE (a2.y - b2.y)/(a2.tsd - b2.tsd)*(k.tsd - b2.tsd) + b2.y END AS pby,
+        NOT EXISTS (SELECT 1 FROM gaps g
+                    WHERE g.user_id IN (k.u1, k.u2)
+                      AND k.ts > g.glo AND k.ts < g.ghi) AS vk
+      FROM knots k
+      ASOF JOIN tp b1 ON b1.user_id = k.u1 AND b1.ts <= k.ts
+      ASOF JOIN tp a1 ON a1.user_id = k.u1 AND a1.ts >= k.ts
+      ASOF JOIN tp b2 ON b2.user_id = k.u2 AND b2.ts <= k.ts
+      ASOF JOIN tp a2 ON a2.user_id = k.u2 AND a2.ts >= k.ts
+    ),
+    segd AS (
+      SELECT u1, u2, tsd, pax, pay, pbx, pby, vk,
+             lead(tsd) OVER w AS ntsd,
+             lead(pax) OVER w AS npax, lead(pay) OVER w AS npay,
+             lead(pbx) OVER w AS npbx, lead(pby) OVER w AS npby
+      FROM kpos WINDOW w AS (PARTITION BY u1, u2 ORDER BY tsd)
+    ),
+    knot_min AS (
+      SELECT u1, u2,
+             MIN(CASE WHEN vk THEN (pax-pbx)*(pax-pbx) + (pay-pby)*(pay-pby)
+                 END) AS m,
+             COUNT(CASE WHEN vk THEN 1 END) AS n_valid
+      FROM segd GROUP BY u1, u2
+    ),
+    segq AS (
+      -- quadratic-vertex minimum per union segment whose midpoint is
+      -- not inside a gap of either side (identical FP ops as
+      -- _min_dist_sq_profile)
+      SELECT u1, u2,
+             pax - pbx AS dx0, pay - pby AS dy0,
+             (npax - npbx) - (pax - pbx) AS vx,
+             (npay - npby) - (pay - pby) AS vy
+      FROM segd s
+      WHERE ntsd IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM gaps g
+                        WHERE g.user_id IN (s.u1, s.u2)
+                          AND (s.tsd + s.ntsd) * 0.5 > g.glod
+                          AND (s.tsd + s.ntsd) * 0.5 < g.ghid)
+    ),
+    seg_min AS (
+      SELECT u1, u2,
+             MIN((dx0 + vx*u)*(dx0 + vx*u) + (dy0 + vy*u)*(dy0 + vy*u)) AS m
+      FROM (
+        SELECT u1, u2, dx0, dy0, vx, vy,
+               CASE WHEN vx*vx + vy*vy > 0
+                    THEN GREATEST(0.0, LEAST(1.0,
+                         -(dx0*vx + dy0*vy) / (vx*vx + vy*vy)))
+                    ELSE 0.0 END AS u
+        FROM segq
+      ) GROUP BY u1, u2
+    ),
+    within AS (
+      SELECT k.u1, k.u2
+      FROM knot_min k
+      LEFT JOIN seg_min s ON s.u1 = k.u1 AND s.u2 = k.u2
+      WHERE k.n_valid > 0
+        AND LEAST(k.m, COALESCE(s.m, k.m)) <= {d2}
+    )
+    {final}
+    """
+
+
+@register(
+    "bm_q6",
+    _sync_edwithin_oracle(
+        tp_filter="WHERE v.vehicle_type = 'truck'",
+        prs_cond="a.user_id < b.user_id",
+        d2="100.0",
+        final="""
+    SELECT DISTINCT v1.licence AS licence1, v2.licence AS licence2
+    FROM within w
+    JOIN v v1 ON v1.vehicle_id = w.u1
+    JOIN v v2 ON v2.vehicle_id = w.u2
+    """,
+    ),
+)
 def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q6: truck pairs that ever came within 10 units
     (bbox expand prefilter + eDwithin — the reference's
     `Trip && expandSpace(...)` plan, SURVEY.md §2.7). Plan switches to
     the grid-bucketed candidate join when the truck fleet outgrows
-    broadcast size."""
+    broadcast size.
+
+    Oracle: full synchronized-distance formulation in ANSI SQL — union
+    knots per pair (ASOF-join interpolation matching np.interp's
+    slope*(t-t0)+f0 form), gap-masked knots/segments, and the
+    per-segment quadratic vertex minimum, term-for-term the
+    _min_dist_sq_profile kernel."""
     from .operators.tpoint_pairs import register_flat_pair_udfs
 
     udfs = register_flat_pair_udfs(spark)
@@ -476,8 +714,22 @@ def bm_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dists.groupBy("period_id").agg(F.max("dist").alias("max_dist"))
 
 
-# ================================================================ q10 (rows-only)
-@register("bm_q10", None)
+# ================================================================ q10
+@register(
+    "bm_q10",
+    _sync_edwithin_oracle(
+        tp_filter="",
+        prs_cond=(
+            "a.user_id IN (SELECT vehicle_id FROM l1)"
+            " AND a.user_id <> b.user_id"
+        ),
+        d2="9.0",
+        final="""
+    SELECT DISTINCT l1.licence AS licence1, w.u2 AS vehicle_id2
+    FROM within w JOIN l1 ON l1.vehicle_id = w.u1
+    """,
+    ),
+)
 def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q10: licences1 vehicles vs everyone: pairs that ever came within
     3 units (expandSpace bbox prefilter + eDwithin). The probe side is
