@@ -64,6 +64,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # floor-divide ns → µs (positive epochs: same truncation DuckDB
         # applies when reading TIMESTAMP_NS)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    # TIMESTAMP_NTZ on Spark ≥3.4; the engine (unix_micros, interval
+    # arithmetic, span types) is built on TIMESTAMP. Under the UTC session
+    # timezone the cast is value-identical to DuckDB's naive-UTC read.
+    from pyspark.sql import types as _T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, _T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
