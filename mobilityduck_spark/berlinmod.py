@@ -1216,10 +1216,15 @@ def bm_q13_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = rest.select(
         "vehicle_id", "period_id", "rt",
         B.stbox_of_tpoint(F.col("rt")).alias("bb"),
-    )
+    ).filter(F.col("rt").isNotNull())
+    # materialize the clipped trips ONCE: without a barrier Catalyst
+    # inlines the at_time HOF into the bbox filter + null check +
+    # edge-intersect predicate below the 10-row polygon cross join,
+    # re-evaluating the clip per (row, predicate) — measured 36 s vs
+    # ~3 s at sf0.01. Output is |vehicles|x|periods| clipped rows.
+    rest = rest.localCheckpoint()
     cand = rest.crossJoin(F.broadcast(pr)).filter(
-        F.col("rt").isNotNull()
-        & (F.col("bb.xmin") <= F.col("bx1")) & (F.col("bb.xmax") >= F.col("bx0"))
+        (F.col("bb.xmin") <= F.col("bx1")) & (F.col("bb.xmax") >= F.col("bx0"))
         & (F.col("bb.ymin") <= F.col("by1")) & (F.col("bb.ymax") >= F.col("by0"))
     )
     hit = cand.filter(PG.tpoint_intersects_edges(F.col("rt"), F.col("edges")))
