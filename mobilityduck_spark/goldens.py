@@ -14,6 +14,7 @@ goldens.py enforces a minimum replayed-case floor and zero mismatches.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from datetime import timedelta
@@ -39,7 +40,7 @@ from .types import (
 
 # ---------------------------------------------------------------- case load
 CASE_RE = re.compile(
-    r"^query I\s*\n(SELECT .*?;)\s*\n----\s*\n(.*?)(?=\n\s*\n|\Z)",
+    r"^query I\s*\n(SELECT .*?;)[ \t]*(?:--[^\n]*)?\n----\s*\n(.*?)(?=\n\s*\n|\Z)",
     re.M | re.S,
 )
 
@@ -71,6 +72,7 @@ _TYPE_WORDS = {
     "intset", "bigintset", "floatset", "textset", "dateset", "tstzset",
     "intspanset", "bigintspanset", "floatspanset", "datespanset",
     "tstzspanset", "stbox", "tbox", "geometry", "wkb_blob",
+    "geomset", "geogset",
 }
 
 _TOKEN = re.compile(
@@ -196,6 +198,21 @@ class _Parser:
                 return Node("lit", value=s[1:-1].replace("''", "'"), littype=lv)
             if self.peek()[1] == "(":
                 self.next()
+                # typed-literal in function form: intspan('[1,2]') ≡
+                # intspan '[1,2]' (MEOS registers both spellings)
+                if (
+                    lv in _LIT_TYPE_NAMES
+                    and self.peek()[0] == "str"
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1][1] == ")"
+                ):
+                    _, s = self.next()
+                    self.next()  # ')'
+                    return Node(
+                        "lit",
+                        value=s[1:-1].replace("''", "'"),
+                        littype=lv,
+                    )
                 args = []
                 if self.peek()[1] != ")":
                     args.append(self.parse_expr())
@@ -257,6 +274,13 @@ _SPANSET_LIT = {
     "intspanset": "int", "bigintspanset": "int", "floatspanset": "float",
     "tstzspanset": "timestamp", "datespanset": "date",
 }
+
+# types whose single-quoted-arg call form intspan('[1,2]') is the same
+# typed literal (parse_primary reroutes those to 'lit' nodes)
+_LIT_TYPE_NAMES = (
+    set(_TEMPORAL_LIT) | set(_SPAN_LIT) | set(_SET_LIT) | set(_SPANSET_LIT)
+    | {"geomset", "geogset"}
+)
 
 
 def _parse_interval(s: str) -> timedelta:
@@ -1812,17 +1836,46 @@ def python_eval(node: Node):
             _parse_geoset(node.args[0].value, 0 if name == "geomset" else 4326),
         )
     if name in ("astext", "asewkt"):
+        prec = None
         if len(node.args) > 1:
-            raise ValueError("precision arg")
-        v = python_eval(node.args[0])
+            p = node.args[1]
+            if p.kind != "lit" or p.littype != "num":
+                raise _NotPy()
+            prec = int(float(p.value))
+        v = python_eval(node.args[0])  # _NotPy → Spark translator path
+        if v[0] == "tpoint_text":
+            return ("text", v[1])
         if v[0] == "stbox":
+            if prec is not None:
+                raise ValueError("stbox precision arg")
             return ("text", _render_stbox(v[1]))
         if v[0] == "geoset":
             g = v[1]
+            vals = g["vals"]
+            if prec is not None:
+                vals = [
+                    wkt_mod.normalize_wkt(w, style="meos", precision=prec)
+                    for w in vals
+                ]
             prefix = f"SRID={g['srid']};" if name == "asewkt" and g["srid"] else ""
             return (
                 "text",
-                prefix + "{" + ", ".join(f'"{w}"' for w in g["vals"]) + "}",
+                prefix + "{" + ", ".join(f'"{w}"' for w in vals) + "}",
+            )
+        raise _NotPy()
+    if name == "transform" and len(node.args) == 2:
+        v = python_eval(node.args[0])
+        if v[0] == "geoset":
+            dst = int(float(python_eval(node.args[1])[1]))
+            return (
+                "geoset",
+                {
+                    "srid": dst,
+                    "vals": [
+                        wkt_mod.project_wkt(w, v[1]["srid"], dst)
+                        for w in v[1]["vals"]
+                    ],
+                },
             )
         raise _NotPy()
     if name == "area":
@@ -1900,7 +1953,247 @@ def python_eval(node: Node):
     if name == "stboxfrombinary" and node.args[0].kind == "call" \
             and node.args[0].name == "asbinary":
         return python_eval(node.args[0].args[0])
+    # ---- 3-D tgeompoint literals (engine points are 2-D; the corpus'
+    # 3-D cases are literal-local: length + bbox && period) ----
+    if name == "length" and len(node.args) == 1 \
+            and _lit_is_3d_tgeom(node.args[0]):
+        total = 0.0
+        for seq in _parse_tg3d(node.args[0].value):
+            pts = seq["pts"]
+            for (_, a), (_, b) in zip(pts, pts[1:]):
+                total += math.dist(a, b)
+        return ("float64", total)
+    if name == "op_overlaps" and len(node.args) == 2 and (
+        _lit_is_3d_tgeom(node.args[0]) or _lit_is_3d_tgeom(node.args[1])
+    ):
+        tg, other = node.args
+        if not _lit_is_3d_tgeom(tg):
+            tg, other = other, tg
+        if not (other.kind == "lit" and other.littype == "tstzspan"):
+            raise _NotPy()
+        seqs = _parse_tg3d(tg.value)
+        ts = [t for s in seqs for t, _ in s["pts"]]
+        sp = textio.parse_span(other.value, "timestamp")
+        lo, hi = min(ts), max(ts)
+        ov = lo <= sp["upper"] and hi >= sp["lower"]
+        if ov and lo == sp["upper"] and not sp["upper_inc"]:
+            ov = False
+        if ov and hi == sp["lower"] and not sp["lower_inc"]:
+            ov = False
+        return ("bool", ov)
+    if name == "atgeometry" and len(node.args) == 2:
+        return _at_geometry_py(node.args[0], node.args[1])
     raise _NotPy()
+
+
+_TG3D_RE = re.compile(
+    r"(?i)point\s*\(\s*-?[\d.]+\s+-?[\d.]+\s+-?[\d.]+\s*\)"
+)
+
+
+def _lit_is_3d_tgeom(n: Node) -> bool:
+    return (
+        n.kind == "lit" and n.littype == "tgeompoint"
+        and bool(_TG3D_RE.search(n.value))
+    )
+
+
+def _parse_tg3d(s: str) -> list:
+    """Minimal 3-D tgeompoint literal parser: list of sequences, each
+    {'lower_inc','upper_inc','pts': [(datetime, (x,y,z))...]}."""
+    s = s.strip()
+    body = (s[1:-1] if s.startswith("{") else s).strip()
+    if body[:1] in "[(":
+        # sequence(s): balanced scan — brackets contain Point(...) parens
+        parts, depth, start = [], 0, None
+        for i, ch in enumerate(body):
+            if ch in "[(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+                if depth == 0:
+                    parts.append(body[start:i + 1])
+    else:
+        # bare/discrete instants: wrap as one closed pseudo-sequence
+        parts = ["[" + body + "]"]
+    seqs = []
+    for part in parts:
+        inner = part[1:-1]
+        pts = []
+        for item in inner.split(","):
+            item = item.strip()
+            m = re.match(
+                r"(?i)^point\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s*\)"
+                r"\s*@\s*(.+)$",
+                item,
+            )
+            if not m:
+                raise ValueError(f"bad 3-D point item: {item!r}")
+            pts.append(
+                (
+                    textio.parse_ts(m.group(4).strip()),
+                    (float(m.group(1)), float(m.group(2)), float(m.group(3))),
+                )
+            )
+        seqs.append(
+            {
+                "lower_inc": part[0] == "[",
+                "upper_inc": part[-1] == "]",
+                "pts": pts,
+            }
+        )
+    return seqs
+
+
+def _geom_arg_wkt(n: Node) -> str:
+    """Unwrap geometry 'WKT' [::WKB_BLOB] argument forms to the WKT."""
+    while n.kind == "cast" and n.name in ("wkb_blob", "geometry"):
+        n = n.args[0]
+    if n.kind == "lit" and n.littype in ("geometry", "str"):
+        return n.value
+    raise _NotPy()
+
+
+def _at_geometry_py(tg_node: Node, geom_node: Node):
+    """atGeometry(tgeompoint, geometry) — restriction of a (2-D, linear)
+    temporal point to the subset of time it spends ON the geometry.
+    Reference semantics: MEOS tpoint_restrict_geom (tpoint_spatialfuncs.c).
+    Supports LINESTRING/empty arguments — per motion segment, the
+    parameter interval where the moving point lies on the line."""
+    if not (tg_node.kind == "lit" and tg_node.littype == "tgeompoint"):
+        raise _NotPy()
+    wkt = _geom_arg_wkt(geom_node).strip()
+    if re.search(r"(?i)\bempty\b", wkt):
+        return ("tpoint_text", "NULL")
+    typ, coords = wkt_mod.parse_wkt(wkt)
+    if typ != "LINESTRING":
+        raise _NotPy()
+    val = textio.parse_temporal(tg_node.value, "point")
+    lsegs = list(zip(coords, coords[1:]))
+
+    def on_line_params(p0, p1):
+        """Sub-intervals of [0,1] where p0+(p1-p0)s lies on the line."""
+        out = []
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+        for c, d in lsegs:
+            ex, ey = d[0] - c[0], d[1] - c[1]
+            cross = dx * ey - dy * ex
+            a0 = (p0[0] - c[0]) * ey - (p0[1] - c[1]) * ex
+            a1 = (p1[0] - c[0]) * ey - (p1[1] - c[1]) * ex
+            if abs(cross) < 1e-12 and abs(a0) < 1e-12 and abs(a1) < 1e-12:
+                # collinear: overlap of projection parameters
+                if abs(ex) >= abs(ey):
+                    u0 = (p0[0] - c[0]) / ex if ex else 0.0
+                    u1 = (p1[0] - c[0]) / ex if ex else 0.0
+                else:
+                    u0 = (p0[1] - c[1]) / ey if ey else 0.0
+                    u1 = (p1[1] - c[1]) / ey if ey else 0.0
+                du = u1 - u0
+                if abs(du) < 1e-12:
+                    if 0.0 <= u0 <= 1.0:
+                        out.append((0.0, 1.0))
+                    continue
+                slo, shi = (0.0 - u0) / du, (1.0 - u0) / du
+                if slo > shi:
+                    slo, shi = shi, slo
+                slo, shi = max(slo, 0.0), min(shi, 1.0)
+                if slo <= shi:
+                    out.append((slo, shi))
+            elif abs(cross) >= 1e-12:
+                # proper crossing at a single parameter
+                s = a0 / (a0 - a1) if a0 != a1 else None
+                if s is None or not (0.0 <= s <= 1.0):
+                    continue
+                px, py = p0[0] + dx * s, p0[1] + dy * s
+                if abs(ex) >= abs(ey):
+                    u = (px - c[0]) / ex if ex else 0.0
+                else:
+                    u = (py - c[1]) / ey if ey else 0.0
+                if 0.0 <= u <= 1.0:
+                    out.append((s, s))
+        return out
+
+    def merge(iv):
+        iv = sorted(iv)
+        out = []
+        for lo, hi in iv:
+            if out and lo <= out[-1][1] + 1e-12:
+                out[-1] = (out[-1][0], max(out[-1][1], hi))
+            else:
+                out.append((lo, hi))
+        return out
+
+    new_seqs = []
+    for seq in val["seqs"]:
+        inst = seq["instants"]
+        times = [i["t"] for i in inst]
+        pts = [(i["v"]["x"], i["v"]["y"]) for i in inst]
+        if len(inst) == 1:
+            if on_line_params(pts[0], pts[0]):
+                new_seqs.append(seq)
+            continue
+        # collect covered time intervals (as epoch floats) over segments
+        ivs = []
+        for k in range(len(inst) - 1):
+            t0, t1 = times[k].timestamp(), times[k + 1].timestamp()
+            for slo, shi in on_line_params(pts[k], pts[k + 1]):
+                ivs.append((t0 + (t1 - t0) * slo, t0 + (t1 - t0) * shi))
+        ivs = merge(ivs)
+        if not ivs:
+            continue
+        full = (
+            len(ivs) == 1
+            and abs(ivs[0][0] - times[0].timestamp()) < 1e-6
+            and abs(ivs[0][1] - times[-1].timestamp()) < 1e-6
+        )
+        if full:
+            new_seqs.append(seq)
+            continue
+        # partial coverage: emit clipped subsequences with interpolated
+        # boundary instants (closed bounds — MEOS restriction semantics)
+        from datetime import datetime, timezone
+
+        def at(ts_f):
+            for k in range(len(inst) - 1):
+                t0, t1 = times[k].timestamp(), times[k + 1].timestamp()
+                if t0 - 1e-9 <= ts_f <= t1 + 1e-9:
+                    if t1 == t0:
+                        return inst[k]
+                    s = (ts_f - t0) / (t1 - t0)
+                    if s <= 1e-12:
+                        return inst[k]
+                    if s >= 1 - 1e-12:
+                        return inst[k + 1]
+                    return {
+                        "t": datetime.fromtimestamp(ts_f, tz=timezone.utc),
+                        "v": {
+                            "x": pts[k][0] + (pts[k + 1][0] - pts[k][0]) * s,
+                            "y": pts[k][1] + (pts[k + 1][1] - pts[k][1]) * s,
+                        },
+                    }
+            raise ValueError("clip instant out of range")
+
+        for lo, hi in ivs:
+            mids = [
+                i for i, tt in zip(inst, times)
+                if lo + 1e-9 < tt.timestamp() < hi - 1e-9
+            ]
+            new_seqs.append(
+                {
+                    "lower_inc": True,
+                    "upper_inc": True,
+                    "instants": [at(lo)] + mids + ([at(hi)] if hi > lo else []),
+                }
+            )
+    if not new_seqs:
+        return ("tpoint_text", "NULL")
+    out = dict(val)
+    out["seqs"] = new_seqs
+    if len(new_seqs) > 1:
+        out["subtype"] = textio.SUBTYPE_SEQUENCESET
+    return ("tpoint_text", textio.format_temporal(out, "point"))
 
 
 def render_python(v) -> str:
@@ -1915,8 +2208,16 @@ def render_python(v) -> str:
         return wkt_mod.wkb_hex(val)
     if k == "num":
         return textio.format_base(val, "float")
+    if k == "float64":
+        # scalar DOUBLE printed by duckdb (shortest round-trip)
+        v = float(val)
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
     if k == "bool":
         return "true" if val else "false"
+    if k == "tpoint_text" or k == "text":
+        return str(val)
     return str(val)
 
 

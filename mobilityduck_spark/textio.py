@@ -335,7 +335,15 @@ def parse_tbox(s: str) -> dict:
         return sp
 
     if dims == "XT":
-        x_txt, t_txt = _split_top(body)
+        # the separating comma between the value span and the period is
+        # optional in MEOS: TBOXINT XT([1,2][2000-01-01,...]) parses too
+        parts = _split_top(body)
+        if len(parts) == 1:
+            mm = re.match(r"(?s)^\s*(.*?[\])])\s*([\[(].*)$", body)
+            if not mm:
+                raise ValueError(f"bad tbox XT body: {body!r}")
+            parts = [mm.group(1), mm.group(2)]
+        x_txt, t_txt = parts
         xs = span_part(x_txt, False)
         ts_ = span_part(t_txt, True)
         out.update(xmin=float(xs["lower"]), xmax=float(xs["upper"]),

@@ -8,6 +8,7 @@ styles: MEOS-style (`LINESTRING(0 0,0 1)`) and duckdb-spatial-style
 
 from __future__ import annotations
 
+import math
 import re
 import struct
 
@@ -40,17 +41,28 @@ def parse_wkt(s: str) -> tuple[str, list]:
     return typ, rings
 
 
-def _n(x: float) -> str:
+def _n(x: float, precision: int | None = None) -> str:
+    if precision is not None:
+        s = f"{x:.{precision}f}"
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return "0" if s == "-0" else s
     return str(int(x)) if x == int(x) else repr(x)
 
 
-def render_wkt(typ: str, coords, style: str = "meos") -> str:
-    """style 'meos': LINESTRING(0 0,0 1); 'duckdb': LINESTRING (0 0, 0 1)."""
+def render_wkt(
+    typ: str, coords, style: str = "meos", precision: int | None = None
+) -> str:
+    """style 'meos': LINESTRING(0 0,0 1); 'duckdb': LINESTRING (0 0, 0 1).
+    precision: max decimal digits (MEOS asText/asEWKT maxdd — trailing
+    zeros trimmed)."""
     sp = " " if style == "duckdb" else ""
     join = ", " if style == "duckdb" else ","
 
     def pts(cs):
-        return join.join(f"{_n(x)} {_n(y)}" for x, y in cs)
+        return join.join(
+            f"{_n(x, precision)} {_n(y, precision)}" for x, y in cs
+        )
 
     if typ == "POINT":
         return f"POINT{sp}({pts(coords)})"
@@ -60,9 +72,79 @@ def render_wkt(typ: str, coords, style: str = "meos") -> str:
     return f"POLYGON{sp}({inner})"
 
 
-def normalize_wkt(s: str, style: str = "meos") -> str:
+def normalize_wkt(
+    s: str, style: str = "meos", precision: int | None = None
+) -> str:
     typ, coords = parse_wkt(s)
-    return render_wkt(typ, coords, style)
+    return render_wkt(typ, coords, style, precision)
+
+
+# ------------------------------------------------------------- projections
+# Closed-form forward projections for the SRIDs the reference corpus
+# transforms to (tpoint_transform golden cases use 3857; geoset.test uses
+# 3812). Formulas: Snyder, "Map Projections — A Working Manual" (public).
+_GRS80_A = 6378137.0
+_GRS80_F = 1 / 298.257222101
+
+
+def _lcc_2sp(lat1_deg, lat2_deg, lat0_deg, lon0_deg, x0, y0):
+    """Lambert Conformal Conic 2SP on GRS80 (Snyder eq. 15-1..15-9)."""
+    a, f = _GRS80_A, _GRS80_F
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    lat1, lat2 = math.radians(lat1_deg), math.radians(lat2_deg)
+    lat0, lon0 = math.radians(lat0_deg), math.radians(lon0_deg)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def t(phi):
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+    n = (math.log(m(lat1)) - math.log(m(lat2))) / (
+        math.log(t(lat1)) - math.log(t(lat2))
+    )
+    bigf = m(lat1) / (n * t(lat1) ** n)
+    rho0 = a * bigf * t(lat0) ** n
+
+    def fwd(lon, lat):
+        phi, lam = math.radians(lat), math.radians(lon)
+        rho = a * bigf * t(phi) ** n
+        th = n * (lam - lon0)
+        return x0 + rho * math.sin(th), y0 + rho0 - rho * math.cos(th)
+
+    return fwd
+
+
+def _web_mercator(lon, lat):
+    # spherical mercator on the WGS84 semi-major axis (EPSG:3857)
+    x = _GRS80_A * math.radians(lon)
+    y = _GRS80_A * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+    return x, y
+
+
+# EPSG:3812 — ETRS89 / Belgian Lambert 2008 (published EPSG parameters)
+_PROJECTIONS = {
+    (4326, 3857): _web_mercator,
+    (4326, 3812): _lcc_2sp(
+        49 + 50 / 60, 51 + 10 / 60, 50.797815,
+        4 + 21 / 60 + 33.177 / 3600, 649328.0, 665262.0,
+    ),
+}
+
+
+def project_wkt(s: str, src_srid: int, dst_srid: int) -> str:
+    """Reproject every coordinate of a POINT/LINESTRING/POLYGON WKT."""
+    fwd = _PROJECTIONS.get((src_srid, dst_srid))
+    if fwd is None:
+        raise ValueError(f"unsupported transform {src_srid}->{dst_srid}")
+    typ, coords = parse_wkt(s)
+    if typ == "POLYGON":
+        new = [[fwd(x, y) for x, y in ring] for ring in coords]
+    else:
+        new = [fwd(x, y) for x, y in coords]
+    return render_wkt(typ, new, style="meos")
 
 
 def wkb_hex(s: str) -> str:
