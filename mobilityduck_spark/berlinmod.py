@@ -1269,8 +1269,214 @@ def bm_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ================================================================ q16 (rows-only)
-@register("bm_q16", None)
+# ================================================================ q16
+# Liang–Barsky u-window per (segment, region box) — the identical
+# double-precision formula as TP.intersects_stbox (also used in the
+# bm_q13 oracle above).
+_LB_C_SQL = """
+      SELECT s.user_id, r.region_id,
+             CAST(epoch_us(s.t0) AS DOUBLE) AS t0u,
+             CAST(epoch_us(s.t1) - epoch_us(s.t0) AS DOUBLE) AS dtu,
+             GREATEST(0.0,
+               CASE WHEN s.x1 = s.x0
+                    THEN CASE WHEN s.x0 >= r.rx0 AND s.x0 <= r.rx1
+                              THEN 0.0 ELSE 1.0 END
+                    ELSE LEAST((r.rx0 - s.x0)/(s.x1 - s.x0),
+                               (r.rx1 - s.x0)/(s.x1 - s.x0)) END,
+               CASE WHEN s.y1 = s.y0
+                    THEN CASE WHEN s.y0 >= r.ry0 AND s.y0 <= r.ry1
+                              THEN 0.0 ELSE 1.0 END
+                    ELSE LEAST((r.ry0 - s.y0)/(s.y1 - s.y0),
+                               (r.ry1 - s.y0)/(s.y1 - s.y0)) END
+             ) AS u0,
+             LEAST(1.0,
+               CASE WHEN s.x1 = s.x0
+                    THEN CASE WHEN s.x0 >= r.rx0 AND s.x0 <= r.rx1
+                              THEN 1.0 ELSE 0.0 END
+                    ELSE GREATEST((r.rx0 - s.x0)/(s.x1 - s.x0),
+                                  (r.rx1 - s.x0)/(s.x1 - s.x0)) END,
+               CASE WHEN s.y1 = s.y0
+                    THEN CASE WHEN s.y0 >= r.ry0 AND s.y0 <= r.ry1
+                              THEN 1.0 ELSE 0.0 END
+                    ELSE GREATEST((r.ry0 - s.y0)/(s.y1 - s.y0),
+                                  (r.ry1 - s.y0)/(s.y1 - s.y0)) END
+             ) AS u1
+      FROM seg0 s CROSS JOIN r
+      WHERE s.t1 IS NOT NULL AND s.island = s.isl1
+"""
+
+
+@register(
+    "bm_q16",
+    f"""
+    WITH isl AS ({{ISLANDS}}),
+    v AS ({{VEHICLES}}),
+    l1 AS ({{LICENCES1}}),
+    l2 AS ({{LICENCES2}}),
+    p AS (SELECT * FROM ({{PERIODS1}}) WHERE period_id <= 2),
+    r AS (SELECT * FROM ({{REGIONS1}}) WHERE region_id <= 2),
+    seg0 AS (
+      SELECT user_id, island, ts AS t0, x AS x0, y AS y0,
+             lead(ts) OVER w AS t1, lead(x) OVER w AS x1,
+             lead(y) OVER w AS y1, lead(island) OVER w AS isl1
+      FROM isl
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    c AS ({_LB_C_SQL}),
+    seg_hits AS (
+      SELECT DISTINCT c.user_id, c.region_id, p.period_id
+      FROM c JOIN p
+        ON c.u0 <= c.u1
+       AND GREATEST(CAST(FLOOR(c.t0u + c.u0 * c.dtu) AS BIGINT),
+                    epoch_us(p.tstart))
+           <= LEAST(CAST(FLOOR(c.t0u + c.u1 * c.dtu) AS BIGINT),
+                    epoch_us(p.tend) - 1)
+    ),
+    ping_hits AS (
+      SELECT DISTINCT e.user_id, r.region_id, p.period_id
+      FROM isl e
+      JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
+      JOIN r ON e.x >= r.rx0 AND e.x <= r.rx1
+            AND e.y >= r.ry0 AND e.y <= r.ry1
+    ),
+    pres AS (
+      SELECT user_id, region_id, period_id FROM seg_hits
+      UNION
+      SELECT user_id, region_id, period_id FROM ping_hits
+    ),
+    cand AS (
+      SELECT DISTINCT a.licence AS licence1, a.vehicle_id AS u1,
+             b.licence AS licence2, b.vehicle_id AS u2,
+             pa.region_id, pa.period_id
+      FROM pres pa JOIN l1 a ON a.vehicle_id = pa.user_id
+      JOIN pres pb ON pb.region_id = pa.region_id
+                  AND pb.period_id = pa.period_id
+      JOIN l2 b ON b.vehicle_id = pb.user_id
+      WHERE a.licence < b.licence
+    ),
+    upairs AS (SELECT DISTINCT u1, u2, period_id FROM cand),
+    tp AS (
+      SELECT e.user_id, e.ts, e.x, e.y, e.island,
+             CAST(epoch_us(e.ts) AS DOUBLE) / 1000000.0 AS tsd
+      FROM isl e
+      WHERE e.user_id IN (SELECT vehicle_id FROM l1
+                          UNION SELECT vehicle_id FROM l2)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM tp GROUP BY user_id
+    ),
+    -- synchronized window of the two period-clipped trips: at_time
+    -- emits interpolated boundary instants, so the window bounds are
+    -- themselves knots (engine: temporal.at_time + _sync_segments)
+    win AS (
+      SELECT up.u1, up.u2, up.period_id,
+             GREATEST(b1.mn, b2.mn, p.tstart) AS lo,
+             LEAST(b1.mx, b2.mx, p.tend) AS hi
+      FROM upairs up
+      JOIN bounds b1 ON b1.user_id = up.u1
+      JOIN bounds b2 ON b2.user_id = up.u2
+      JOIN p ON p.period_id = up.period_id
+    ),
+    gaps AS (
+      SELECT user_id, pts AS glo, ts AS ghi,
+             CAST(epoch_us(pts) AS DOUBLE) / 1000000.0 AS glod,
+             CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS ghid
+      FROM (
+        SELECT user_id, ts, island,
+               lag(ts) OVER w AS pts, lag(island) OVER w AS pisl
+        FROM tp WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ) WHERE pisl IS NOT NULL AND pisl <> island AND ts > pts
+    ),
+    knots AS (
+      SELECT w.u1, w.u2, w.period_id, t.ts,
+             CAST(epoch_us(t.ts) AS DOUBLE) / 1000000.0 AS tsd
+      FROM win w JOIN tp t
+        ON t.user_id IN (w.u1, w.u2) AND t.ts >= w.lo AND t.ts <= w.hi
+      GROUP BY w.u1, w.u2, w.period_id, t.ts
+      UNION
+      SELECT u1, u2, period_id, lo,
+             CAST(epoch_us(lo) AS DOUBLE) / 1000000.0
+      FROM win WHERE lo <= hi
+      UNION
+      SELECT u1, u2, period_id, hi,
+             CAST(epoch_us(hi) AS DOUBLE) / 1000000.0
+      FROM win WHERE lo <= hi
+    ),
+    kpos AS (
+      SELECT k.u1, k.u2, k.period_id, k.ts, k.tsd,
+        CASE WHEN a1.tsd = b1.tsd THEN b1.x
+             ELSE (a1.x - b1.x)/(a1.tsd - b1.tsd)*(k.tsd - b1.tsd) + b1.x END AS pax,
+        CASE WHEN a1.tsd = b1.tsd THEN b1.y
+             ELSE (a1.y - b1.y)/(a1.tsd - b1.tsd)*(k.tsd - b1.tsd) + b1.y END AS pay,
+        CASE WHEN a2.tsd = b2.tsd THEN b2.x
+             ELSE (a2.x - b2.x)/(a2.tsd - b2.tsd)*(k.tsd - b2.tsd) + b2.x END AS pbx,
+        CASE WHEN a2.tsd = b2.tsd THEN b2.y
+             ELSE (a2.y - b2.y)/(a2.tsd - b2.tsd)*(k.tsd - b2.tsd) + b2.y END AS pby,
+        NOT EXISTS (SELECT 1 FROM gaps g
+                    WHERE g.user_id IN (k.u1, k.u2)
+                      AND k.ts > g.glo AND k.ts < g.ghi) AS vk
+      FROM knots k
+      ASOF JOIN tp b1 ON b1.user_id = k.u1 AND b1.ts <= k.ts
+      ASOF JOIN tp a1 ON a1.user_id = k.u1 AND a1.ts >= k.ts
+      ASOF JOIN tp b2 ON b2.user_id = k.u2 AND b2.ts <= k.ts
+      ASOF JOIN tp a2 ON a2.user_id = k.u2 AND a2.ts >= k.ts
+    ),
+    segd AS (
+      SELECT u1, u2, period_id, ts, tsd, pax, pay, pbx, pby, vk,
+             lead(tsd) OVER w AS ntsd,
+             lead(pax) OVER w AS npax, lead(pay) OVER w AS npay,
+             lead(pbx) OVER w AS npbx, lead(pby) OVER w AS npby
+      FROM kpos WINDOW w AS (PARTITION BY u1, u2, period_id ORDER BY tsd)
+    ),
+    -- a zero of the synchronized distance: exact contact at a valid
+    -- knot, or a segment quadratic whose clamped vertex hits zero
+    contact AS (
+      SELECT DISTINCT u1, u2, period_id FROM segd
+      WHERE vk AND pax = pbx AND pay = pby
+      UNION
+      SELECT DISTINCT u1, u2, period_id FROM (
+        SELECT s.u1, s.u2, s.period_id,
+               s.pax - s.pbx AS dx0, s.pay - s.pby AS dy0,
+               (s.npax - s.npbx) - (s.pax - s.pbx) AS vx,
+               (s.npay - s.npby) - (s.pay - s.pby) AS vy
+        FROM segd s
+        WHERE s.ntsd IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM gaps g
+                          WHERE g.user_id IN (s.u1, s.u2)
+                            AND (s.tsd + s.ntsd) * 0.5 > g.glod
+                            AND (s.tsd + s.ntsd) * 0.5 < g.ghid)
+      ) q
+      WHERE (
+        (dx0 + vx * (CASE WHEN vx*vx + vy*vy > 0
+                          THEN GREATEST(0.0, LEAST(1.0,
+                               -(dx0*vx + dy0*vy) / (vx*vx + vy*vy)))
+                          ELSE 0.0 END))
+        * (dx0 + vx * (CASE WHEN vx*vx + vy*vy > 0
+                            THEN GREATEST(0.0, LEAST(1.0,
+                                 -(dx0*vx + dy0*vy) / (vx*vx + vy*vy)))
+                            ELSE 0.0 END))
+        + (dy0 + vy * (CASE WHEN vx*vx + vy*vy > 0
+                            THEN GREATEST(0.0, LEAST(1.0,
+                                 -(dx0*vx + dy0*vy) / (vx*vx + vy*vy)))
+                            ELSE 0.0 END))
+        * (dy0 + vy * (CASE WHEN vx*vx + vy*vy > 0
+                            THEN GREATEST(0.0, LEAST(1.0,
+                                 -(dx0*vx + dy0*vy) / (vx*vx + vy*vy)))
+                            ELSE 0.0 END))
+      ) <= 0.0
+    )
+    SELECT DISTINCT c.period_id, c.region_id, c.licence1, c.licence2
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM contact x
+      WHERE x.u1 = c.u1 AND x.u2 = c.u2 AND x.period_id = c.period_id
+    )
+    """.format(
+        ISLANDS=BM.ISLANDS_SQL, VEHICLES=BM.VEHICLES_SQL,
+        LICENCES1=BM.LICENCES1_SQL, LICENCES2=BM.LICENCES2_SQL,
+        PERIODS1=BM.PERIODS1_SQL, REGIONS1=BM.REGIONS1_SQL,
+    ),
+)
 def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q16: licence pairs both present in a region during a period whose
     clipped trips never meet (aDisjoint)."""
@@ -1280,8 +1486,10 @@ def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips = _trips(spark, sf_dir)
     l1 = BM.licences1(spark, sf_dir)
     l2 = BM.licences2(spark, sf_dir)
-    p = BM.periods1(spark, sf_dir).limit(3)
-    r = BM.regions1(spark, sf_dir).limit(3)
+    # deterministic 3×3 probe subset (filter, not limit — an order-free
+    # limit is nondeterministic in principle and unverifiable in SQL)
+    p = BM.periods1(spark, sf_dir).filter(F.col("period_id") <= 2)
+    r = BM.regions1(spark, sf_dir).filter(F.col("region_id") <= 2)
     probe = p.crossJoin(r).select(
         "period_id", "region_id", "tstart", "tend",
         B.stbox(
