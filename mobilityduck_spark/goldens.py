@@ -1952,7 +1952,11 @@ def python_eval(node: Node):
             return ("text", "NULL")
     if name == "stboxfrombinary" and node.args[0].kind == "call" \
             and node.args[0].name == "asbinary":
-        return python_eval(node.args[0].args[0])
+        v = python_eval(node.args[0].args[0])
+        if v[0] != "stbox":
+            raise _NotPy()
+        # real WKB round-trip (textio.stbox_as_binary/stbox_from_binary)
+        return ("stbox", textio.stbox_from_binary(textio.stbox_as_binary(v[1])))
     # ---- 3-D tgeompoint literals (engine points are 2-D; the corpus'
     # 3-D cases are literal-local: length + bbox && period) ----
     if name == "length" and len(node.args) == 1 \

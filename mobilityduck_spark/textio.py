@@ -470,3 +470,83 @@ def parse_geoset(s: str, default_srid: int) -> dict:
         vals.append(_wkt_normalize(item))
     return {"srid": srid, "vals": vals}
 
+
+
+# ----------------------------------------------------------- STBOX WKB
+# asBinary(STBOX) / stboxFromBinary — field order follows MEOS
+# stbox_to_wkb_buf (meos type_out.c; reference registers the pair at
+# src/geo/stbox.cpp:62-103): endian byte, flags byte (X|Z|T|GEODETIC|
+# SRID), optional int32 SRID, the period as (int64 µs lower, int64 µs
+# upper, bounds byte), then xmin,xmax,ymin,ymax[,zmin,zmax] doubles.
+_WKB_X, _WKB_Z, _WKB_T = 0x01, 0x02, 0x04
+_WKB_GEOD, _WKB_SRID = 0x08, 0x10
+
+
+def _ts_us(ts: datetime) -> int:
+    return int(ts.timestamp() * 1_000_000) if ts.tzinfo else int(
+        ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def stbox_as_binary(d: dict) -> bytes:
+    import struct
+
+    has_x = d.get("xmin") is not None
+    has_z = d.get("zmin") is not None
+    has_t = d.get("tmin") is not None
+    flags = (
+        (_WKB_X if has_x else 0)
+        | (_WKB_Z if has_z else 0)
+        | (_WKB_T if has_t else 0)
+        | (_WKB_GEOD if d.get("geodetic") else 0)
+        | (_WKB_SRID if d.get("srid") else 0)
+    )
+    out = struct.pack("<BB", 1, flags)  # 1 = little-endian (NDR)
+    if d.get("srid"):
+        out += struct.pack("<i", d["srid"])
+    if has_t:
+        bounds = (1 if d.get("tmin_inc", True) else 0) | (
+            2 if d.get("tmax_inc", True) else 0
+        )
+        out += struct.pack(
+            "<qqB", _ts_us(d["tmin"]), _ts_us(d["tmax"]), bounds
+        )
+    if has_x:
+        out += struct.pack("<dddd", d["xmin"], d["xmax"], d["ymin"], d["ymax"])
+        if has_z:
+            out += struct.pack("<dd", d["zmin"], d["zmax"])
+    return out
+
+
+def stbox_from_binary(b: bytes) -> dict:
+    import struct
+
+    endian, flags = struct.unpack_from("<BB", b, 0)
+    if endian != 1:
+        raise ValueError("big-endian STBOX WKB unsupported")
+    off = 2
+    d = {
+        "geodetic": bool(flags & _WKB_GEOD), "srid": None,
+        "xmin": None, "ymin": None, "zmin": None,
+        "xmax": None, "ymax": None, "zmax": None,
+        "tmin": None, "tmax": None, "tmin_inc": True, "tmax_inc": True,
+    }
+    if flags & _WKB_SRID:
+        (d["srid"],) = struct.unpack_from("<i", b, off)
+        off += 4
+    if flags & _WKB_T:
+        lo, hi, bounds = struct.unpack_from("<qqB", b, off)
+        off += 17
+        d["tmin"] = datetime.fromtimestamp(lo / 1_000_000, tz=timezone.utc)
+        d["tmax"] = datetime.fromtimestamp(hi / 1_000_000, tz=timezone.utc)
+        d["tmin_inc"] = bool(bounds & 1)
+        d["tmax_inc"] = bool(bounds & 2)
+    if flags & _WKB_X:
+        d["xmin"], d["xmax"], d["ymin"], d["ymax"] = struct.unpack_from(
+            "<dddd", b, off
+        )
+        off += 32
+        if flags & _WKB_Z:
+            d["zmin"], d["zmax"] = struct.unpack_from("<dd", b, off)
+            off += 16
+    return d

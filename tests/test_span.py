@@ -88,3 +88,24 @@ def test_tstz_span_contains(spark):
     assert one(df, S.contains_value(s, F.to_timestamp(F.lit("2024-01-01 12:00:00")))) is True
     assert one(df, S.contains_value(s, F.to_timestamp(F.lit("2024-01-02 00:00:00")))) is False
     assert one(df, S.duration_secs(s)) == 86400.0
+
+
+def test_stbox_wkb_roundtrip():
+    """asBinary(STBOX)/stboxFromBinary (reference src/geo/stbox.cpp:62-103):
+    every dimension combination survives the WKB round-trip exactly."""
+    cases = [
+        "STBOX X((1,2),(3,4))",
+        "STBOX Z((1,2,3),(4,5,6))",
+        "STBOX T([2000-01-01,2000-01-02])",
+        "STBOX T((2000-01-01,2000-01-02))",
+        "STBOX XT(((1,2),(3,4)),[2000-01-01,2000-01-02))",
+        "STBOX ZT(((1.5,2.5,3.5),(4,5,6)),(2000-01-01,2000-01-02])",
+        "GEODSTBOX ZT(((1,2,3),(4,5,6)),[2000-01-01,2000-01-02])",
+        "SRID=5676;STBOX X((1,2),(3,4))",
+    ]
+    for c in cases:
+        d = textio.parse_stbox(c)
+        b = textio.stbox_as_binary(d)
+        assert isinstance(b, bytes) and len(b) >= 2
+        d2 = textio.stbox_from_binary(b)
+        assert textio.format_stbox(d2) == textio.format_stbox(d), c
