@@ -948,7 +948,9 @@ def bm_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     between samples counts, with the entry/exit interval floored to µs
     exactly as the oracle's Liang–Barsky SQL does. The sampled
     approximation remains available as TP.at_box_sampled."""
-    trips = _trips(spark, sf_dir)
+    # _flat_trips persists the per-trip bbox (bb): the prefilter reads
+    # it instead of re-scanning every instant once per probe pair
+    trips = _flat_trips(spark, sf_dir).select("vehicle_id", "trip", "bb")
     p = BM.periods1(spark, sf_dir)
     r = BM.regions1(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
@@ -963,7 +965,7 @@ def bm_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("box"),
     )
     t = trips.crossJoin(F.broadcast(probe)).filter(
-        B.stbox_overlaps(B.stbox_of_tpoint(F.col("trip")), F.col("box"))
+        B.stbox_overlaps(F.col("bb"), F.col("box"))
     )
     inside = t.filter(TP.intersects_stbox(F.col("trip"), F.col("box")))
     return (
@@ -1483,7 +1485,8 @@ def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.tpoint_pairs import register_pair_udfs
 
     udfs = register_pair_udfs(spark)
-    trips = _trips(spark, sf_dir)
+    # persisted per-trip bbox (bb) from _flat_trips feeds the prefilter
+    trips = _flat_trips(spark, sf_dir).select("vehicle_id", "trip", "bb")
     l1 = BM.licences1(spark, sf_dir)
     l2 = BM.licences2(spark, sf_dir)
     # deterministic 3×3 probe subset (filter, not limit — an order-free
@@ -1505,7 +1508,7 @@ def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp = S.span(F.col("tstart"), F.col("tend"))
         return (
             t.filter(
-                B.stbox_overlaps(B.stbox_of_tpoint(F.col("trip")), F.col("box"))
+                B.stbox_overlaps(F.col("bb"), F.col("box"))
                 & TP.intersects_stbox(F.col("trip"), F.col("box"))
             )
             .select(
@@ -1517,8 +1520,11 @@ def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    a = present(l1, 1)
-    b = present(l2, 2)
+    # materialize both presence sides once: without a barrier the
+    # at_time clip and the intersects prefilter re-evaluate per pair row
+    # under the join (≤ |licences|·|probes| rows each — tiny)
+    a = present(l1, 1).localCheckpoint()
+    b = present(l2, 2).localCheckpoint()
     pairs = a.join(F.broadcast(b), ["period_id", "region_id"]).filter(
         F.col("licence1") < F.col("licence2")
     )
