@@ -1562,3 +1562,188 @@ def bm_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hits") == F.col("_mx"))
         .drop("_mx")
     )
+
+
+# ================================================================ atGeometry
+# Engine-side atGeometry(TGEOMPOINT, LINESTRING) restriction (time
+# dimension): how long, and in how many maximal intervals, each vehicle
+# travels ON the probe line y=50, x∈[0,100]. The oracle transliterates
+# the identical IEEE formulas (collinear projection overlap + crossing
+# parameter + µs floor) and the identical closed-span merge.
+_LINE_AX, _LINE_AY, _LINE_BX, _LINE_BY = 0.0, 50.0, 100.0, 50.0
+
+
+@register(
+    "at_line_duration",
+    f"""
+    WITH isl AS ({BM.ISLANDS_SQL}),
+    seg0 AS (
+      SELECT user_id, island, ts AS t0, x AS x0, y AS y0,
+             lead(ts) OVER w AS t1, lead(x) OVER w AS x1,
+             lead(y) OVER w AS y1, lead(island) OVER w AS isl1
+      FROM isl
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    -- per motion segment: parameter interval on the probe edge
+    -- (identical double ops as PG.on_line_spanset.seg_edge_span)
+    segc AS (
+      SELECT user_id,
+             CAST(epoch_us(t0) AS DOUBLE) AS t0u,
+             CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE) AS dtu,
+             (x1 - x0) * ({_LINE_BY} - {_LINE_AY})
+               - (y1 - y0) * ({_LINE_BX} - {_LINE_AX}) AS crs,
+             (x0 - {_LINE_AX}) * ({_LINE_BY} - {_LINE_AY})
+               - (y0 - {_LINE_AY}) * ({_LINE_BX} - {_LINE_AX}) AS a0,
+             (x1 - {_LINE_AX}) * ({_LINE_BY} - {_LINE_AY})
+               - (y1 - {_LINE_AY}) * ({_LINE_BX} - {_LINE_AX}) AS a1,
+             CASE WHEN ABS({_LINE_BX} - {_LINE_AX}) >= ABS({_LINE_BY} - {_LINE_AY})
+                  THEN CASE WHEN {_LINE_BX} - {_LINE_AX} <> 0.0
+                            THEN (x0 - {_LINE_AX}) / ({_LINE_BX} - {_LINE_AX})
+                            ELSE 0.0 END
+                  ELSE CASE WHEN {_LINE_BY} - {_LINE_AY} <> 0.0
+                            THEN (y0 - {_LINE_AY}) / ({_LINE_BY} - {_LINE_AY})
+                            ELSE 0.0 END END AS u0,
+             CASE WHEN ABS({_LINE_BX} - {_LINE_AX}) >= ABS({_LINE_BY} - {_LINE_AY})
+                  THEN CASE WHEN {_LINE_BX} - {_LINE_AX} <> 0.0
+                            THEN (x1 - {_LINE_AX}) / ({_LINE_BX} - {_LINE_AX})
+                            ELSE 0.0 END
+                  ELSE CASE WHEN {_LINE_BY} - {_LINE_AY} <> 0.0
+                            THEN (y1 - {_LINE_AY}) / ({_LINE_BY} - {_LINE_AY})
+                            ELSE 0.0 END END AS u1,
+             x0, y0, x1, y1
+      FROM seg0 WHERE t1 IS NOT NULL AND island = isl1
+    ),
+    iv AS (
+      SELECT user_id, t0u, dtu,
+        CASE
+          WHEN crs = 0.0 AND a0 = 0.0 AND a1 = 0.0 THEN
+            CASE WHEN u1 - u0 = 0.0 THEN
+                   CASE WHEN u0 >= 0.0 AND u0 <= 1.0 THEN 0.0 END
+                 ELSE
+                   CASE WHEN GREATEST(LEAST((0.0 - u0) / (u1 - u0),
+                                            (1.0 - u0) / (u1 - u0)), 0.0)
+                          <= LEAST(GREATEST((0.0 - u0) / (u1 - u0),
+                                            (1.0 - u0) / (u1 - u0)), 1.0)
+                        THEN GREATEST(LEAST((0.0 - u0) / (u1 - u0),
+                                            (1.0 - u0) / (u1 - u0)), 0.0) END
+            END
+          WHEN crs <> 0.0 THEN
+            CASE WHEN a0 / (a0 - a1) >= 0.0 AND a0 / (a0 - a1) <= 1.0
+                  AND (CASE WHEN ABS({_LINE_BX} - {_LINE_AX})
+                              >= ABS({_LINE_BY} - {_LINE_AY})
+                            THEN CASE WHEN {_LINE_BX} - {_LINE_AX} <> 0.0
+                                      THEN ((x0 + (x1 - x0) * (a0 / (a0 - a1)))
+                                            - {_LINE_AX}) / ({_LINE_BX} - {_LINE_AX})
+                                      ELSE 0.0 END
+                            ELSE CASE WHEN {_LINE_BY} - {_LINE_AY} <> 0.0
+                                      THEN ((y0 + (y1 - y0) * (a0 / (a0 - a1)))
+                                            - {_LINE_AY}) / ({_LINE_BY} - {_LINE_AY})
+                                      ELSE 0.0 END END) BETWEEN 0.0 AND 1.0
+                 THEN a0 / (a0 - a1) END
+        END AS s_lo,
+        CASE
+          WHEN crs = 0.0 AND a0 = 0.0 AND a1 = 0.0 THEN
+            CASE WHEN u1 - u0 = 0.0 THEN
+                   CASE WHEN u0 >= 0.0 AND u0 <= 1.0 THEN 1.0 END
+                 ELSE
+                   CASE WHEN GREATEST(LEAST((0.0 - u0) / (u1 - u0),
+                                            (1.0 - u0) / (u1 - u0)), 0.0)
+                          <= LEAST(GREATEST((0.0 - u0) / (u1 - u0),
+                                            (1.0 - u0) / (u1 - u0)), 1.0)
+                        THEN LEAST(GREATEST((0.0 - u0) / (u1 - u0),
+                                            (1.0 - u0) / (u1 - u0)), 1.0) END
+            END
+          WHEN crs <> 0.0 THEN
+            CASE WHEN a0 / (a0 - a1) >= 0.0 AND a0 / (a0 - a1) <= 1.0
+                  AND (CASE WHEN ABS({_LINE_BX} - {_LINE_AX})
+                              >= ABS({_LINE_BY} - {_LINE_AY})
+                            THEN CASE WHEN {_LINE_BX} - {_LINE_AX} <> 0.0
+                                      THEN ((x0 + (x1 - x0) * (a0 / (a0 - a1)))
+                                            - {_LINE_AX}) / ({_LINE_BX} - {_LINE_AX})
+                                      ELSE 0.0 END
+                            ELSE CASE WHEN {_LINE_BY} - {_LINE_AY} <> 0.0
+                                      THEN ((y0 + (y1 - y0) * (a0 / (a0 - a1)))
+                                            - {_LINE_AY}) / ({_LINE_BY} - {_LINE_AY})
+                                      ELSE 0.0 END END) BETWEEN 0.0 AND 1.0
+                 THEN a0 / (a0 - a1) END
+        END AS s_hi
+      FROM segc
+    ),
+    segsp AS (
+      SELECT user_id,
+             CAST(FLOOR(t0u + s_lo * dtu) AS BIGINT) AS lo_us,
+             CAST(FLOOR(t0u + s_hi * dtu) AS BIGINT) AS hi_us
+      FROM iv WHERE s_lo IS NOT NULL
+    ),
+    -- single-instant islands: instantaneous on-line spans
+    singles AS (
+      SELECT i.user_id, epoch_us(i.ts) AS lo_us, epoch_us(i.ts) AS hi_us
+      FROM isl i
+      JOIN (SELECT user_id, island FROM isl
+            GROUP BY user_id, island HAVING COUNT(*) = 1) s1
+        ON s1.user_id = i.user_id AND s1.island = i.island
+      WHERE (i.x - {_LINE_AX}) * ({_LINE_BY} - {_LINE_AY})
+              - (i.y - {_LINE_AY}) * ({_LINE_BX} - {_LINE_AX}) = 0.0
+        AND i.x >= LEAST({_LINE_AX}, {_LINE_BX})
+        AND i.x <= GREATEST({_LINE_AX}, {_LINE_BX})
+        AND i.y >= LEAST({_LINE_AY}, {_LINE_BY})
+        AND i.y <= GREATEST({_LINE_AY}, {_LINE_BY})
+    ),
+    allsp AS (
+      SELECT * FROM segsp UNION ALL SELECT * FROM singles
+    ),
+    ordered AS (
+      SELECT user_id, lo_us, hi_us,
+             MAX(hi_us) OVER (PARTITION BY user_id ORDER BY lo_us, hi_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+      FROM allsp
+    ),
+    grp AS (
+      SELECT user_id, lo_us, hi_us,
+             SUM(CASE WHEN prev_max IS NULL OR lo_us > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY lo_us, hi_us
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM ordered
+    ),
+    merged AS (
+      SELECT user_id, MIN(lo_us) AS lo_us, MAX(hi_us) AS hi_us
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id AS vehicle_id,
+           CAST(COUNT(*) AS INT) AS n_spans,
+           SUM(hi_us - lo_us) AS dur_us
+    FROM merged
+    GROUP BY user_id
+    """,
+)
+def at_line_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """atGeometry as an engine operator: restrict every trip to the
+    time it spends ON the probe linestring (y=50, x∈[0,100]) and report
+    maximal-interval count + total duration. Exercises the collinear-
+    overlap AND crossing-instant paths of PG.on_line_spanset (the same
+    restriction the reference's atGeometry performs —
+    src/geo/tgeompoint.cpp:265-273)."""
+    from .functions import polygon as PG
+
+    trips = _trips(spark, sf_dir)
+    edges = F.array(
+        F.struct(
+            F.struct(
+                F.lit(_LINE_AX).alias("x"), F.lit(_LINE_AY).alias("y")
+            ).alias("a"),
+            F.struct(
+                F.lit(_LINE_BX).alias("x"), F.lit(_LINE_BY).alias("y")
+            ).alias("b"),
+        )
+    )
+    t = trips.select(
+        "vehicle_id",
+        PG.on_line_spanset(F.col("trip"), edges).alias("ss"),
+    )
+    return t.select(
+        "vehicle_id",
+        F.size("ss").alias("n_spans"),
+        S.spanset_duration_us(F.col("ss")).alias("dur_us"),
+    ).filter(F.col("n_spans") > 0)

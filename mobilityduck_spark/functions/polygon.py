@@ -188,3 +188,146 @@ def tpoint_intersects_edges(t, edges) -> Column:
 
 def tpoint_intersects_ring(t, ring) -> Column:
     return tpoint_intersects_edges(t, ring_edges(ring))
+
+
+def line_edges(pts) -> Column:
+    """Edge structs (a, b) for an OPEN linestring vertex array (no
+    closing edge — contrast ring_edges)."""
+    p = _c(pts)
+    n = F.size(p)
+    return F.zip_with(
+        F.slice(p, 1, n - 1), F.slice(p, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def point_on_edges(px, py, edges) -> Column:
+    """Point lies ON one of the edges: collinear (exact cross-product
+    zero) and inside the edge's bbox."""
+    px, py = _c(px), _c(py)
+
+    def on(e: Column) -> Column:
+        a, b = e["a"], e["b"]
+        ex, ey = b["x"] - a["x"], b["y"] - a["y"]
+        cr = (px - a["x"]) * ey - (py - a["y"]) * ex
+        return (
+            (cr == 0)
+            & (px >= F.least(a["x"], b["x"]))
+            & (px <= F.greatest(a["x"], b["x"]))
+            & (py >= F.least(a["y"], b["y"]))
+            & (py <= F.greatest(a["y"], b["y"]))
+        )
+
+    return F.exists(_c(edges), on)
+
+
+def on_line_spanset(t, edges) -> Column:
+    """atGeometry(TGEOMPOINT, LINESTRING) restricted to its time
+    dimension: the tstzspanset during which the moving point lies ON
+    the linestring — the engine-side counterpart of the goldens-path
+    atGeometry restriction (MEOS tgeo_at_geom,
+    src/geo/tgeompoint.cpp:265-273 registers atGeometry).
+
+    Per linear motion segment p→q over [t0, t1] and per line edge a→b:
+    if the motion is collinear with the edge (both endpoint
+    cross-products exactly zero), the covered parameter interval is the
+    projection overlap clamped to [0, 1]; otherwise a proper crossing
+    contributes the instantaneous parameter s = a0/(a0−a1) when both s
+    and the edge parameter u lie in [0, 1]. Crossing times floor to µs
+    — the identical IEEE double formula is transliterated in the
+    at_line_duration oracle. Single-instant sequences and discrete
+    temporals contribute instantaneous spans via point_on_edges. The
+    per-segment spans are normalized+merged by spanset()."""
+    from ..types import INTERP_DISCRETE
+    from . import span as S
+
+    tc, eg = _c(t), _c(edges)
+
+    def closed(lo_us, hi_us):
+        return S.span(
+            F.timestamp_micros(lo_us), F.timestamp_micros(hi_us),
+            F.lit(True), F.lit(True),
+        )
+
+    def seg_edge_span(p: Column, q: Column, e: Column) -> Column:
+        t0u = F.unix_micros(p["t"])
+        t1u = F.unix_micros(q["t"])
+        dtu = (t1u - t0u).cast("double")
+        px, py = p["v"]["x"], p["v"]["y"]
+        qx, qy = q["v"]["x"], q["v"]["y"]
+        a, b = e["a"], e["b"]
+        ex, ey = b["x"] - a["x"], b["y"] - a["y"]
+        dx, dy = qx - px, qy - py
+        cross = dx * ey - dy * ex
+        a0 = (px - a["x"]) * ey - (py - a["y"]) * ex
+        a1 = (qx - a["x"]) * ey - (qy - a["y"]) * ex
+        use_x = F.abs(ex) >= F.abs(ey)
+
+        def proj(vx: Column, vy: Column) -> Column:
+            return F.when(
+                use_x,
+                F.when(ex != 0, (vx - a["x"]) / ex).otherwise(F.lit(0.0)),
+            ).otherwise(
+                F.when(ey != 0, (vy - a["y"]) / ey).otherwise(F.lit(0.0))
+            )
+
+        u0, u1 = proj(px, py), proj(qx, qy)
+        du = u1 - u0
+        slo_raw = F.when(du != 0, (F.lit(0.0) - u0) / du)
+        shi_raw = F.when(du != 0, (F.lit(1.0) - u0) / du)
+        slo = F.greatest(F.least(slo_raw, shi_raw), F.lit(0.0))
+        shi = F.least(F.greatest(slo_raw, shi_raw), F.lit(1.0))
+        col_iv = F.when(
+            du == 0,
+            F.when(
+                (u0 >= 0) & (u0 <= 1),
+                F.struct(F.lit(0.0).alias("lo"), F.lit(1.0).alias("hi")),
+            ),
+        ).otherwise(
+            F.when(
+                slo <= shi,
+                F.struct(slo.alias("lo"), shi.alias("hi")),
+            )
+        )
+        s = F.when(cross != 0, a0 / (a0 - a1))
+        sx, sy = px + dx * s, py + dy * s
+        u = F.when(
+            use_x, F.when(ex != 0, (sx - a["x"]) / ex).otherwise(F.lit(0.0))
+        ).otherwise(
+            F.when(ey != 0, (sy - a["y"]) / ey).otherwise(F.lit(0.0))
+        )
+        cross_iv = F.when(
+            (s >= 0) & (s <= 1) & (u >= 0) & (u <= 1),
+            F.struct(s.alias("lo"), s.alias("hi")),
+        )
+        iv = (
+            F.when((cross == 0) & (a0 == 0) & (a1 == 0), col_iv)
+            .when(cross != 0, cross_iv)
+        )
+        lo_us = F.floor(t0u.cast("double") + iv["lo"] * dtu).cast("long")
+        hi_us = F.floor(t0u.cast("double") + iv["hi"] * dtu).cast("long")
+        return F.when(iv.isNotNull(), closed(lo_us, hi_us))
+
+    def inst_spans(seq: Column) -> Column:
+        return F.transform(
+            seq["instants"],
+            lambda i: F.when(
+                point_on_edges(i["v"]["x"], i["v"]["y"], eg),
+                closed(F.unix_micros(i["t"]), F.unix_micros(i["t"])),
+            ),
+        )
+
+    disc = tc["interp"] == F.lit(INTERP_DISCRETE)
+
+    def seq_spans(seq: Column) -> Column:
+        inst = seq["instants"]
+        n = F.size(inst)
+        pairs = F.flatten(
+            F.zip_with(
+                F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1),
+                lambda p, q: F.transform(eg, lambda e: seg_edge_span(p, q, e)),
+            )
+        )
+        return F.when(disc | (n == 1), inst_spans(seq)).otherwise(pairs)
+
+    return S.spanset(F.flatten(F.transform(tc["seqs"], seq_spans)))

@@ -111,3 +111,45 @@ def test_regions_poly_simple_and_star_shaped(spark):
                     and d3 != 0 and d4 != 0
                 )
                 assert not proper, f"region {r['region_id']} self-intersects"
+
+
+def test_on_line_spanset_collinear_and_crossing(spark):
+    """PG.on_line_spanset: a motion segment collinear with the probe
+    edge contributes its projection-overlap interval; the following
+    crossing contributes a touching instant that merges into it."""
+    from pyspark.sql import types as T
+
+    from mobilityduck_spark import textio
+    from mobilityduck_spark import types as mt
+    from mobilityduck_spark.functions import polygon as PG
+    from mobilityduck_spark.functions import span as S
+
+    trip = textio.parse_temporal(
+        "[Point(0 0)@2000-01-01, Point(2 2)@2000-01-02,"
+        " Point(4 0)@2000-01-03]",
+        "point",
+    )
+    schema = T.StructType(
+        [T.StructField("t", mt.temporal_type(mt.POINT_TYPE), True)]
+    )
+    df = spark.createDataFrame([(trip,)], schema)
+    edges = F.array(
+        F.struct(
+            F.struct(F.lit(1.0).alias("x"), F.lit(1.0).alias("y")).alias("a"),
+            F.struct(F.lit(3.0).alias("x"), F.lit(3.0).alias("y")).alias("b"),
+        )
+    )
+    row = df.select(
+        PG.on_line_spanset(F.col("t"), edges).alias("ss")
+    ).select(
+        F.size("ss").alias("n"),
+        S.spanset_duration_us(F.col("ss")).alias("dur"),
+        F.col("ss")[0]["lower"].alias("lo"),
+        F.col("ss")[0]["upper"].alias("hi"),
+    ).collect()[0]
+    # on the line from halfway through day 1 (position (1,1)) until the
+    # turn at (2,2); the outgoing crossing instant merges in
+    assert row["n"] == 1
+    assert row["dur"] == 12 * 3600 * 1_000_000
+    assert str(row["lo"]).startswith("2000-01-01 12:00:00")
+    assert str(row["hi"]).startswith("2000-01-02 00:00:00")
