@@ -138,3 +138,38 @@ def test_stateful_running_stats(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup emits one row per distinct content hash
+    (first arrival wins) — equal to the batch dedup over the same
+    slice; the documents fixture plants exact-duplicate groups."""
+    from mobilityduck_spark.streaming.dedup import exact_dedup_stream
+
+    src_dir = str(tmp_path / "doc_src")
+    base = SRC.load(spark, SF, "documents").limit(300).select(
+        "doc_id", "text",
+        # deterministic synthetic ingest time (documents carry none)
+        F.timestamp_seconds(F.lit(946684800) + F.col("doc_id")).alias("ts"),
+    )
+    # plant exact duplicates: re-ingest 50 texts later under new ids
+    dups = base.limit(50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+    )
+    docs = base.unionByName(dups)
+    docs.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    out = exact_dedup_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").count()
+    exp = docs.select(F.md5("text")).distinct().count()
+    assert got == exp
+    assert got < docs.count()  # the fixture really contains duplicates
