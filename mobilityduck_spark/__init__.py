@@ -16,3 +16,17 @@ See SURVEY.md for the full reference analysis and type mapping.
 """
 
 __version__ = "0.1.0"
+
+# Curated public surface — `from mobilityduck_spark import span, tpoint, ...`
+from . import textio, types, wkt  # noqa: E402,F401
+from .functions import box, polygon, span, temporal, tgeometry, tpoint  # noqa: E402,F401
+from .functions import set_ as sets  # noqa: E402,F401
+from .operators import (  # noqa: E402,F401
+    dedup,
+    multimodal,
+    range_join,
+    similarity,
+    text,
+    tpoint_pairs,
+)
+from .session import get_spark  # noqa: E402,F401
