@@ -144,3 +144,53 @@ def instant_grid(
             + F.col("id").cast("int") * F.expr(f"INTERVAL {step_days} DAYS")
         ).alias("instant"),
     )
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    ts_cols: tuple = (),
+    **options,
+):
+    """CSV ingestion (the reference's load pipeline is COPY FROM CSV —
+    benchmark/BerlinMOD/sql/load/*.sql). With an explicit schema the
+    read is a streamable single pass; without one, schema inference
+    scans the file twice — always pass a schema at scale. `ts_cols`
+    are parsed to TIMESTAMP (UTC session tz) when the schema left them
+    as strings."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    df = reader.csv(path, schema=schema) if schema is not None else (
+        reader.option("inferSchema", "true").csv(path)
+    )
+    from pyspark.sql import types as _T
+
+    for c in ts_cols:
+        if isinstance(df.schema[c].dataType, _T.StringType):
+            df = df.withColumn(c, F.to_timestamp(c))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, _T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple = (),
+    sort_by: tuple = (),
+):
+    """Table sink with the two knobs that matter at 100 TB: partition
+    columns (prune on read — partition by the coarse filter key, e.g.
+    date, NEVER a high-cardinality id), and within-file sort (row-group
+    min/max pruning for range predicates on the sorted key)."""
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    w = out.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
