@@ -91,21 +91,114 @@ def _flat_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _FLAT_CACHE[key]
 
 
-def _vertex_hits(spark, sf_dir):
-    """(vehicle_id, point_id, t) for every observed position equal to a
-    probe point — the vertex-hit join driving q4/q7/q15/q17."""
+def _point_hits(spark, sf_dir):
+    """(vehicle_id, point_id, hit_us ARRAY<LONG>) — EXACT
+    ST_Intersects(trajectory, point) semantics for the q4/q7/q15/q17
+    probe-point joins (query_4/7/15/17.sql): observed-vertex hits PLUS
+    collinear pass-throughs between samples, with the pass-through
+    instant interpolated on the segment's dominant axis and µs-floored.
+    The identical IEEE formula is transliterated in _PHIT_SQL, the
+    shared oracle fragment. (Rounds 1–2 used vertex-only semantics —
+    a documented under-approximation, now exact.)"""
     trips = _trips(spark, sf_dir)
     pts = BM.points1(spark, sf_dir)
+    px, py = F.col("px"), F.col("py")
+
+    def seg_hit(p: Column, q: Column) -> Column:
+        t0u = F.unix_micros(p["t"])
+        t1u = F.unix_micros(q["t"])
+        dtu = (t1u - t0u).cast("double")
+        x0, y0 = p["v"]["x"], p["v"]["y"]
+        x1, y1 = q["v"]["x"], q["v"]["y"]
+        dx, dy = x1 - x0, y1 - y0
+        cross = dx * (py - y0) - dy * (px - x0)
+        within = (
+            (px >= F.least(x0, x1)) & (px <= F.greatest(x0, x1))
+            & (py >= F.least(y0, y1)) & (py <= F.greatest(y0, y1))
+        )
+        s = F.when(
+            F.abs(dx) >= F.abs(dy),
+            F.when(dx != 0, (px - x0) / dx).otherwise(F.lit(0.0)),
+        ).otherwise(F.when(dy != 0, (py - y0) / dy).otherwise(F.lit(0.0)))
+        return F.when(
+            (cross == 0) & within,
+            F.floor(t0u.cast("double") + s * dtu).cast("long"),
+        )
+
+    def seq_hits(seq: Column) -> Column:
+        inst = seq["instants"]
+        n = F.size(inst)
+        vh = F.transform(
+            F.filter(inst, lambda i: (i["v"]["x"] == px) & (i["v"]["y"] == py)),
+            lambda i: F.unix_micros(i["t"]),
+        )
+        sh = F.filter(
+            F.zip_with(F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1), seg_hit),
+            lambda x: x.isNotNull(),
+        )
+        return F.concat(vh, sh)
+
     joined = trips.crossJoin(F.broadcast(pts))
-    hits = joined.select(
+    return joined.select(
         "vehicle_id",
         "point_id",
-        F.filter(
-            TT.instants(F.col("trip")),
-            lambda i: (i["v"]["x"] == F.col("px")) & (i["v"]["y"] == F.col("py")),
-        ).alias("hit_instants"),
-    ).filter(F.size("hit_instants") > 0)
-    return hits
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.transform(F.col("trip")["seqs"], seq_hits))
+            )
+        ).alias("hit_us"),
+    ).filter(F.size("hit_us") > 0)
+
+
+# Shared oracle fragments for _point_hits: require CTEs `isl` (islands)
+# and `pt` (probe points) in scope. UNION-free on purpose: island-final
+# rows become zero-length segments, so every vertex hit falls out of
+# the one segment formula (s=0/s=1/zero-length) — a bare UNION here
+# nondeterministically trips a DuckDB internal "flat vector" assertion
+# when DuckDB runs multithreaded alongside Spark in one process.
+# Precomputed plain columns + ORDER BY materialization + CROSS JOIN
+# WHERE (not JOIN ON over expressions): an expression join directly
+# over the window output nondeterministically trips a DuckDB internal
+# "flat vector" assertion when DuckDB runs multithreaded alongside
+# Spark in one process (observed ~30-60% of runs; 0/60 with this
+# shape). The arithmetic is IEEE-identical — dx/dy/bboxes are the same
+# ops, just named.
+_PSEG_SQL = """
+      SELECT user_id, t0, x0, y0, t1, x1, y1,
+             x1 - x0 AS dx, y1 - y0 AS dy,
+             LEAST(x0, x1) AS bx0, GREATEST(x0, x1) AS bx1,
+             LEAST(y0, y1) AS by0, GREATEST(y0, y1) AS by1
+      FROM (
+        SELECT user_id, t0, x0, y0,
+               CASE WHEN isl1 = island AND t1 IS NOT NULL THEN t1 ELSE t0 END AS t1,
+               CASE WHEN isl1 = island AND t1 IS NOT NULL THEN x1 ELSE x0 END AS x1,
+               CASE WHEN isl1 = island AND t1 IS NOT NULL THEN y1 ELSE y0 END AS y1
+        FROM (
+          SELECT user_id, island, ts AS t0, x AS x0, y AS y0,
+                 lead(ts) OVER w AS t1, lead(x) OVER w AS x1,
+                 lead(y) OVER w AS y1, lead(island) OVER w AS isl1
+          FROM isl
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+      )
+      ORDER BY user_id, t0
+"""
+
+_PHIT_SQL = """
+      SELECT DISTINCT s.user_id, pt.point_id,
+             CAST(FLOOR(CAST(epoch_us(s.t0) AS DOUBLE) +
+               (CASE WHEN ABS(s.dx) >= ABS(s.dy)
+                     THEN CASE WHEN s.dx <> 0.0
+                               THEN (pt.px - s.x0) / s.dx ELSE 0.0 END
+                     ELSE CASE WHEN s.dy <> 0.0
+                               THEN (pt.py - s.y0) / s.dy ELSE 0.0 END END)
+               * CAST(epoch_us(s.t1) - epoch_us(s.t0) AS DOUBLE))
+             AS BIGINT) AS hit_us
+      FROM pseg s CROSS JOIN pt
+      WHERE s.dx * (pt.py - s.y0) - s.dy * (pt.px - s.x0) = 0.0
+        AND pt.px >= s.bx0 AND pt.px <= s.bx1
+        AND pt.py >= s.by0 AND pt.py <= s.by1
+"""
 
 
 _INTERP_ORACLE = """
@@ -214,16 +307,19 @@ def bm_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm_q4",
     f"""
-    WITH pts AS ({BM.PTS_SQL}), p AS ({BM.POINTS1_SQL}), v AS ({BM.VEHICLES_SQL})
-    SELECT DISTINCT p.point_id, v.licence
-    FROM pts e JOIN p ON e.x = p.px AND e.y = p.py
-    JOIN v ON v.vehicle_id = e.user_id
+    WITH isl AS ({BM.ISLANDS_SQL}), pt AS ({BM.POINTS1_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    pseg AS ({_PSEG_SQL}),
+    phit AS ({_PHIT_SQL})
+    SELECT DISTINCT h.point_id, v.licence
+    FROM phit h JOIN v ON v.vehicle_id = h.user_id
     """,
 )
 def bm_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q4: which vehicles passed through probe points
-    (ST_Intersects(trajectory, point), vertex-hit semantics)."""
-    hits = _vertex_hits(spark, sf_dir)
+    """q4: which vehicles passed through probe points —
+    EXACT ST_Intersects(trajectory, point): vertex hits + collinear
+    segment pass-throughs (query_4.sql)."""
+    hits = _point_hits(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
     return (
         hits.join(F.broadcast(v), "vehicle_id")
@@ -576,32 +672,35 @@ def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm_q7",
     f"""
-    WITH pts AS ({BM.PTS_SQL}), p AS ({BM.POINTS1_SQL}), v AS ({BM.VEHICLES_SQL}),
+    WITH isl AS ({BM.ISLANDS_SQL}), pt AS ({BM.POINTS1_SQL}),
+    v AS ({BM.VEHICLES_SQL}),
+    pseg AS ({_PSEG_SQL}),
+    phit AS ({_PHIT_SQL}),
     arr AS (
-      SELECT p.point_id, v.licence, MIN(epoch_us(e.ts)) AS first_us
-      FROM pts e
-      JOIN p ON e.x = p.px AND e.y = p.py
-      JOIN v ON v.vehicle_id = e.user_id AND v.vehicle_type = 'passenger'
-      GROUP BY p.point_id, v.licence
+      SELECT h.point_id, v.licence, MIN(h.hit_us) AS first_us
+      FROM phit h
+      JOIN v ON v.vehicle_id = h.user_id AND v.vehicle_type = 'passenger'
+      GROUP BY h.point_id, v.licence
     )
-    SELECT point_id, licence, first_us FROM arr a
-    WHERE first_us = (SELECT MIN(first_us) FROM arr b WHERE b.point_id = a.point_id)
+    -- window-min instead of a correlated scalar subquery: the latter
+    -- over this UNION-derived CTE trips a DuckDB internal assertion
+    SELECT point_id, licence, first_us FROM (
+      SELECT a.*, MIN(first_us) OVER (PARTITION BY point_id) AS mn FROM arr a
+    ) WHERE first_us = mn
     """,
 )
 def bm_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q7: first passenger vehicle to reach each probe point
     (MIN(startTimestamp(atValues(trip, point))) + <= ALL subquery →
-    window-min)."""
-    hits = _vertex_hits(spark, sf_dir)
+    window-min); exact pass-through hit times."""
+    hits = _point_hits(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir).filter(F.col("vehicle_type") == "passenger")
     arr = (
         hits.join(F.broadcast(v), "vehicle_id")
         .select(
             "point_id",
             "licence",
-            F.unix_micros(
-                F.array_min(F.transform(F.col("hit_instants"), lambda i: i["t"]))
-            ).alias("first_us"),
+            F.array_min(F.col("hit_us")).alias("first_us"),
         )
         .groupBy("point_id", "licence")
         .agg(F.min("first_us").alias("first_us"))
@@ -1240,29 +1339,30 @@ def bm_q13_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm_q15",
     f"""
-    WITH pts AS ({BM.PTS_SQL}),
+    WITH isl AS ({BM.ISLANDS_SQL}),
     pt AS ({BM.POINTS1_SQL}),
     p AS ({BM.PERIODS1_SQL}),
-    v AS ({BM.VEHICLES_SQL})
-    SELECT DISTINCT pt.point_id, p.period_id, v.licence
-    FROM pts e
-    JOIN pt ON e.x = pt.px AND e.y = pt.py
-    JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
-    JOIN v ON v.vehicle_id = e.user_id
+    v AS ({BM.VEHICLES_SQL}),
+    pseg AS ({_PSEG_SQL}),
+    phit AS ({_PHIT_SQL})
+    SELECT DISTINCT h.point_id, p.period_id, v.licence
+    FROM phit h
+    JOIN p ON h.hit_us >= epoch_us(p.tstart) AND h.hit_us < epoch_us(p.tend)
+    JOIN v ON v.vehicle_id = h.user_id
     """,
 )
 def bm_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q15: vehicles that passed a probe point during a period."""
-    hits = _vertex_hits(spark, sf_dir)
+    """q15: vehicles that passed a probe point during a period — exact
+    pass-through hit instants (µs-floored interpolation)."""
+    hits = _point_hits(spark, sf_dir)
     p = BM.periods1(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
-    from .functions.span import contains_value, span
-
     per_hit = hits.select(
-        "vehicle_id", "point_id", F.explode("hit_instants").alias("hi")
+        "vehicle_id", "point_id", F.explode("hit_us").alias("hit_us")
     )
     in_p = per_hit.crossJoin(F.broadcast(p)).filter(
-        contains_value(span(F.col("tstart"), F.col("tend")), F.col("hi.t"))
+        (F.col("hit_us") >= F.unix_micros(F.col("tstart")))
+        & (F.col("hit_us") < F.unix_micros(F.col("tend")))
     )
     return (
         in_p.join(v, "vehicle_id")
@@ -1539,11 +1639,14 @@ def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm_q17",
     f"""
-    WITH pts AS ({BM.PTS_SQL}), p AS ({BM.POINTS1_SQL}),
+    WITH isl AS ({BM.ISLANDS_SQL}), pt AS ({BM.POINTS1_SQL}),
+    pseg AS ({_PSEG_SQL}),
+    phit AS ({_PHIT_SQL}),
+    -- materialize distinct pairs before counting: COUNT(DISTINCT ..)
+    -- directly over the UNION shape trips a DuckDB internal assertion
+    pp AS (SELECT DISTINCT user_id, point_id FROM phit),
     pc AS (
-      SELECT p.point_id, COUNT(DISTINCT e.user_id) AS hits
-      FROM pts e JOIN p ON e.x = p.px AND e.y = p.py
-      GROUP BY p.point_id
+      SELECT point_id, COUNT(*) AS hits FROM pp GROUP BY point_id
     )
     SELECT point_id, hits FROM pc
     WHERE hits = (SELECT MAX(hits) FROM pc)
@@ -1551,8 +1654,8 @@ def bm_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q17: most-visited probe point (COUNT DISTINCT + scalar-subquery
-    max → window max)."""
-    hits = _vertex_hits(spark, sf_dir)
+    max → window max); exact pass-through hits."""
+    hits = _point_hits(spark, sf_dir)
     pc = hits.groupBy("point_id").agg(
         F.countDistinct("vehicle_id").alias("hits")
     )
