@@ -4,10 +4,10 @@ re-expressed Spark-first over the synthetic BerlinMOD-shaped dataset
 (sources/berlinmod.py).
 
 Semantics notes vs the reference:
-- `ST_Intersects(trajectory, point)` uses vertex-hit semantics (the
-  trajectory passes through an exactly-observed position) — positions
-  repeat on a 1000-value lattice so hits are plentiful; continuous
-  segment-crossing of a zero-area point is measure-zero anyway.
+- `ST_Intersects(trajectory, point)` is EXACT (r3): observed-vertex
+  hits PLUS collinear segment pass-throughs between samples, with
+  µs-floored interpolated hit instants (_point_hits; oracle fragments
+  _PSEG_SQL/_PHIT_SQL transliterate the identical IEEE formulas).
 - box-region queries (q13/q16) use EXACT crossing-interpolation
   semantics (TP.intersects_stbox, Liang–Barsky per segment, oracle in
   identical ANSI SQL); polygon-region variants (bm_q13_poly/bm_q14_poly)
@@ -44,7 +44,7 @@ def release_caches() -> int:
     should call this when done with a BerlinMOD workload — the module
     caches otherwise hold executor storage for the session's lifetime."""
     n = 0
-    for cache in (_TRIP_CACHE, _FLAT_CACHE):
+    for cache in (_TRIP_CACHE, _FLAT_CACHE, _HITS_CACHE):
         while cache:
             _, df = cache.popitem()
             try:
@@ -91,63 +91,83 @@ def _flat_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _FLAT_CACHE[key]
 
 
+_HITS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _point_hits(spark, sf_dir):
-    """(vehicle_id, point_id, hit_us ARRAY<LONG>) — EXACT
+    """Distinct (vehicle_id, point_id, hit_us) rows — EXACT
     ST_Intersects(trajectory, point) semantics for the q4/q7/q15/q17
     probe-point joins (query_4/7/15/17.sql): observed-vertex hits PLUS
     collinear pass-throughs between samples, with the pass-through
     instant interpolated on the segment's dominant axis and µs-floored.
     The identical IEEE formula is transliterated in _PHIT_SQL, the
     shared oracle fragment. (Rounds 1–2 used vertex-only semantics —
-    a documented under-approximation, now exact.)"""
+    a documented under-approximation, now exact.)
+
+    Plan shape: the trajectory EXPLODES into a flat segment relation
+    (island-final instants become zero-length segments, so vertex hits
+    fall out of the one segment formula) and the probe join is plain
+    whole-stage-codegen expressions — no interpreted HOF in the hot
+    path (the HOF-per-pair formulation cost 14 s vs ~2 s at sf0.01).
+    Persisted once per session: four queries consume this relation."""
+    key = (id(spark), sf_dir)
+    if key in _HITS_CACHE:
+        return _HITS_CACHE[key]
     trips = _trips(spark, sf_dir)
     pts = BM.points1(spark, sf_dir)
+
+    inst = (
+        trips.select(
+            "vehicle_id", F.posexplode(F.col("trip")["seqs"]).alias("si", "seq")
+        )
+        .select(
+            "vehicle_id", "si",
+            F.posexplode(F.col("seq")["instants"]).alias("ii", "i"),
+        )
+        .select(
+            "vehicle_id", "si", "ii",
+            F.col("i")["t"].alias("t0"),
+            F.col("i")["v"]["x"].alias("x0"),
+            F.col("i")["v"]["y"].alias("y0"),
+        )
+    )
+    w = Window.partitionBy("vehicle_id", "si").orderBy("ii")
+    segs = inst.select(
+        "vehicle_id", "t0", "x0", "y0",
+        F.coalesce(F.lead("t0").over(w), F.col("t0")).alias("t1"),
+        F.coalesce(F.lead("x0").over(w), F.col("x0")).alias("x1"),
+        F.coalesce(F.lead("y0").over(w), F.col("y0")).alias("y1"),
+    ).select(
+        "vehicle_id", "t0", "x0", "y0", "t1", "x1", "y1",
+        (F.col("x1") - F.col("x0")).alias("dx"),
+        (F.col("y1") - F.col("y0")).alias("dy"),
+    )
     px, py = F.col("px"), F.col("py")
-
-    def seg_hit(p: Column, q: Column) -> Column:
-        t0u = F.unix_micros(p["t"])
-        t1u = F.unix_micros(q["t"])
-        dtu = (t1u - t0u).cast("double")
-        x0, y0 = p["v"]["x"], p["v"]["y"]
-        x1, y1 = q["v"]["x"], q["v"]["y"]
-        dx, dy = x1 - x0, y1 - y0
-        cross = dx * (py - y0) - dy * (px - x0)
-        within = (
-            (px >= F.least(x0, x1)) & (px <= F.greatest(x0, x1))
-            & (py >= F.least(y0, y1)) & (py <= F.greatest(y0, y1))
+    dx, dy = F.col("dx"), F.col("dy")
+    x0, y0 = F.col("x0"), F.col("y0")
+    cross = dx * (py - y0) - dy * (px - x0)
+    within = (
+        (px >= F.least(x0, F.col("x1"))) & (px <= F.greatest(x0, F.col("x1")))
+        & (py >= F.least(y0, F.col("y1"))) & (py <= F.greatest(y0, F.col("y1")))
+    )
+    s = F.when(
+        F.abs(dx) >= F.abs(dy),
+        F.when(dx != 0, (px - x0) / dx).otherwise(F.lit(0.0)),
+    ).otherwise(F.when(dy != 0, (py - y0) / dy).otherwise(F.lit(0.0)))
+    t0u = F.unix_micros(F.col("t0"))
+    dtu = (F.unix_micros(F.col("t1")) - t0u).cast("double")
+    hits = (
+        segs.crossJoin(F.broadcast(pts))
+        .filter((cross == 0) & within)
+        .select(
+            "vehicle_id",
+            "point_id",
+            F.floor(t0u.cast("double") + s * dtu).cast("long").alias("hit_us"),
         )
-        s = F.when(
-            F.abs(dx) >= F.abs(dy),
-            F.when(dx != 0, (px - x0) / dx).otherwise(F.lit(0.0)),
-        ).otherwise(F.when(dy != 0, (py - y0) / dy).otherwise(F.lit(0.0)))
-        return F.when(
-            (cross == 0) & within,
-            F.floor(t0u.cast("double") + s * dtu).cast("long"),
-        )
-
-    def seq_hits(seq: Column) -> Column:
-        inst = seq["instants"]
-        n = F.size(inst)
-        vh = F.transform(
-            F.filter(inst, lambda i: (i["v"]["x"] == px) & (i["v"]["y"] == py)),
-            lambda i: F.unix_micros(i["t"]),
-        )
-        sh = F.filter(
-            F.zip_with(F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1), seg_hit),
-            lambda x: x.isNotNull(),
-        )
-        return F.concat(vh, sh)
-
-    joined = trips.crossJoin(F.broadcast(pts))
-    return joined.select(
-        "vehicle_id",
-        "point_id",
-        F.array_sort(
-            F.array_distinct(
-                F.flatten(F.transform(F.col("trip")["seqs"], seq_hits))
-            )
-        ).alias("hit_us"),
-    ).filter(F.size("hit_us") > 0)
+        .distinct()
+    )
+    _HITS_CACHE[key] = hits.persist()
+    return _HITS_CACHE[key]
 
 
 # Shared oracle fragments for _point_hits: require CTEs `isl` (islands)
@@ -697,13 +717,8 @@ def bm_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = BM.vehicles(spark, sf_dir).filter(F.col("vehicle_type") == "passenger")
     arr = (
         hits.join(F.broadcast(v), "vehicle_id")
-        .select(
-            "point_id",
-            "licence",
-            F.array_min(F.col("hit_us")).alias("first_us"),
-        )
         .groupBy("point_id", "licence")
-        .agg(F.min("first_us").alias("first_us"))
+        .agg(F.min("hit_us").alias("first_us"))
     )
     w = Window.partitionBy("point_id")
     return (
@@ -1357,10 +1372,7 @@ def bm_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = _point_hits(spark, sf_dir)
     p = BM.periods1(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
-    per_hit = hits.select(
-        "vehicle_id", "point_id", F.explode("hit_us").alias("hit_us")
-    )
-    in_p = per_hit.crossJoin(F.broadcast(p)).filter(
+    in_p = hits.crossJoin(F.broadcast(p)).filter(
         (F.col("hit_us") >= F.unix_micros(F.col("tstart")))
         & (F.col("hit_us") < F.unix_micros(F.col("tend")))
     )
