@@ -83,3 +83,24 @@ def test_bucketed_overlap_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     n = j.count()
     assert n > 0
+
+
+def test_point_hits_plan_codegen_no_cartesian(spark):
+    """_point_hits (bm_q4/q7/q15/q17): the exact pass-through relation
+    is a flat segment table joined to a broadcast 10-row probe dim —
+    no CartesianProduct, and the hot filter runs inside whole-stage
+    codegen (not an interpreted HOF)."""
+    from mobilityduck_spark import berlinmod as Q
+
+    Q.release_caches()
+    hits = Q._point_hits(spark, SF)
+    opt = hits._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in opt
+    # persisted once for the four consumers
+    assert "InMemoryRelation" in opt
+    # the probe join is a BROADCAST NL join against the 10-row dim (the
+    # right plan for a tiny dim with an expression predicate) — never a
+    # shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in opt
+    assert hits.count() > 0
+    Q.release_caches()
