@@ -846,11 +846,17 @@ def bm_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q10: licences1 vehicles vs everyone: pairs that ever came within
-    3 units (expandSpace bbox prefilter + eDwithin). The probe side is
-    10 rows in the benchmark (broadcast); if it outgrows broadcast size
-    the plan switches to the grid-bucketed candidate join — the shape
-    that survives a large×large fleet at cluster scale."""
-    from .operators.tpoint_pairs import register_flat_pair_udfs
+    3 units. With a tiny probe fleet (10 licences in the benchmark) the
+    probe trajectories travel INSIDE the kernel closure — one Arrow
+    pass over the big side, each row's arrays crossing once instead of
+    once per candidate pair (the broadcast-join formulation shipped
+    |probes|× the data). Past the threshold the plan switches to the
+    grid-bucketed candidate join — the shape that survives a
+    large×large fleet at cluster scale."""
+    from .operators.tpoint_pairs import (
+        register_flat_pair_udfs,
+        register_probe_edwithin_udf,
+    )
 
     udfs = register_flat_pair_udfs(spark)
     ft = _flat_trips(spark, sf_dir)
@@ -868,13 +874,27 @@ def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb").alias("bb2"),
     )
     if t1.count() <= _GRID_PAIR_THRESHOLD:
-        pairs = F.broadcast(t1).join(
-            t2,
-            (F.col("vid1") != F.col("vid2"))
-            & B.stbox_overlaps(
-                B.expand_space(F.col("bb1"), F.lit(3.0)),
-                B.expand_space(F.col("bb2"), F.lit(3.0)),
-            ),
+        probe_rows = t1.collect()  # bounded by the threshold check above
+        probes = [
+            {"vid": r["vid1"], "t": r["ta1"], "x": r["xa1"],
+             "y": r["ya1"], "lens": r["la1"]}
+            for r in probe_rows
+        ]
+        hit_vid = register_probe_edwithin_udf(probes, 3.0)
+        lic = spark.createDataFrame(
+            [(r["vid1"], r["licence1"]) for r in probe_rows],
+            schema="vid1 long, licence1 string",
+        )
+        hits = ft.select(
+            F.col("vehicle_id").alias("vid2"),
+            F.explode(
+                hit_vid("t_arr", "x_arr", "y_arr", "len_arr", "vehicle_id")
+            ).alias("vid1"),
+        )
+        return (
+            hits.join(F.broadcast(lic), "vid1")
+            .select("licence1", F.col("vid2").alias("vehicle_id2"))
+            .distinct()
         )
     else:
         from .operators.range_join import grid_pair_candidates
