@@ -795,6 +795,9 @@ def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end so `register` is defined when berlinmod resolves the circular import)
 from . import berlinmod  # noqa: E402,F401
 
+# TPC-H relational pack (q3/q5/q6/q10/q14) — same deferred-import pattern
+from . import tpch  # noqa: E402,F401
+
 
 @register("embed_ivf_topk", None)  # KMeans centroids are model-dependent
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
