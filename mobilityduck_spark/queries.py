@@ -791,6 +791,105 @@ def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(emb, min_cos=0.9)
 
 
+# =====================================================================
+# Streaming operators driven in batch mode (identical transformation;
+# streaming adds only the watermark) — SURVEY §7 / streaming pack
+# =====================================================================
+@register(
+    "events_tumbling",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS wstart_us,
+           epoch_us(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR) AS wend_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup via the streaming operator run in
+    batch mode (window == slide). The DECIMAL-exact sum makes the
+    double output order-independent, so the oracle hash is stable."""
+    from .streaming import windows as W
+
+    ev = SRC.load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    return W.sliding_window_stats(
+        ev, window="1 hour", slide="1 hour", streaming=False
+    ).select(
+        F.unix_micros(F.col("wstart")).alias("wstart_us"),
+        F.unix_micros(F.col("wend")).alias("wend_us"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+# =====================================================================
+# Multimodal ingestion (binary media columns) — oracle-checkable byte
+# accounting + rows-only mapInPandas feature extraction
+# =====================================================================
+@register(
+    "media_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_media,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-table ingestion accounting: synthesize the opaque binary
+    media table from the documents corpus (content = utf-8 bytes), join
+    back to the source dimension, aggregate byte volumes. The content
+    bytes are real Spark BinaryType end-to-end; only the byte counts are
+    projected out, so the oracle is pure ANSI (octet_length)."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs, "doc_id", "text")
+    return (
+        media.join(
+            docs.select(F.col("doc_id").alias("media_id"), "source"),
+            "media_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.max(F.octet_length("content")).alias("max_bytes"),
+        )
+    )
+
+
+@register("media_features", None)  # fake-decode features: rows-only
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the synthesized media table
+    (deterministic fake decode — container has no codecs), rolled up per
+    media kind. Exercises the Arrow-batched decode→feature path the
+    driver can smoke-run; features are not ANSI-expressible."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs, "doc_id", "text")
+    feats = MM.extract_features(media, feat_dim=16)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("feat_dim").alias("feat_dim"),
+            F.round(F.avg(F.element_at(F.col("feat"), 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
 # BerlinMOD query pack registers bm_q1..bm_q17 on import (placed at module
 # end so `register` is defined when berlinmod resolves the circular import)
 from . import berlinmod  # noqa: E402,F401
