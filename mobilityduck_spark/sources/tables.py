@@ -194,3 +194,72 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple,
+    n_buckets: int,
+    sort_cols: tuple = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+):
+    """Bucketed table sink — the co-located-join layout for 100 TB fact
+    tables: rows are hash-clustered into n_buckets files per partition by
+    bucket_cols, so an equi-join or aggregation on those keys reads
+    matching buckets directly with NO Exchange (and with sort_cols, no
+    Sort either). This is how the orderkey fact-fact join or the
+    vehicle_id trips self-join avoids reshuffling 100 TB per query —
+    pay the shuffle once at write time, reuse it every read.
+
+    Bucket metadata lives in the session catalog, hence saveAsTable
+    (pass `path` for an external table). Readers must join on ALL
+    bucket columns with the same bucket count for the exchange-free
+    plan; n_buckets sizes each bucket file ≈ table_size / n_buckets —
+    target 100–500 MB per bucket at scale."""
+    out = df
+    if sort_cols:
+        # align write tasks with buckets (repartition uses the same
+        # murmur3 pmod hash as the bucket spec) so each bucket is ONE
+        # file — Spark's sorted-bucket scan only elides the read-side
+        # Sort when every bucket has a single file
+        out = out.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    w = out.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    ts_cols: tuple = (),
+    **options,
+) -> DataFrame:
+    """JSON-lines ingestion — the interchange format of LLM training
+    corpora (one document object per line). Same contract as load_csv:
+    pass a schema at scale (inference scans the data twice), and
+    `ts_cols` that arrived as strings are parsed to TIMESTAMP."""
+    reader = spark.read.options(**options)
+    df = reader.json(path, schema=schema) if schema is not None else reader.json(path)
+    from pyspark.sql import types as _T
+
+    for c in ts_cols:
+        if isinstance(df.schema[c].dataType, _T.StringType):
+            df = df.withColumn(c, F.to_timestamp(c))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, _T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite"):
+    """JSON-lines sink (one object per row, gzip-able via codec option
+    upstream). Binary columns are not JSON-representable — base64 them
+    first; timestamps serialize as ISO-8601 strings."""
+    df.write.mode(mode).json(path)

@@ -50,3 +50,61 @@ def test_write_table_partitioned_prunes(spark, tmp_path):
     one = rd.filter(F.col("day") == "2024-01-05")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() < rd.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key join with neither an
+    Exchange nor a Sort — the pay-shuffle-once-at-write layout for
+    100 TB fact-fact joins."""
+    li = SRC.load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = SRC.load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    SRC.write_bucketed(
+        li, "t_li_bkt", ("l_orderkey",), 4, sort_cols=("l_orderkey",),
+        path=str(tmp_path / "li_bkt"),
+    )
+    SRC.write_bucketed(
+        orders, "t_ord_bkt", ("o_orderkey",), 4, sort_cols=("o_orderkey",),
+        path=str(tmp_path / "ord_bkt"),
+    )
+    try:
+        a = spark.table("t_li_bkt")
+        b = spark.table("t_ord_bkt")
+        with_bcast_off = a.join(
+            b.hint("merge"), a["l_orderkey"] == b["o_orderkey"]
+        )
+        plan = with_bcast_off._jdf.queryExecution().executedPlan().toString()
+        # the win: both scans are bucket-pruned reads and the join needs
+        # NO Exchange — the 100 TB shuffle was paid once at write time.
+        # (Read-side Sort elision from sortBy files needs the legacy
+        # bucketedTableScanOutputOrdering flag on Spark 3+/4, so a
+        # bucket-local Sort remains — cheap, spill-free, per-bucket.)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        joined = with_bcast_off.count()
+        shuffled = li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).count()
+        assert joined == shuffled
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    docs = SRC.load(spark, SF, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    SRC.write_jsonl(docs, out)
+    back = SRC.load_jsonl(
+        spark, out,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert back.count() == docs.count()
+    a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    assert a == b
+    ta = {r["doc_id"]: r["text"] for r in docs.collect()}
+    tb = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert ta == tb
