@@ -885,7 +885,22 @@ def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(r["vid1"], r["licence1"]) for r in probe_rows],
             schema="vid1 long, licence1 string",
         )
-        hits = ft.select(
+        # JVM-side bbox+time prefilter (OR over the ≤threshold probe
+        # envelopes, pure codegen) so only candidate rows cross Arrow
+        # into the kernel at all — the kernel re-checks per-probe boxes
+        any_overlap = None
+        for p in probes:
+            xs, ys, ts_ = p["x"], p["y"], p["t"]
+            ov = (
+                (F.col("bb")["xmax"] >= min(xs) - 3.0)
+                & (F.col("bb")["xmin"] <= max(xs) + 3.0)
+                & (F.col("bb")["ymax"] >= min(ys) - 3.0)
+                & (F.col("bb")["ymin"] <= max(ys) + 3.0)
+                & (F.unix_micros(F.col("bb")["tmin"]) / 1e6 <= max(ts_))
+                & (F.unix_micros(F.col("bb")["tmax"]) / 1e6 >= min(ts_))
+            )
+            any_overlap = ov if any_overlap is None else (any_overlap | ov)
+        hits = ft.filter(any_overlap).select(
             F.col("vehicle_id").alias("vid2"),
             F.explode(
                 hit_vid("t_arr", "x_arr", "y_arr", "len_arr", "vehicle_id")
