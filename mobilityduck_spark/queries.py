@@ -791,6 +791,42 @@ def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(emb, min_cos=0.9)
 
 
+@register(
+    "doc_length_quantiles",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS q1,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS med,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS q3
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document length quartiles (corpus profiling — the
+    standard pre-filter calibration step before quality cuts). Exact
+    interpolated percentiles: Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition. At
+    100 TB use approx_percentile(…, accuracy) — same plan shape, sketch
+    mergeable, no per-group sort."""
+    docs = SRC.load(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct.alias("_q"),
+        )
+        .select(
+            "lang", "n_docs",
+            F.round(F.element_at("_q", 1), 6).alias("q1"),
+            F.round(F.element_at("_q", 2), 6).alias("med"),
+            F.round(F.element_at("_q", 3), 6).alias("q3"),
+        )
+    )
+
+
 # =====================================================================
 # Streaming operators driven in batch mode (identical transformation;
 # streaming adds only the watermark) — SURVEY §7 / streaming pack
