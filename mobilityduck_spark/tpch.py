@@ -267,3 +267,57 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         (F.lit(100.0).cast("double") * promo / total).alias("promo_share")
     )
+
+
+# =====================================================================
+# Q18 — large-volume customers: high-cardinality shuffle agg (every
+# orderkey is a group) + semi-join back to the facts
+# =====================================================================
+@register(
+    "tpch_q18",
+    """
+    SELECT c_name, o_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB stress shape: a groupBy whose key cardinality is the
+    fact table's (one group per orderkey — partial map-side combine
+    carries the load), then a semi-join of the qualifying keys back to
+    the facts. l_quantity values are integral, so the double sums are
+    order-independent."""
+    cust = SRC.load(spark, sf_dir, "customer")
+    orders = SRC.load(spark, sf_dir, "orders")
+    li = SRC.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"),
+                F.col("l_orderkey") == F.col("_bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_name", "o_custkey", "o_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+            "o_totalprice", "sum_qty",
+        )
+    )
