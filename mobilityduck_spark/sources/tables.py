@@ -263,3 +263,58 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite"):
     upstream). Binary columns are not JSON-representable — base64 them
     first; timestamps serialize as ISO-8601 strings."""
     df.write.mode(mode).json(path)
+
+
+def _spread_bits16(v):
+    """Interleave-ready 16-bit spread (Morton): insert a zero between
+    every bit. Pure bigint bit ops — whole-stage codegen."""
+    v = v.cast("bigint").bitwiseAND(F.lit(0xFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def morton_key(x, y, xmin: float, ymin: float, xmax: float, ymax: float):
+    """32-bit Z-order key of a point within fixed bounds (16 bits per
+    axis). Points outside the bounds clamp to the border cell."""
+    def norm(v, lo, hi):
+        q = ((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(65535.0))
+        return F.greatest(
+            F.lit(0), F.least(F.lit(65535), F.floor(q).cast("bigint"))
+        )
+
+    xi = _spread_bits16(norm(F.col(x) if isinstance(x, str) else x, xmin, xmax))
+    yi = _spread_bits16(norm(F.col(y) if isinstance(y, str) else y, ymin, ymax))
+    return xi.bitwiseOR(F.shiftleft(yi, 1))
+
+
+def write_spatial_clustered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bounds: tuple,
+    n_files: int = 8,
+    mode: str = "overwrite",
+):
+    """Z-order-clustered parquet sink: range-partition + sort rows by
+    the Morton key of (x, y), so each output file (and each row group
+    within it) covers a compact spatial tile. Parquet min/max column
+    stats on x/y then prune most files for any bbox predicate — the
+    at-rest analog of the grid candidate join, and the layout that
+    makes 100 TB of trajectory points bbox-queryable without an index
+    server. `bounds` = (xmin, ymin, xmax, ymax) of the data domain
+    (fixed, so keys are stable across incremental writes)."""
+    xmin, ymin, xmax, ymax = bounds
+    keyed = df.withColumn(
+        "_zkey", morton_key(x_col, y_col, xmin, ymin, xmax, ymax)
+    )
+    (
+        keyed.repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

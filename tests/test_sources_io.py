@@ -108,3 +108,47 @@ def test_jsonl_roundtrip_documents(spark, tmp_path):
     ta = {r["doc_id"]: r["text"] for r in docs.collect()}
     tb = {r["doc_id"]: r["text"] for r in back.collect()}
     assert ta == tb
+
+
+def test_zorder_clustering_narrows_file_extents(spark, tmp_path):
+    """Z-order clustered files cover compact spatial tiles: the mean
+    per-file x/y extent must be well under the naive layout's, which is
+    what makes parquet min/max stats prune bbox scans at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ev = SRC.load(spark, SF, "events").select(
+        "event_id",
+        ((F.col("event_id") % 1000) / 10.0).alias("x"),
+        ((F.col("event_id") * 7919 % 1000) / 10.0).alias("y"),
+    )
+    zdir = str(tmp_path / "ev_z")
+    ndir = str(tmp_path / "ev_naive")
+    SRC.write_spatial_clustered(ev, zdir, "x", "y", (0.0, 0.0, 100.0, 100.0), n_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(ndir)
+
+    def mean_extent(d):
+        widths = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema:
+                        md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                sx, sy = cols["x"], cols["y"]
+                widths.append(
+                    (sx.max - sx.min) + (sy.max - sy.min)
+                )
+        return sum(widths) / len(widths)
+
+    z, naive = mean_extent(zdir), mean_extent(ndir)
+    assert z < naive * 0.6, (z, naive)
+    # layout change must not change content
+    assert (
+        spark.read.parquet(zdir).count()
+        == spark.read.parquet(ndir).count()
+        == ev.count()
+    )
