@@ -30,3 +30,4 @@ from .operators import (  # noqa: E402,F401
     tpoint_pairs,
 )
 from .session import get_spark  # noqa: E402,F401
+from .sqlapi import register_sql_functions  # noqa: E402,F401
