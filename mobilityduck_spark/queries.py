@@ -930,8 +930,10 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end so `register` is defined when berlinmod resolves the circular import)
 from . import berlinmod  # noqa: E402,F401
 
-# TPC-H relational pack (q3/q5/q6/q10/q14) — same deferred-import pattern
+# TPC-H relational pack (q3/q5/q6/q10/q14/q18 + the ext shapes) — same
+# deferred-import pattern
 from . import tpch  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401
 
 
 @register("embed_ivf_topk", None)  # KMeans centroids are model-dependent
