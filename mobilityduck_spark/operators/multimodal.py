@@ -64,9 +64,19 @@ def synthesize_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
+_FAKE_DECODE_MAX_PIXELS = 4096
+
+
 def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decode: seed a PRNG from the content hash and
-    emit a (h, w) uint8 array. Replaces PIL.Image.open in-container."""
+    emit a (h, w) uint8 array. Replaces PIL.Image.open in-container.
+
+    Output is capped at _FAKE_DECODE_MAX_PIXELS (downscaled dims, aspect
+    preserved) — the stub only has to be deterministic and shaped like a
+    decode, not to burn CPU synthesizing full-size noise frames."""
+    if width * height > _FAKE_DECODE_MAX_PIXELS:
+        s = (_FAKE_DECODE_MAX_PIXELS / (width * height)) ** 0.5
+        width, height = max(1, int(width * s)), max(1, int(height * s))
     seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
