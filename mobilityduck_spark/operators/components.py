@@ -1,0 +1,126 @@
+"""Connected components over duplicate-pair graphs — the step that turns
+pairwise dedup output (exact/minhash/simhash/jaccard candidate pairs)
+into per-document cluster assignments and keep/drop decisions.
+
+Algorithm: distributed min-label propagation with pointer jumping.
+Every node starts labeled with its own id; each round takes the min
+label over its neighborhood, then shortcuts through the label graph
+(lbl(n) ← lbl(lbl(n))) so convergence is O(log diameter) rounds, not
+O(diameter). Every round is a pair of shuffle-partitioned equi-joins +
+a min aggregation — no driver-side graph state, no collect; the driver
+sees one scalar (the changed-row count) per round. This is the standard
+MapReduce CC recipe (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — the hash-to-min family).
+
+At 100 TB scale: dedup graphs are forests of small cliques/chains
+(cluster diameter rarely exceeds a handful), so the loop terminates in
+2-4 rounds; each round shuffles |E| rows hash-partitioned on node id —
+skew-bounded because the pair generators upstream cap bucket sizes.
+`localCheckpoint` truncates lineage each round so the plan stays O(1)
+deep regardless of iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_cc_cache: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    n = len(_cc_cache)
+    for df in _cc_cache:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _cc_cache.clear()
+    return n
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node appearing in `edges` with the minimum node id of
+    its connected component. Returns (node BIGINT, component BIGINT).
+
+    Nodes with no edges don't appear in the input and so don't appear in
+    the output — join the result back to the full corpus with a coalesce
+    (see `assign_clusters`) to label singletons."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().persist()
+    _cc_cache.append(sym)
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min label over the neighborhood (incl. self)
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("lbl").alias("old_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("mid_lbl"),
+            )
+        )
+        # pointer jumping: follow the label one more hop (lbl(lbl(n)))
+        ptr = stepped.select(
+            F.col("node").alias("p_node"), F.col("mid_lbl").alias("p_lbl")
+        )
+        jumped = (
+            stepped.join(ptr, stepped["mid_lbl"] == ptr["p_node"], "left")
+            .select(
+                "node",
+                "old_lbl",
+                F.least(F.col("mid_lbl"), F.coalesce("p_lbl", "mid_lbl")).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = jumped.select("node", "lbl")
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def assign_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-document cluster assignment from candidate pairs: every doc
+    gets cluster_id = min doc id of its component (its own id if it has
+    no duplicates) and keep = (doc == cluster representative). This is
+    the keep/drop relation a training-data pipeline materializes."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    base = docs.select(F.col(id_col).cast("long").alias(id_col))
+    return (
+        base.join(comp, base[id_col] == comp["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -735,6 +735,110 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=2000)
 
 
+@register(
+    "doc_dup_clusters",
+    rf"""
+    WITH RECURSIVE
+    u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM u
+    ),
+    exe AS (
+      SELECT id_a, id_b FROM (
+        SELECT MIN(doc_id) OVER (PARTITION BY fp) AS id_a, doc_id AS id_b
+        FROM f
+      ) WHERE id_a <> id_b
+    ),
+    d AS (
+      SELECT doc_id, lang, n_chars // 100 AS lb,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, lb,
+             list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM d
+    ),
+    e AS (SELECT doc_id, lang, lb, unnest(grams) AS gram FROM g),
+    keep AS (
+      SELECT lang, lb, gram FROM e
+      GROUP BY lang, lb, gram HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+    ),
+    k AS (SELECT e.* FROM e JOIN keep USING (lang, lb, gram)),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM k GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM k a JOIN k b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jace AS (
+      SELECT i.id_a, i.id_b
+      FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+      WHERE i.inter / CAST(na.ng + nb.ng - i.inter AS DOUBLE) >= 0.5
+    ),
+    edges AS (SELECT * FROM exe UNION SELECT * FROM jace),
+    sym AS (
+      SELECT id_a AS s, id_b AS t FROM edges
+      UNION
+      SELECT id_b AS s, id_a AS t FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM sym
+      UNION
+      SELECT sym.t, reach.lbl FROM reach JOIN sym ON sym.s = reach.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, COUNT(*) AS n_members
+    FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: union exact-dup edges (normalized-md5
+    groups over the corpus + its id-shifted copy) with 3-gram Jaccard
+    near-dup edges, then run distributed connected components
+    (min-label propagation + pointer jumping) and roll up cluster sizes.
+    The transitive-closure oracle is a recursive CTE — the one place
+    iterative computation is checked against exact SQL semantics."""
+    from pyspark.sql.window import Window
+
+    from .operators import components as CC
+    from .operators import dedup as DD
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.union(docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    fp = u.withColumn("fp", TX.fingerprint("text"))
+    exact_edges = (
+        fp.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    docs_lb = SRC.load(spark, sf_dir, "documents").withColumn(
+        "lb", F.expr("n_chars div 100")
+    )
+    jac_edges = DD.ngram_jaccard_pairs_exploded(
+        docs_lb, n=3, threshold=0.5, block_cols=("lang", "lb"),
+        max_gram_df=_NGRAM_DF_CAP,
+    ).select("id_a", "id_b")
+    comp = CC.connected_components(
+        exact_edges.union(jac_edges), src="id_a", dst="id_b"
+    )
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
 # =====================================================================
 # Training-data pipeline: similarity search over embeddings
 # =====================================================================
