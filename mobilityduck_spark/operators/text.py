@@ -142,3 +142,45 @@ def rolling_hash_shingles(text, k: int = 5) -> Column:
     Single-expression convenience; hot paths should tokenize behind a
     projection barrier and call rolling_hash_shingles_from_tokens."""
     return rolling_hash_shingles_from_tokens(tokens(text), k)
+
+
+def word_ngrams(toks, n: int = 2) -> Column:
+    """Contiguous word n-grams as space-joined STRINGS (occurrence-
+    preserving, engine-portable — unlike the xxhash64 shingle forms) from
+    a MATERIALIZED token array; empty when the doc has fewer than n
+    tokens. Same projection-barrier rule as the shingle helpers."""
+    tc = _c(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tc) - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tc, i, n), " "))
+    return F.when(F.size(tc) >= n, grams).otherwise(
+        F.expr("CAST(array() AS array<string>)")
+    )
+
+
+def split_bucket(key, salt: str = "v1") -> Column:
+    """Deterministic uniform [0, 1) bucket from md5(key || '-' || salt).
+    Engine-portable (identical value in any SQL engine with md5) and
+    stable across runs/cluster sizes — the corpus-split primitive. Pure
+    JVM expressions: runs at scan speed over 100 TB."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", _c(key).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(4294967296.0)
+
+
+def split_assign(
+    key, train: float = 0.8, val: float = 0.1, salt: str = "v1"
+) -> Column:
+    """Deterministic train/val/test assignment by hash bucket. Fractions
+    land exactly (boundaries k/2^32 can never equal a decimal fraction
+    like 0.8, so there are no engine-dependent boundary ties)."""
+    b = split_bucket(key, salt)
+    return (
+        F.when(b < F.lit(train), F.lit("train"))
+        .when(b < F.lit(train + val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

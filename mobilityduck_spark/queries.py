@@ -839,6 +839,132 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_split_assign",
+    """
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-v1'), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM b GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split: md5 hash bucket on
+    doc_id (salted), engine-portable and stable under repartitioning —
+    the split a 100 TB pipeline bakes into the dataset manifest. Pure
+    JVM expressions; rolled up per (split, lang)."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            TX.split_assign(F.col("doc_id"), train=0.8, val=0.1).alias("split"),
+            "lang",
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "doc_top_ngrams",
+    r"""
+    WITH d AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM d WHERE len(w) >= 2
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM g GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 50
+    """,
+)
+def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (vocabulary/boilerplate probe).
+    Explode → hash-partitioned count → top-N with a deterministic gram
+    tiebreak; partial map-side aggregation carries the load at corpus
+    scale."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens("text").alias("w"))
+    return (
+        toks.select(F.explode(TX.word_ngrams(F.col("w"), n=2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "doc_contamination",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM d WHERE len(w) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    b AS (SELECT doc_id AS bench_id, gram FROM e WHERE doc_id % 97 = 0),
+    c AS (SELECT doc_id, gram FROM e WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.gram) AS hit_grams,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM c JOIN b ON b.gram = c.gram
+    GROUP BY c.doc_id
+    HAVING COUNT(DISTINCT c.gram) >= 2
+    ORDER BY c.doc_id
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination probe: flag corpus docs sharing ≥2
+    distinct 3-gram word shingles with a benchmark set (here: doc_id %
+    97 == 0 stands in for the eval suite). The benchmark gram table is
+    broadcast — the realistic asymmetry (eval sets are tiny, the corpus
+    is 100 TB), so the scan side never shuffles."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", TX.tokens("text").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.word_ngrams(F.col("w"), n=3))
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("hit_grams") >= 2)
+        .orderBy("doc_id")
+    )
+
+
 # =====================================================================
 # Training-data pipeline: similarity search over embeddings
 # =====================================================================
