@@ -104,3 +104,70 @@ def test_point_hits_plan_codegen_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in opt
     assert hits.count() > 0
     Q.release_caches()
+
+
+def test_tpch_q4_semi_join_no_cartesian(spark):
+    """EXISTS must plan as a left-semi hash join on l_orderkey with the
+    non-equi shipdate residual as its condition — never a cartesian."""
+    df = Q.queries()["tpch_q4"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "o_orderdate"), "order window must push down"
+
+
+def test_tpch_q16_anti_join_and_pruning(spark):
+    """NOT IN over non-null keys plans as a broadcast left-anti join;
+    the lineitem scan reads only the two join columns."""
+    df = Q.queries()["tpch_q16"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "LeftAnti" in plan
+    cols = read_schema_columns(df)
+    li_scans = [c for c in cols if "l_partkey" in c]
+    assert li_scans and all(
+        "l_extendedprice" not in c and "l_shipdate" not in c for c in li_scans
+    ), f"lineitem scan must prune to join keys: {li_scans}"
+
+
+def test_tpch_q19_disjunctive_filter_pushdown(spark):
+    """The OR-of-ANDs lands on the part scan as a pushed brand filter
+    and the join stays a broadcast hash join."""
+    df = Q.queries()["tpch_q19"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1
+    assert c["sortmerge_joins"] == 0
+    assert has_pushed_filter(df, "p_brand"), "brand IN-list must push down"
+
+
+def test_tpch_q17_correlated_avg_is_broadcast(spark):
+    """The correlated per-part average must not shuffle the fact table
+    twice into sort-merge joins: both the brand-part semi join and the
+    threshold join are broadcasts."""
+    df = Q.queries()["tpch_q17"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 2, c
+    assert c["sortmerge_joins"] == 0, c
+
+
+def test_doc_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram table travels broadcast so the 100 TB corpus
+    side never shuffles for the join."""
+    df = Q.queries()["doc_contamination"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, c
+    assert c["sortmerge_joins"] == 0, c
+
+
+def test_connected_components_no_cartesian(spark):
+    """Each CC round is equi-joins + min agg — the plan of the final
+    labels must contain no cartesian/BNL join."""
+    from mobilityduck_spark.operators import components as CC
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    out = CC.connected_components(edges)
+    plan = str(out._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert out.count() == 40
+    CC.release_caches()
