@@ -193,6 +193,56 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         "INT",
         "aggregate(t.seqs, 0, (acc, s) -> acc + size(s.instants))",
     ),
+    # ------------------------------------------------------ span accessors
+    (
+        "duration_us",
+        f"s {TSTZSPAN_SQL}",
+        "BIGINT",
+        "unix_micros(s.upper) - unix_micros(s.lower)",
+    ),
+    # -------------------------------------- text-pipeline family
+    # (operators/text.py expressed as SQL — same bodies, same results)
+    (
+        "tokens",
+        "txt STRING",
+        "ARRAY<STRING>",
+        r"split(lower(trim(txt)), '\\s+')",
+    ),
+    (
+        "doc_token_count",
+        "txt STRING",
+        "INT",
+        r"size(split(lower(trim(txt)), '\\s+'))",
+    ),
+    (
+        "doc_fingerprint",
+        "txt STRING",
+        "STRING",
+        r"md5(regexp_replace(lower(trim(txt)), '\\s+', ' '))",
+    ),
+    (
+        "alpha_ratio",
+        "txt STRING",
+        "DOUBLE",
+        "CASE WHEN length(txt) > 0 THEN "
+        "CAST(length(regexp_replace(txt, '[^A-Za-z ]', '')) AS DOUBLE)"
+        " / length(txt) ELSE 0D END",
+    ),
+    (
+        "split_bucket",
+        "key BIGINT, salt STRING",
+        "DOUBLE",
+        "CAST(conv(substring(md5(concat_ws('-', CAST(key AS STRING), salt)),"
+        " 1, 8), 16, 10) AS BIGINT) / 4294967296D",
+    ),
+    (
+        "split_assign",
+        "key BIGINT, train DOUBLE, val DOUBLE, salt STRING",
+        "STRING",
+        "CASE WHEN split_bucket(key, salt) < train THEN 'train' "
+        "WHEN split_bucket(key, salt) < train + val THEN 'val' "
+        "ELSE 'test' END",
+    ),
 ]
 
 

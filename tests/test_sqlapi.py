@@ -147,3 +147,42 @@ def test_sql_functions_inline_into_codegen(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_text_pipeline_sql_matches_dataframe(spark):
+    """The text-pipeline family in pure SQL (tokens/fingerprint/split/
+    quality) must match operators/text.py exactly — same hash, same
+    bucket, same split label."""
+    from mobilityduck_spark.operators import text as TX
+
+    docs = SRC.load(spark, SF, "documents")
+    docs.createOrReplaceTempView("documents_v")
+    got = spark.sql(
+        """
+        SELECT doc_id,
+               doc_token_count(text) AS ntok,
+               doc_fingerprint(text) AS fp,
+               ROUND(alpha_ratio(text), 6) AS ar,
+               split_assign(doc_id, 0.8D, 0.1D, 'v1') AS split
+        FROM documents_v
+        """
+    )
+    exp = docs.select(
+        "doc_id",
+        TX.token_count("text").cast("int").alias("ntok"),
+        TX.fingerprint("text").alias("fp"),
+        F.round(TX.alpha_ratio("text"), 6).alias("ar"),
+        TX.split_assign(F.col("doc_id"), train=0.8, val=0.1).alias("split"),
+    )
+    cols = ("doc_id", "ntok", "fp", "ar", "split")
+    assert _rows(got, *cols) == _rows(exp, *cols)
+
+
+def test_duration_us_sql(spark):
+    r = spark.sql(
+        """
+        SELECT duration_us(tstzspan(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-02')) AS d
+        """
+    ).collect()[0]
+    assert r["d"] == 86_400_000_000
