@@ -173,3 +173,42 @@ def test_streaming_exact_dedup(spark, tmp_path):
     exp = docs.select(F.md5("text")).distinct().count()
     assert got == exp
     assert got < docs.count()  # the fixture really contains duplicates
+
+
+def test_streaming_text_pipeline_equals_batch(spark, tmp_path):
+    """The text-pipeline ops (fingerprint / split / quality / token
+    count) are stateless Column expressions, so they run UNCHANGED under
+    Structured Streaming — stream results must equal the batch run row
+    for row. This is the streaming ingestion shape for a training-data
+    pipeline (new corpus shards land → score/split/fingerprint on
+    arrival)."""
+    from mobilityduck_spark.operators import text as TX
+
+    src_dir = str(tmp_path / "docs_src")
+    docs = SRC.load(spark, SF, "documents")
+    docs.write.mode("overwrite").parquet(src_dir)
+
+    def transform(df):
+        return df.select(
+            "doc_id",
+            TX.fingerprint("text").alias("fp"),
+            TX.split_assign(F.col("doc_id"), train=0.8, val=0.1).alias("split"),
+            TX.token_count("text").alias("ntok"),
+            F.round(TX.alpha_ratio("text"), 6).alias("ar"),
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    q = (
+        transform(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("txt_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.table("txt_stream_out").collect()
+    )
+    exp = sorted(tuple(r) for r in transform(docs).collect())
+    assert got == exp and len(got) > 0
