@@ -597,3 +597,159 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# =====================================================================
+# Q2 — min-cost supplier (adapted: the part→supplier relation derives
+# from lineitem, "cost" is s_acctbal): correlated MIN subquery → window
+# min over the candidate relation, then re-join for attributes
+# =====================================================================
+@register(
+    "tpch_q2",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        FROM lineitem
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier, nation, region
+        WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM part, ps, eu
+    WHERE p_partkey = ps.partkey AND eu.s_suppkey = ps.suppkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND s_acctbal = (
+            SELECT MIN(eu2.s_acctbal)
+            FROM ps ps2, eu eu2
+            WHERE ps2.partkey = p_partkey AND eu2.s_suppkey = ps2.suppkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-MIN plan for scale: the candidate (part, supplier,
+    acctbal) relation is built once, the per-part minimum is a window
+    over it (one shuffle on partkey), and the equality filter replaces
+    the per-row subquery — no re-evaluation of the subquery tree."""
+    from pyspark.sql.window import Window
+
+    li = SRC.load(spark, sf_dir, "lineitem")
+    part = SRC.load(spark, sf_dir, "part")
+    supp = SRC.load(spark, sf_dir, "supplier")
+    nation = SRC.load(spark, sf_dir, "nation")
+    region = SRC.load(spark, sf_dir, "region")
+    eu = F.broadcast(
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    cand = ps.join(eu, F.col("suppkey") == F.col("s_suppkey"))
+    best = cand.withColumn(
+        "_mn", F.min("s_acctbal").over(Window.partitionBy("partkey"))
+    ).filter(F.col("s_acctbal") == F.col("_mn"))
+    return (
+        best.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+                ).select("p_partkey", "p_type")
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+    )
+
+
+# =====================================================================
+# Q21 — suppliers who kept orders waiting (adapted: l_returnflag = 'R'
+# stands in for the late-delivery flag): the double-correlated
+# EXISTS + NOT EXISTS shape → left-semi then left-anti join
+# =====================================================================
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = SRC.load(spark, sf_dir, "lineitem")
+    orders = SRC.load(spark, sf_dir, "orders")
+    supp = SRC.load(spark, sf_dir, "supplier")
+    nation = SRC.load(spark, sf_dir, "nation")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    wanted = F.broadcast(
+        supp.join(
+            F.broadcast(
+                nation.filter(
+                    F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    return (
+        waited.join(wanted, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
