@@ -753,3 +753,101 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# =====================================================================
+# Q11 — important stock (adapted: value = discounted lineitem revenue
+# per part for one nation's suppliers): per-group agg filtered against
+# a GLOBAL aggregate fraction — the scalar-in-HAVING shape
+# =====================================================================
+@register(
+    "tpch_q11",
+    f"""
+    WITH v AS (
+        SELECT l_partkey, {_SQL_DISC_PRICE} AS val
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_4'
+    )
+    SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS value
+    FROM v GROUP BY l_partkey
+    HAVING CAST(SUM(val) AS DOUBLE) >
+           (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM v)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global-threshold plan: the value relation is computed once,
+    aggregated per part AND in total (broadcast 1-row scalar), and the
+    HAVING becomes a filter against the broadcast — the per-part
+    partial aggregation carries the load at scale."""
+    li = SRC.load(spark, sf_dir, "lineitem")
+    supp = SRC.load(spark, sf_dir, "supplier")
+    nation = SRC.load(spark, sf_dir, "nation")
+    nation4_supps = F.broadcast(
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_4")
+                        .select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    v = li.join(
+        nation4_supps, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    ).select("l_partkey", _disc_price().alias("val"))
+    per_part = v.groupBy("l_partkey").agg(
+        F.sum("val").cast("double").alias("value")
+    )
+    total = v.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("_thr"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+        .select("l_partkey", "value")
+    )
+
+
+# =====================================================================
+# Q20 — potential part promotion (adapted): nested IN over a grouped
+# HAVING aggregate → semi-join against the derived agg relation
+# =====================================================================
+@register(
+    "tpch_q20",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND p_name LIKE '%ring%'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 50)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = SRC.load(spark, sf_dir, "lineitem")
+    part = SRC.load(spark, sf_dir, "part")
+    supp = SRC.load(spark, sf_dir, "supplier")
+    nation = SRC.load(spark, sf_dir, "nation")
+    heavy = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%ring%"))
+                        .select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_5")
+                        .select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_name")
+        .select("s_name", "s_acctbal")
+    )
