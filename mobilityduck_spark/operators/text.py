@@ -184,3 +184,27 @@ def split_assign(
         .when(b < F.lit(train + val), F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def dup_word_fraction(toks) -> Column:
+    """Repetition quality signal (Gopher-style): fraction of tokens that
+    are repeats of an earlier token. 0 = all distinct, →1 = degenerate
+    repetition. Pure expression over a materialized token array."""
+    tc = _c(toks)
+    return F.when(
+        F.size(tc) > 0,
+        1.0 - F.size(F.array_distinct(tc)) / F.size(tc),
+    ).otherwise(F.lit(0.0))
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{1,4}\b"
+
+
+def redact_pii(text) -> Column:
+    """PII scrubbing: replace emails and phone-shaped numbers with typed
+    placeholders. RE2-compatible patterns (identical semantics in Spark's
+    Java regex and DuckDB's RE2) so the oracle can apply the same
+    transformation; extend the pattern list per deployment."""
+    t = F.regexp_replace(_c(text), _EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, _PHONE_RE, "<PHONE>")

@@ -965,6 +965,161 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_repetition_scores",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN len(w) > 0
+                        THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                        ELSE 0.0 END, 6) AS dup_word_frac,
+             greatest(len(w) - 1, 0) AS n_bigrams
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM d WHERE len(w) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS topc FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.dup_word_frac,
+           ROUND(CASE WHEN b.n_bigrams > 0
+                      THEN CAST(COALESCE(t.topc, 0) AS DOUBLE) / b.n_bigrams
+                      ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metrics (Gopher-rule style, adapted to the
+    newline-free corpus): duplicate-word fraction (pure expression) and
+    top-bigram occurrence fraction (relational per-doc argmax — explode,
+    count per (doc, gram), window max). Both deterministic."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", TX.tokens("text").alias("w"))
+    base = toks.select(
+        "doc_id",
+        F.round(TX.dup_word_fraction(F.col("w")), 6).alias("dup_word_frac"),
+        F.greatest(F.size("w") - 1, F.lit(0)).alias("n_bigrams"),
+    )
+    top = (
+        toks.select(
+            "doc_id", F.explode(TX.word_ngrams(F.col("w"), n=2)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_word_frac",
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    F.coalesce(F.col("topc"), F.lit(0)).cast("double")
+                    / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_pii_redaction",
+    r"""
+    WITH synth AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-123-'
+                  || CAST(doc_id % 10000 AS VARCHAR) AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, lang,
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{3}-\d{3}-\d{1,4}\b', '<PHONE>', 'g') AS r,
+             t
+      FROM synth
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+             AS n_emails,
+           SUM(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{1,4}\b')))
+             AS n_phones,
+           SUM(CASE WHEN r LIKE '%<EMAIL>%' AND r LIKE '%<PHONE>%'
+                    THEN 1 ELSE 0 END) AS n_redacted
+    FROM red GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing rollup: emails/phones are planted deterministically
+    (the synthetic corpus has none), redacted with the engine's
+    `redact_pii`, and counted per language. Pure regexp expressions —
+    scan-speed at 100 TB; the oracle applies the identical RE2
+    patterns."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ).alias("t"),
+    )
+    red = synth.select(
+        "lang",
+        "t",
+        TX.redact_pii(F.col("t")).alias("r"),
+    )
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.regexp_count(F.col("t"), F.lit(TX._EMAIL_RE))).alias(
+                "n_emails"
+            ),
+            F.sum(F.regexp_count(F.col("t"), F.lit(TX._PHONE_RE))).alias(
+                "n_phones"
+            ),
+            F.sum(
+                F.when(
+                    F.col("r").contains("<EMAIL>")
+                    & F.col("r").contains("<PHONE>"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
 # =====================================================================
 # Training-data pipeline: similarity search over embeddings
 # =====================================================================
