@@ -1120,6 +1120,117 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_curation_funnel",
+    r"""
+    WITH RECURSIVE
+    u AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang FROM documents
+    ),
+    t AS (
+      SELECT doc_id AS id, lang, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM u
+    ),
+    fl AS (
+      SELECT id, lang, text, w,
+             (len(w) >= 20 AND
+              (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) <= 0.6)
+               AS q_ok,
+             lang IN ('en', 'de', 'fr') AS l_ok
+      FROM t
+    ),
+    q AS (SELECT * FROM fl WHERE q_ok),
+    lg AS (SELECT * FROM q WHERE l_ok),
+    fpt AS (
+      SELECT id, lang, text, w,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM lg
+    ),
+    ek AS (
+      SELECT * FROM (
+        SELECT *, MIN(id) OVER (PARTITION BY fp) AS rep FROM fpt
+      ) WHERE id = rep
+    ),
+    d2 AS (SELECT id, lang, length(text) // 100 AS lb, w FROM ek),
+    g2 AS (
+      SELECT id, lang, lb,
+             list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM d2
+    ),
+    e2 AS (SELECT id, lang, lb, unnest(grams) AS gram FROM g2),
+    keep2 AS (
+      SELECT lang, lb, gram FROM e2
+      GROUP BY lang, lb, gram HAVING COUNT(*) <= 64
+    ),
+    k2 AS (SELECT e2.* FROM e2 JOIN keep2 USING (lang, lb, gram)),
+    n2 AS (SELECT id, COUNT(*) AS ng FROM k2 GROUP BY id),
+    i2 AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM k2 a JOIN k2 b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    jp AS (
+      SELECT i2.id_a, i2.id_b
+      FROM i2 JOIN n2 na ON na.id = i2.id_a JOIN n2 nb ON nb.id = i2.id_b
+      WHERE i2.inter / CAST(na.ng + nb.ng - i2.inter AS DOUBLE) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS t2 FROM jp
+      UNION
+      SELECT id_b AS s, id_a AS t2 FROM jp
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM sym
+      UNION
+      SELECT sym.t2, reach.lbl FROM reach JOIN sym ON sym.s = reach.node
+    ),
+    compt AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    nk AS (
+      SELECT ek.id FROM ek LEFT JOIN compt ON compt.node = ek.id
+      WHERE COALESCE(compt.cluster_id, ek.id) = ek.id
+    ),
+    spl AS (
+      SELECT id, CASE WHEN ub < 0.8 THEN 'train'
+                      WHEN ub < 0.9 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT id,
+               CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '-v1'), 1, 8))
+                    AS UBIGINT) / 4294967296.0 AS ub
+        FROM nk
+      )
+    )
+    SELECT stage, n_docs FROM (
+      SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM u
+      UNION ALL SELECT '1_quality', COUNT(*) FROM q
+      UNION ALL SELECT '2_language', COUNT(*) FROM lg
+      UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM ek
+      UNION ALL SELECT '4_near_dup', COUNT(*) FROM nk
+      UNION ALL SELECT '5_split:' || split, COUNT(*) FROM spl GROUP BY split
+    ) ORDER BY stage
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline (operators/pipeline.py): quality
+    → language → exact dedup → near-dup cluster dedup → split, over the
+    corpus unioned with an id-shifted copy (so exact dedup has real
+    work). Output is the stage funnel; the oracle replays every stage
+    in ANSI SQL including the recursive-CTE connected components."""
+    from .operators import pipeline as PL
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    u = docs.union(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    )
+    _manifest, funnel = PL.curate_corpus(u)
+    return funnel.orderBy("stage")
+
+
 # =====================================================================
 # Training-data pipeline: similarity search over embeddings
 # =====================================================================

@@ -1,0 +1,64 @@
+"""Corpus curation pipeline: manifest invariants over the funnel stages
+(every doc is either kept or carries exactly one drop stage; cluster
+representatives keep, members drop; split labels partition the keeps)."""
+
+import pyspark.sql.functions as F
+
+from mobilityduck_spark.operators import components as CC
+from mobilityduck_spark.operators import dedup as DD
+from mobilityduck_spark.operators import pipeline as PL
+from mobilityduck_spark.sources import tables as SRC
+
+SF = "/root/testdata/sf0.001"
+
+
+def _curated(spark):
+    docs = SRC.load(spark, SF, "documents").select("doc_id", "text", "lang")
+    u = docs.union(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    )
+    manifest, funnel = PL.curate_corpus(u)
+    m = manifest.collect()
+    f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    DD.release_caches()
+    CC.release_caches()
+    return m, f
+
+
+def test_manifest_partitions_and_funnel_consistency(spark):
+    m, f = _curated(spark)
+    # every doc appears exactly once
+    assert len(m) == f["0_raw"] and len({r["id"] for r in m}) == len(m)
+    # keep XOR drop_stage
+    for r in m:
+        assert r["keep"] == (r["drop_stage"] is None)
+        if r["keep"]:
+            assert r["split"] in ("train", "val", "test")
+            assert r["cluster_id"] == r["id"]  # kept docs are cluster reps
+        else:
+            assert r["split"] is None
+    # funnel counts reproduce from the manifest
+    drops = {}
+    for r in m:
+        drops[r["drop_stage"]] = drops.get(r["drop_stage"], 0) + 1
+    n_keep = drops.get(None, 0)
+    assert n_keep == f["4_near_dup"]
+    assert f["0_raw"] - drops.get("quality", 0) == f["1_quality"]
+    assert f["1_quality"] - drops.get("language", 0) == f["2_language"]
+    assert f["2_language"] - drops.get("exact_dup", 0) == f["3_exact_dedup"]
+    assert f["3_exact_dedup"] - drops.get("near_dup", 0) == f["4_near_dup"]
+    # splits partition the keep set
+    split_total = sum(v for k, v in f.items() if k.startswith("5_split:"))
+    assert split_total == n_keep
+    # the funnel strictly shrinks where work exists: exact dedup must
+    # drop the id-shifted copies
+    assert f["3_exact_dedup"] <= f["2_language"] // 2 + 1
+
+
+def test_near_dup_members_point_at_kept_rep(spark):
+    m, _ = _curated(spark)
+    by_id = {r["id"]: r for r in m}
+    for r in m:
+        if r["drop_stage"] == "near_dup":
+            rep = by_id[r["cluster_id"]]
+            assert rep["keep"] and rep["cluster_id"] == rep["id"]
