@@ -138,12 +138,20 @@ def tfloat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_at_instants(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = SRC.user_tfloat(spark, sf_dir)  # step interp
     probes = SRC.instant_grid(spark)
-    joined = tf.crossJoin(F.broadcast(probes))
+    # the NULL-result rows are excluded with a cheap range predicate in
+    # the join (tf is one gap-free sequence, so valueAtTimestamp is
+    # non-NULL ⟺ instant ∈ [start, end]) instead of a post-filter on
+    # `val` — a filter above the projection would be predicate-pushed
+    # through it and re-evaluate the interpreted HOF subtree per row
+    in_range = (F.col("instant") >= TT.start_timestamp(F.col("tf"))) & (
+        F.col("instant") <= TT.end_timestamp(F.col("tf"))
+    )
+    joined = tf.crossJoin(F.broadcast(probes)).filter(in_range)
     return joined.select(
         "user_id",
         "instant_id",
         TT.value_at_timestamp(F.col("tf"), F.col("instant")).alias("val"),
-    ).filter(F.col("val").isNotNull())
+    )
 
 
 # =====================================================================
@@ -171,13 +179,18 @@ def attime_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = SRC.user_tfloat(spark, sf_dir)
     periods = SRC.period_grid(spark)
     sp = S.span(F.col("tstart"), F.col("tend"))  # [tstart, tend)
-    joined = tf.crossJoin(F.broadcast(periods)).filter(
-        S.overlaps(TT.time_span(F.col("tf")), sp)
+    # the dur_us > 0 condition is applied as a STRICT overlap predicate
+    # in the join (least(tend, end) > greatest(tstart, start) — exactly
+    # the oracle's WHERE) rather than as a filter above the projection:
+    # a post-filter on dur_us gets predicate-pushed through the project,
+    # re-inlining the interpreted at_time subtree and evaluating it
+    # twice per row (measured 2×)
+    strict = F.least(F.col("tend"), TT.end_timestamp(F.col("tf"))) > F.greatest(
+        F.col("tstart"), TT.start_timestamp(F.col("tf"))
     )
-    # two-step select: alias the clipped temporal before consuming it, so
-    # the (interpreted, non-codegen) higher-order at_time subtree is
-    # evaluated once per row instead of re-inlined at each reference
-    # (CollapseProject keeps the barrier for non-cheap expressions)
+    joined = tf.crossJoin(F.broadcast(periods)).filter(
+        S.overlaps(TT.time_span(F.col("tf")), sp) & strict
+    )
     clipped = joined.select(
         "user_id", "period_id", TT.at_time(F.col("tf"), sp).alias("clipped")
     )
@@ -185,7 +198,7 @@ def attime_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "period_id",
         TT.duration_us(F.col("clipped")).alias("dur_us"),
-    ).filter(F.col("dur_us") > 0)
+    )
 
 
 # =====================================================================
