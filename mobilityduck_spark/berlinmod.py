@@ -309,12 +309,14 @@ def bm_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips = _trips(spark, sf_dir)
     l1 = BM.licences1(spark, sf_dir)
     inst = BM.instants1(spark, sf_dir)
-    t = trips.join(F.broadcast(l1), "vehicle_id").crossJoin(F.broadcast(inst))
+    t = trips.join(F.broadcast(l1), "vehicle_id").crossJoin(F.broadcast(inst)).filter(
+        TP.is_defined_at(F.col("trip"), F.col("instant"))
+    )
     pos = t.select(
         "licence",
         "instant_id",
         TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
-    ).filter(F.col("pos").isNotNull())
+    )
     return pos.select(
         "licence",
         "instant_id",
@@ -959,12 +961,14 @@ def bm_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = BM.instants1(spark, sf_dir)
     pts = BM.points1(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
-    t = trips.crossJoin(F.broadcast(inst))
+    t = trips.crossJoin(F.broadcast(inst)).filter(
+        TP.is_defined_at(F.col("trip"), F.col("instant"))
+    )
     pos = t.select(
         "vehicle_id",
         "instant_id",
         TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
-    ).filter(F.col("pos").isNotNull())
+    )
     at_pt = pos.join(
         F.broadcast(pts),
         (F.col("pos.x") == F.col("px")) & (F.col("pos.y") == F.col("py")),
@@ -1145,12 +1149,14 @@ def bm_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = BM.instants1(spark, sf_dir)
     r = BM.regions1(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
-    t = trips.crossJoin(F.broadcast(inst))
+    t = trips.crossJoin(F.broadcast(inst)).filter(
+        TP.is_defined_at(F.col("trip"), F.col("instant"))
+    )
     pos = t.select(
         "vehicle_id",
         "instant_id",
         TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
-    ).filter(F.col("pos").isNotNull())
+    )
     in_r = pos.crossJoin(F.broadcast(r)).filter(
         (F.col("pos.x") >= F.col("rx0")) & (F.col("pos.x") <= F.col("rx1"))
         & (F.col("pos.y") >= F.col("ry0")) & (F.col("pos.y") <= F.col("ry1"))
@@ -1242,12 +1248,14 @@ def bm_q14_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         bx0.alias("bx0"), by0.alias("by0"),
         bx1.alias("bx1"), by1.alias("by1"),
     )
-    t = trips.crossJoin(F.broadcast(inst))
+    t = trips.crossJoin(F.broadcast(inst)).filter(
+        TP.is_defined_at(F.col("trip"), F.col("instant"))
+    )
     pos = t.select(
         "vehicle_id",
         "instant_id",
         TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
-    ).filter(F.col("pos").isNotNull())
+    )
     in_r = pos.crossJoin(F.broadcast(pr)).filter(
         (F.col("pos.x") >= F.col("bx0")) & (F.col("pos.x") <= F.col("bx1"))
         & (F.col("pos.y") >= F.col("by0")) & (F.col("pos.y") <= F.col("by1"))

@@ -185,6 +185,27 @@ def value_at_timestamp(t, ts) -> Column:
     )
 
 
+def is_defined_at(t, ts) -> Column:
+    """True iff some sequence of `t` covers `ts` (bound-flag aware).
+    For continuous (step/linear) temporals this is EXACTLY the non-NULL
+    condition of value_at_timestamp; discrete temporals additionally
+    need an exact instant match. O(#sequences) — use as a cheap join
+    predicate instead of an IS NOT NULL post-filter on the interpolated
+    value: a filter above the projection gets predicate-pushed through
+    it and re-evaluates the whole interpolation subtree per row."""
+    tc, ts = _c(t), _c(ts)
+    disc = tc["interp"] == 1
+
+    def covers(s: Column) -> Column:
+        first_t = s["instants"][0]["t"]
+        last_t = F.try_element_at(s["instants"], F.lit(-1))["t"]
+        lo_ok = F.when(s["lower_inc"] | disc, ts >= first_t).otherwise(ts > first_t)
+        hi_ok = F.when(s["upper_inc"] | disc, ts <= last_t).otherwise(ts < last_t)
+        return lo_ok & hi_ok
+
+    return F.exists(tc["seqs"], covers)
+
+
 def at_values_point(t, x, y) -> Column:
     """atValues(TGEOMPOINT, point) — restrict to times AT a given point
     (src/geo/tgeompoint.cpp:190-198): instants whose position equals
