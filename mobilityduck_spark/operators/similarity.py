@@ -317,3 +317,25 @@ def ivf_topk(
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
+
+
+def save_ivf_index(
+    assigned: DataFrame, centroids: DataFrame, path: str, mode: str = "overwrite"
+):
+    """Persist an IVF index at rest: the assignment table lands as
+    parquet PARTITIONED BY cell (a probe-join against the loaded index
+    then touches only the probed cells' files — with broadcast probes,
+    dynamic partition pruning skips the rest of the corpus on disk),
+    centroids as a single small parquet. Build once on the 100 TB
+    corpus, reuse across every search session."""
+    assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/assignments")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load an IVF index written by save_ivf_index. Returns (assigned,
+    centroids) with the same schema/contract as build_ivf_index — drop
+    the result straight into ivf_search."""
+    assigned = spark.read.parquet(f"{path}/assignments")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return assigned, centroids

@@ -65,3 +65,35 @@ def test_lsh_topk_subset_of_universe(spark):
     lsh = SIM.lsh_topk(emb, q, k=5, dim=64, n_planes=6)
     rows = lsh.collect()
     assert all(r["rank"] <= 5 for r in rows)
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """A saved+reloaded IVF index must return identical search results,
+    and the at-rest layout must be cell-partitioned for pruning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = SRC.load(spark, SF, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, centroids = SIM.build_ivf_index(emb, n_centroids=8)
+    before = sorted(
+        (r["query_id"], r["vec_id"], r["cos"], r["rank"])
+        for r in SIM.ivf_search(assigned, centroids, queries_df, k=5,
+                                n_probe=3).collect()
+    )
+    path = str(tmp_path / "ivf_index")
+    SIM.save_ivf_index(assigned, centroids, path)
+    # cell-partitioned directory layout (hive-style cell=N)
+    parts = [d for d in os.listdir(f"{path}/assignments")
+             if d.startswith("cell=")]
+    assert len(parts) >= 2
+    a2, c2 = SIM.load_ivf_index(spark, path)
+    after = sorted(
+        (r["query_id"], r["vec_id"], r["cos"], r["rank"])
+        for r in SIM.ivf_search(a2, c2, queries_df, k=5, n_probe=3).collect()
+    )
+    assert before == after
+    SIM.release_caches()
