@@ -662,25 +662,62 @@ def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     knots per pair (ASOF-join interpolation matching np.interp's
     slope*(t-t0)+f0 form), gap-masked knots/segments, and the
     per-segment quadratic vertex minimum, term-for-term the
-    _min_dist_sq_profile kernel."""
-    from .operators.tpoint_pairs import register_flat_pair_udfs
+    _min_dist_sq_profile kernel.
 
-    udfs = register_flat_pair_udfs(spark)
+    Small-fleet plan: the whole truck fleet rides in the kernel
+    CLOSURE (ordered probe form — each unordered pair evaluated once)
+    so every trip's arrays cross Arrow ONCE, not once per candidate
+    pair. A bbox prefilter was useless here: at city density every
+    trip bbox overlaps every other (measured: 44 850 of 44 850 pairs
+    pass), so the pair-join formulation shipped |fleet|× the data for
+    zero pruning. Past the threshold the plan switches to the
+    grid-bucketed candidate join (the large×large shape at scale)."""
+    from .operators.tpoint_pairs import (
+        register_flat_pair_udfs,
+        register_probe_edwithin_udf,
+    )
+
     v = BM.vehicles(spark, sf_dir).filter(F.col("vehicle_type") == "truck")
     t = _flat_trips(spark, sf_dir).join(F.broadcast(v), "vehicle_id")
+    # plan probe on the DIM side: each vehicle has ≤1 trips row, so
+    # |v| bounds |t| — a count on the tiny vehicles parquet instead of
+    # a scan over the cached trip arrays (~0.9 s at sf0.1)
+    if v.count() <= _GRID_PAIR_THRESHOLD:
+        rows = t.select(
+            "vehicle_id", "licence", "t_arr", "x_arr", "y_arr", "len_arr"
+        ).collect()  # bounded by the threshold check above
+        probes = [
+            {"vid": r["vehicle_id"], "t": r["t_arr"], "x": r["x_arr"],
+             "y": r["y_arr"], "lens": r["len_arr"]}
+            for r in rows
+        ]
+        hit_vid = register_probe_edwithin_udf(probes, 10.0, ordered=True)
+        lic = spark.createDataFrame(
+            [(r["vehicle_id"], r["licence"]) for r in rows],
+            schema="vehicle_id long, licence string",
+        )
+        # spread the (tiny) fleet relation across all cores before the
+        # kernel stage: its payload is a few MB so Spark would otherwise
+        # run the whole O(fleet²) kernel loop on 1-2 partitions
+        spread = t.repartition(
+            spark.sparkContext.defaultParallelism, "vehicle_id"
+        )
+        hits = spread.select(
+            F.col("licence").alias("licence2"),
+            F.explode(
+                hit_vid("t_arr", "x_arr", "y_arr", "len_arr", "vehicle_id")
+            ).alias("vehicle_id"),
+        )
+        return (
+            hits.join(F.broadcast(lic), "vehicle_id")
+            .select(F.col("licence").alias("licence1"), "licence2")
+            .distinct()
+        )
+    udfs = register_flat_pair_udfs(spark)
     t1, t2 = _pair_frames(t, 1), _pair_frames(t, 2)
-    if t.count() <= _GRID_PAIR_THRESHOLD:
-        pairs = t1.join(
-            F.broadcast(t2),
-            (F.col("vid1") < F.col("vid2"))
-            & B.stbox_overlaps(
-                B.expand_space(F.col("bb1"), F.lit(10.0)), F.col("bb2")
-            ),
-        )
-    else:
-        pairs = _pair_candidates_grid(t1, t2, 10.0).filter(
-            F.col("vid1") < F.col("vid2")
-        )
+    pairs = _pair_candidates_grid(t1, t2, 10.0).filter(
+        F.col("vid1") < F.col("vid2")
+    )
     return (
         pairs.filter(
             udfs["e_dwithin"]("ta1", "xa1", "ya1", "la1", "ta2", "xa2", "ya2", "la2", F.lit(10.0))
@@ -875,7 +912,9 @@ def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_arr").alias("ya2"), F.col("len_arr").alias("la2"),
         F.col("bb").alias("bb2"),
     )
-    if t1.count() <= _GRID_PAIR_THRESHOLD:
+    # plan probe on the licences dim (≤1 trips row per vehicle bounds
+    # |t1|) — avoids scanning the cached trip arrays just to count
+    if l1.count() <= _GRID_PAIR_THRESHOLD:
         probe_rows = t1.collect()  # bounded by the threshold check above
         probes = [
             {"vid": r["vid1"], "t": r["ta1"], "x": r["xa1"],

@@ -65,15 +65,36 @@ def _extract(tv) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def _gaps(side) -> list[tuple[float, float]]:
-    """(gap_lo, gap_hi) second windows where the temporal is undefined,
-    derived from per-sequence lengths; [] when single-sequence."""
+def _gap_bounds(side) -> tuple[np.ndarray, np.ndarray]:
+    """(lo_arr, hi_arr) second windows where the temporal is undefined,
+    derived from per-sequence lengths; empty when single-sequence.
+    Sorted and pairwise disjoint (sequences are ordered and
+    non-overlapping, so their inter-sequence gaps are too)."""
     ts = side[0]
     lens = side[3] if len(side) > 3 and side[3] is not None else None
     if lens is None or len(lens) <= 1:
-        return []
-    offs = np.cumsum(lens)[:-1]  # first index of each later sequence
-    return [(ts[o - 1], ts[o]) for o in offs if ts[o] > ts[o - 1]]
+        z = np.empty(0)
+        return z, z
+    offs = np.cumsum(lens)[:-1]
+    lo, hi = ts[offs - 1], ts[offs]
+    keep = hi > lo
+    return lo[keep], hi[keep]
+
+
+def _inside_any(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Boolean mask: vals strictly inside any [lo_i, hi_i) gap window.
+    `lo` sorted + disjoint ⇒ one searchsorted instead of a per-gap
+    Python loop (the loop dominated the pairwise kernels on gap-split
+    trips: ~40 sequences → ~80 masked vector ops per sync call)."""
+    if lo.size == 0 or vals.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    idx = np.searchsorted(lo, vals, side="right") - 1
+    ok = idx >= 0
+    out = np.zeros(vals.size, dtype=bool)
+    iv = vals[ok]
+    ii = idx[ok]
+    out[ok] = (iv > lo[ii]) & (iv < hi[ii])
+    return out
 
 
 def _sync_segments(a, b):
@@ -96,18 +117,16 @@ def _sync_segments(a, b):
     ts = ts[(ts >= lo) & (ts <= hi)]
     if ts.size == 0:
         return None
-    gaps = _gaps(a) + _gaps(b)
-    valid_knot = np.ones(ts.size, dtype=bool)
+    ga_lo, ga_hi = _gap_bounds(a)
+    gb_lo, gb_hi = _gap_bounds(b)
+    valid_knot = ~(_inside_any(ts, ga_lo, ga_hi) | _inside_any(ts, gb_lo, gb_hi))
     if ts.size >= 2:
         mid = (ts[:-1] + ts[1:]) * 0.5
-        valid_seg = np.ones(mid.size, dtype=bool)
+        valid_seg = ~(
+            _inside_any(mid, ga_lo, ga_hi) | _inside_any(mid, gb_lo, gb_hi)
+        )
     else:
-        mid = np.empty(0)
         valid_seg = np.empty(0, dtype=bool)
-    for glo, ghi in gaps:
-        valid_knot &= ~((ts > glo) & (ts < ghi))
-        if mid.size:
-            valid_seg &= ~((mid > glo) & (mid < ghi))
     if not valid_knot.any():
         return None
     pax = np.interp(ts, ta, xa)
@@ -588,7 +607,7 @@ def register_tdwithin_tbool_udf(spark=None):
     return tdwithin_tbool
 
 
-def register_probe_edwithin_udf(probes: list, d: float):
+def register_probe_edwithin_udf(probes: list, d: float, ordered: bool = False):
     """Broadcast-closure pairwise eDwithin for a SMALL probe fleet —
     the pairwise analog of a broadcast hash join. `probes` is a
     driver-side list of dicts {vid, t, x, y, lens} (bounded: the caller
@@ -601,7 +620,12 @@ def register_probe_edwithin_udf(probes: list, d: float):
     candidate pair (the join formulation shipped |probes|× the data:
     ~500 MB vs ~50 MB at sf0.1 for the bm_q10 shape). Probe bboxes
     prefilter inside the kernel; the exact kernel is the same
-    _sync_segments + _min_dist_sq_profile as every other pairwise op."""
+    _sync_segments + _min_dist_sq_profile as every other pairwise op.
+
+    `ordered=True` is the SELF-pair form (probes == the scanned fleet):
+    only probes with vid < the row's vid are tested, so each unordered
+    pair is evaluated exactly once — half the kernel calls and the
+    vid1 < vid2 dedup for free."""
     pre = []
     for p in probes:
         t_ = _np(p["t"]); x_ = _np(p["x"]); y_ = _np(p["y"])
@@ -626,7 +650,7 @@ def register_probe_edwithin_udf(probes: list, d: float):
             by0, by1 = float(side_b[2].min()), float(side_b[2].max())
             hits = []
             for pvid, side_a, px0, px1, py0, py1 in pre:
-                if pvid == int(v2):
+                if (pvid >= int(v2)) if ordered else (pvid == int(v2)):
                     continue
                 if bx0 > px1 or bx1 < px0 or by0 > py1 or by1 < py0:
                     continue
