@@ -221,9 +221,22 @@ def expand_space(b, d) -> Column:
 
 
 def area(b) -> Column:
-    """area(STBOX) — src/geo/stbox.cpp:153-161."""
+    """area(STBOX) — src/geo/stbox.cpp:153-161 (planar)."""
     b = _c(b)
     return (b["xmax"] - b["xmin"]) * (b["ymax"] - b["ymin"])
+
+
+def geodetic_area(b) -> Column:
+    """area(GEODSTBOX) — src/geo/stbox_functions.cpp:444-474 with
+    spheroid=true: WGS84 ellipsoidal area of the box's geodesic-edge
+    corner polygon.  Arrow-batched pandas UDF over the exact
+    Green's-theorem evaluation in geodesy.py (per-row scalar math; no
+    shuffle implications)."""
+    from .. import geodesy
+
+    b = _c(b)
+    udf = geodesy.geodetic_area_udf()
+    return udf(b["xmin"], b["ymin"], b["xmax"], b["ymax"])
 
 
 def stbox_overlaps(a, b) -> Column:

@@ -23,7 +23,7 @@ from typing import Any
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import textio
+from . import geodesy, textio
 from .functions import box as B
 from .functions import set_ as ST
 from .functions import span as S
@@ -1882,8 +1882,21 @@ def python_eval(node: Node):
         v = python_eval(node.args[0])
         if v[0] == "stbox" and v[1]["xmin"] is not None:
             d = v[1]
+            if d["geodetic"]:
+                # spheroid area of the geodesic-edge corner polygon
+                # (src/geo/stbox_functions.cpp:444-474 → geodesy.py)
+                return ("float64", geodesy.geodetic_box_area(
+                    d["xmin"], d["ymin"], d["xmax"], d["ymax"]
+                ))
             return ("num", (d["xmax"] - d["xmin"]) * (d["ymax"] - d["ymin"]))
         raise ValueError("area of T-only stbox")
+    if name == "round" and len(node.args) == 2:
+        v = python_eval(node.args[0])
+        p = node.args[1]
+        if v[0] in ("num", "float64") and p.kind == "lit" \
+                and p.littype == "num":
+            return ("float64", round(v[1], int(float(p.value))))
+        raise _NotPy()
     if name == "expandspace":
         v = python_eval(node.args[0])
         w = python_eval(node.args[1])

@@ -1,0 +1,97 @@
+"""area(GEODSTBOX): WGS84 ellipsoidal box area (geodesy.py).
+
+The reference value is the golden in /root/reference/test/sql/stbox.test:83-86
+(MEOS stbox_area with spheroid=true → GeographicLib polygon area); the
+other cases are exact invariants of the Green's-theorem formulation.
+"""
+
+import math
+
+import pytest
+
+from mobilityduck_spark import geodesy
+
+
+def test_reference_golden_value():
+    a = geodesy.geodetic_box_area(1.0, 2.0, 4.0, 5.0)
+    assert round(a, 1) == 110593375170.3
+
+
+def test_mirror_symmetry_exact():
+    n = geodesy.geodetic_box_area(1, 2, 4, 5)
+    s = geodesy.geodetic_box_area(1, -5, 4, -2)
+    assert n == s
+
+
+def test_latitude_additivity_exact():
+    # splitting at a parallel shares the mid geodesic edge, which
+    # cancels exactly in the boundary integral
+    whole = geodesy.geodetic_box_area(1, 2, 4, 5)
+    parts = geodesy.geodetic_box_area(1, 2, 4, 3.5) + geodesy.geodetic_box_area(
+        1, 3.5, 4, 5
+    )
+    assert whole == pytest.approx(parts, abs=1e-2)
+
+
+def test_equator_spanning():
+    sym = geodesy.geodetic_box_area(-3, -3, 3, 3)
+    north = geodesy.geodetic_box_area(-3, 0, 3, 3)
+    assert sym == pytest.approx(2 * north, abs=1e-2)
+
+
+def test_tiny_box_matches_local_metric():
+    # 0.01° box at lat 45: area ≈ M(φ)·N(φ)·cosφ·dφ·dλ
+    lat, d = 45.0, 0.01
+    a, f = geodesy.A, geodesy.FLAT
+    e2 = f * (2 - f)
+    phi = math.radians(lat + d / 2)
+    M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    approx = M * N * math.cos(phi) * math.radians(d) ** 2
+    got = geodesy.geodetic_box_area(10, lat, 10 + d, lat + d)
+    assert got == pytest.approx(approx, rel=1e-6)
+
+
+def test_degenerate_boxes_are_zero():
+    assert geodesy.geodetic_box_area(1, 2, 1, 5) == 0.0
+    assert geodesy.geodetic_box_area(1, 2, 4, 2) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_wide_box_piecewise_consistency():
+    # a 120° box must equal the sum of its 60°+60° halves (same
+    # segmentation convention: vertices at the base latitude)
+    whole = geodesy.geodetic_box_area(0, 10, 120, 20)
+    halves = geodesy.geodetic_box_area(0, 10, 60, 20) + geodesy.geodetic_box_area(
+        60, 10, 120, 20
+    )
+    assert whole == pytest.approx(halves, rel=1e-12)
+
+
+def test_narrow_box_close_to_zone():
+    # for a 1°-wide box the geodesic edges bulge only ~0.002°, so the
+    # area sits within ~1e-4 of the parallel-bounded zone slice (and
+    # slightly off it in a direction set by the competing N/S bulges)
+    a, f = geodesy.A, geodesy.FLAT
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q(lat):
+        s = math.sin(math.radians(lat))
+        return s / (1 - e2 * s * s) + math.atanh(e * s) / e
+
+    zone = math.radians(1) * a * a * (1 - e2) / 2 * (q(50) - q(40))
+    got = geodesy.geodetic_box_area(7, 40, 8, 50)
+    assert got == pytest.approx(zone, rel=1e-4)
+
+
+def test_geodetic_area_column(spark):
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.functions import box as BX
+
+    df = spark.range(1).select(
+        BX.geodetic_area(
+            BX.stbox(F.lit(1.0), F.lit(2.0), F.lit(4.0), F.lit(5.0))
+        ).alias("a")
+    )
+    assert round(df.collect()[0]["a"], 1) == 110593375170.3

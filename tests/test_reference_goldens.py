@@ -4,9 +4,9 @@ the engine via mobilityduck_spark.goldens.
 
 Gate: zero mismatches among supported cases, and a minimum floor of
 replayed cases so translator regressions (silently skipping more) fail
-loudly. Current census: 424 pass / 0 fail / 1 skip (the one skip:
-area(GEODSTBOX) — needs GeographicLib's ellipsoidal geodesic-polygon
-area series, out of scope for a 2-D planar engine)."""
+loudly. Current census: 425 pass / 0 fail / 0 skip — the FULL corpus
+(every `query` directive in every .test file), including
+area(GEODSTBOX) via the exact ellipsoidal evaluation in geodesy.py."""
 
 import glob
 import os
@@ -16,7 +16,7 @@ import pytest
 from mobilityduck_spark import goldens as G
 
 REF_DIR = "/root/reference/test/sql"
-MIN_PASS = 420
+MIN_PASS = 425
 
 
 @pytest.mark.skipif(
