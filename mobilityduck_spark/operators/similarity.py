@@ -339,3 +339,91 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     assigned = spark.read.parquet(f"{path}/assignments")
     centroids = spark.read.parquet(f"{path}/centroids")
     return assigned, centroids
+
+
+# ------------------------------------------------------- SQ8 quantization
+def sq8_train(emb: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    codebook. One posexplode + hash-partitioned agg (map-side combined),
+    then 2·dim doubles collected to the driver: at 100 TB this is the
+    same one-pass shape, and the codebook is always driver-sized
+    (dim ≪ row count). Train on a sample at extreme scale."""
+    stats = (
+        emb.select(F.posexplode(_c(vec_col)).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    lo = [r["lo"] for r in stats]
+    hi = [r["hi"] for r in stats]
+    return lo, hi
+
+
+def sq8_codes(vec, lo: list, hi: list) -> Column:
+    """8-bit scalar quantization: code_i = floor(255·(v−lo_i)/(hi_i−lo_i)
+    + 0.5), clamped to [0, 255]. floor(x+0.5) rather than round() so any
+    oracle engine reproduces the codes bit-for-bit (round() half-case
+    conventions differ across engines). Codes are ARRAY<INT> (Spark has
+    no unsigned byte); at rest they compress to a byte per dim. Pure JVM
+    zip_with arithmetic — the codec runs at scan speed."""
+    lo_a = F.array(*[F.lit(float(x)) for x in lo])
+    hi_a = F.array(*[F.lit(float(x)) for x in hi])
+    scaled = F.zip_with(
+        F.zip_with(_c(vec), lo_a, lambda v, l: v.cast("double") - l),
+        F.zip_with(hi_a, lo_a, lambda h, l: h - l),
+        lambda d, rng: F.when(rng > 0, 255.0 * d / rng).otherwise(F.lit(0.0)),
+    )
+    return F.transform(
+        scaled,
+        lambda s: F.greatest(
+            F.lit(0), F.least(F.lit(255), F.floor(s + 0.5).cast("int"))
+        ),
+    )
+
+
+def sq8_dequantize(codes, lo: list, hi: list) -> Column:
+    """Reconstruct: v̂_i = lo_i + code_i·(hi_i−lo_i)/255."""
+    lo_a = F.array(*[F.lit(float(x)) for x in lo])
+    rng_a = F.array(*[F.lit(float(h) - float(l)) for h, l in zip(hi, lo)])
+    return F.zip_with(
+        F.zip_with(_c(codes), rng_a, lambda c, r: r * c.cast("double") / 255.0),
+        lo_a,
+        lambda x, l: l + x,
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k cosine where the CORPUS side is 8-bit scalar-quantized and
+    queries stay float — the standard asymmetric-distance setup (4× less
+    memory/IO on the side that is 100 TB; the float side is tiny).
+    Deterministic: codes via floor(x+0.5), scores ranked on the
+    round-6 cosine with id tiebreak, same contract as brute_force_topk."""
+    lo, hi = sq8_train(emb, vec_col)
+    deq = emb.select(
+        F.col(id_col),
+        sq8_dequantize(sq8_codes(F.col(vec_col), lo, hi), lo, hi).alias("_deq"),
+    )
+    joined = deq.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("_deq"), F.col(query_vec_col)), 6).alias("qcos"),
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("qcos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

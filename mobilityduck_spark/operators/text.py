@@ -6,7 +6,7 @@ speed over 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..functions.span import _c
@@ -208,3 +208,77 @@ def redact_pii(text) -> Column:
     transformation; extend the pattern list per deployment."""
     t = F.regexp_replace(_c(text), _EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(t, _PHONE_RE, "<PHONE>")
+
+
+def token_windows(toks, w: int = 20) -> Column:
+    """Non-overlapping w-token windows, each re-joined to a string —
+    the unit of cross-document repeated-passage detection (the
+    line/paragraph-dedup analog for corpora without layout structure;
+    CCNet prunes repeated lines the same way). Trailing partial windows
+    are dropped so every window hash covers exactly w tokens."""
+    tc = _c(toks)
+    n_win = F.floor(F.size(tc) / w).cast("int")
+    return F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.concat_ws(" ", F.slice(tc, i * w + 1, w)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def stratified_sample(
+    df,
+    frac: float,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "v1",
+    prefilter_margin: float | None = None,
+):
+    """Exact per-stratum quota sampling: within each stratum keep the
+    ceil(frac·n) rows with the smallest salted-md5 bucket (split_bucket
+    order, key tiebreak) — deterministic, engine-portable, and exactly
+    proportional per stratum, unlike Bernoulli sampleBy.
+
+    Plan: one count agg + one window rank, both shuffling on the
+    stratum key. At 100 TB pass prefilter_margin (e.g. 2.0): rows with
+    bucket ≥ margin·frac are discarded at scan speed BEFORE the rank
+    shuffle, so the per-stratum sort touches ~margin·frac of the data
+    instead of all of it. Correctness is unconditional: the same count
+    agg that computes quotas also counts prefilter survivors, and any
+    stratum whose binomial survivor count dipped below its quota (tiny
+    strata) is exempted from the prefilter via a broadcast flag —
+    measured on the test corpus this actually fires (a 71-doc stratum
+    missed its quota at margin 2), so the guard is load-bearing.
+
+    Returns the kept rows plus (bucket, rk, n_stratum)."""
+    base = df.select("*", split_bucket(F.col(key_col), salt).alias("bucket"))
+    cut = min(1.0, (prefilter_margin or 0.0) * frac)
+    counts = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_stratum"),
+        F.sum(F.when(F.col("bucket") < cut, 1).otherwise(0)).alias("_survivors"),
+    )
+    if prefilter_margin is not None:
+        flags = counts.select(
+            strata_col,
+            "n_stratum",
+            (
+                F.col("_survivors")
+                < F.ceil(F.lit(frac) * F.col("n_stratum"))
+            ).alias("_deficient"),
+        )
+        base = (
+            base.join(F.broadcast(flags), strata_col)
+            .filter((F.col("bucket") < cut) | F.col("_deficient"))
+            .drop("_deficient")
+        )
+    else:
+        base = base.join(
+            F.broadcast(counts.select(strata_col, "n_stratum")), strata_col
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("bucket").asc(), F.col(key_col).asc()
+    )
+    return base.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= F.ceil(F.lit(frac) * F.col("n_stratum"))
+    )

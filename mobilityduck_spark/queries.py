@@ -1460,3 +1460,158 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_search(assigned, centroids, queries_df, k=5, n_probe=4).select(
         "query_id", "vec_id", "cos", "rank"
     )
+
+
+@register(
+    "doc_dup_windows",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, i*20 + 1, i*20 + 20), ' ') AS win
+      FROM d, UNNEST(generate_series(0, CAST(floor(len(w)/20) AS INT) - 1)) AS t(i)
+      WHERE len(w) >= 20
+    ),
+    c AS (SELECT win, COUNT(*) AS n_occ FROM wins GROUP BY win)
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM wins JOIN c USING (win)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection: hash non-overlapping
+    20-token windows, count occurrences corpus-wide, report each doc's
+    duplicated-window fraction (the CCNet line-dedup signal for corpora
+    without layout structure). Plan: explode → hash-partitioned window
+    count (map-side combined, hash keys skew-free) → join back → per-doc
+    agg; two shuffles total, both on high-cardinality keys, so the shape
+    holds at 100 TB."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        F.explode(TX.token_windows(TX.tokens("text"), w=20)).alias("win"),
+    )
+    counts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    return (
+        wins.join(counts, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            dup.alias("n_dup"),
+            F.round(dup / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_stratified_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-v1'), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS bucket
+      FROM documents
+    ),
+    n AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+    r AS (
+      SELECT doc_id, lang, bucket,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY bucket ASC, doc_id ASC) AS INT) AS rk
+      FROM b
+    )
+    SELECT r.lang, r.doc_id, r.rk
+    FROM r JOIN n USING (lang)
+    WHERE rk <= CAST(ceil(0.1 * n_stratum) AS BIGINT)
+    ORDER BY lang, rk
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language 10% quota sample: per stratum, keep the
+    ceil(0.1·n) docs with the smallest salted-md5 bucket — the
+    deterministic data-mix sampler (Bernoulli sampleBy only hits quotas
+    in expectation). The 100 TB path pre-filters on the bucket at scan
+    speed before the rank shuffle (prefilter_margin); equality of the
+    two plans is pinned by a unit test."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return (
+        TX.stratified_sample(docs, frac=0.1, strata_col="lang", key_col="doc_id")
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "embed_sq8_topk",
+    """
+    WITH dims AS (
+      SELECT i, MIN(embedding[i]::DOUBLE) AS lo, MAX(embedding[i]::DOUBLE) AS hi
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY i
+    ),
+    dl AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+               i -> los[i] + (CASE WHEN his[i] > los[i]
+                 THEN greatest(0.0, least(255.0,
+                      floor(255.0 * (embedding[i]::DOUBLE - los[i])
+                            / (his[i] - los[i]) + 0.5)))
+                 ELSE 0.0 END) * (his[i] - los[i]) / 255.0) AS deq
+      FROM embeddings, dl
+    ),
+    n8 AS (
+      SELECT vec_id, sqrt((SELECT SUM(v * v) FROM (SELECT unnest(deq) v))) AS nrm
+      FROM q8
+    ),
+    nq AS (
+      SELECT vec_id,
+             sqrt((SELECT SUM(v::DOUBLE * v::DOUBLE)
+                   FROM (SELECT unnest(embedding) v))) AS nrm
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROUND((SELECT SUM(av * bv::DOUBLE)
+                    FROM (SELECT unnest(e.deq) av, unnest(q.embedding) bv))
+                   / (n8.nrm * nq.nrm), 6) AS qcos
+      FROM q8 e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      JOIN n8 ON n8.vec_id = e.vec_id
+      JOIN nq ON nq.vec_id = q.vec_id
+      WHERE e.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, qcos, rank FROM (
+      SELECT query_id, vec_id, qcos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k over 8-bit scalar-quantized corpus vectors
+    (float queries): the 4×-smaller at-rest embedding store every
+    100 TB vector pipeline runs on. Codes use floor(x+0.5) so the oracle
+    reproduces them bit-for-bit; ranking contract matches embed_topk."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.sq8_topk(emb, queries_df, k=5).select(
+        "query_id", "vec_id", "qcos", "rank"
+    )

@@ -62,3 +62,39 @@ def test_near_dup_members_point_at_kept_rep(spark):
         if r["drop_stage"] == "near_dup":
             rep = by_id[r["cluster_id"]]
             assert rep["keep"] and rep["cluster_id"] == rep["id"]
+
+
+def test_stratified_sample_prefilter_equivalence(spark):
+    """The 100 TB scan-speed bucket prefilter must not change the kept
+    set (margin 2× leaves every within-quota row below the cut)."""
+    from mobilityduck_spark.operators import text as TX
+    from mobilityduck_spark.sources import tables as SRC
+
+    docs = SRC.load(spark, "/root/testdata/sf0.001", "documents")
+    base = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in TX.stratified_sample(docs, frac=0.1).select(
+            "lang", "doc_id", "rk"
+        ).collect()
+    }
+    pre = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in TX.stratified_sample(
+            docs, frac=0.1, prefilter_margin=2.0
+        ).select("lang", "doc_id", "rk").collect()
+    }
+    assert base == pre and len(base) > 0
+
+
+def test_token_windows_edges(spark):
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x y",), ("", )], ["text"]
+    ).select(TX.token_windows(TX.tokens("text"), w=2).alias("w"))
+    got = [r["w"] for r in df.collect()]
+    assert got[0] == ["a b", "c d"]  # trailing partial window dropped
+    assert got[1] == ["x y"]
+    assert got[2] == []

@@ -97,3 +97,43 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     )
     assert before == after
     SIM.release_caches()
+
+
+def test_sq8_codes_bounds_and_roundtrip(spark):
+    emb, _ = _setup(spark)
+    lo, hi = SIM.sq8_train(emb)
+    codes_df = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        SIM.sq8_codes(F.col("embedding"), lo, hi).alias("c"),
+        SIM.sq8_dequantize(
+            SIM.sq8_codes(F.col("embedding"), lo, hi), lo, hi
+        ).alias("deq"),
+    )
+    row = codes_df.select(
+        F.min(F.array_min("c")).alias("cmin"),
+        F.max(F.array_max("c")).alias("cmax"),
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.col("v"),
+                    F.col("deq"),
+                    lambda a, b: F.abs(a.cast("double") - b),
+                )
+            )
+        ).alias("max_err"),
+    ).collect()[0]
+    assert 0 <= row["cmin"] and row["cmax"] <= 255
+    # reconstruction error bounded by half a quantization step per dim
+    max_step = max((h - l) / 255.0 for h, l in zip(hi, lo))
+    assert row["max_err"] <= max_step / 2 + 1e-9
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    emb, q = _setup(spark)
+    exact = _pairs(SIM.brute_force_topk(emb, q, k=5))
+    quant = _pairs(SIM.sq8_topk(emb, q, k=5))
+    recall = len(exact & quant) / len(exact)
+    # 8-bit asymmetric quantization on 64-dim vectors barely moves
+    # neighbor ranks; well above any useful threshold
+    assert recall >= 0.8, f"SQ8 recall {recall}"
