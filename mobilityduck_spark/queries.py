@@ -1489,10 +1489,12 @@ def doc_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-passage detection: hash non-overlapping
     20-token windows, count occurrences corpus-wide, report each doc's
     duplicated-window fraction (the CCNet line-dedup signal for corpora
-    without layout structure). Plan: explode → hash-partitioned window
-    count (map-side combined, hash keys skew-free) → join back → per-doc
-    agg; two shuffles total, both on high-cardinality keys, so the shape
-    holds at 100 TB."""
+    without layout structure). Plan: explode → ONE shuffle on the window
+    hash (a partition-count window function annotates every occurrence
+    in place — no agg-then-join-back re-shuffle) → per-doc agg; both
+    shuffle keys are high-cardinality hashes, skew-free at 100 TB."""
+    from pyspark.sql import Window as W
+
     from .operators import text as TX
 
     docs = SRC.load(spark, sf_dir, "documents")
@@ -1500,11 +1502,12 @@ def doc_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(TX.token_windows(TX.tokens("text"), w=20)).alias("win"),
     )
-    counts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("n_occ"))
+    occ = wins.withColumn(
+        "n_occ", F.count(F.lit(1)).over(W.partitionBy("win"))
+    )
     dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
     return (
-        wins.join(counts, "win")
-        .groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
             dup.alias("n_dup"),
