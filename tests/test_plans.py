@@ -171,3 +171,35 @@ def test_connected_components_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert out.count() == 40
     CC.release_caches()
+
+
+def test_stratified_sample_broadcasts_flags_no_cartesian(spark):
+    df = Q.queries()["doc_stratified_sample"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, "stratum flags must broadcast"
+    assert c["sortmerge_joins"] == 0, f"rank path must not sort-merge join: {c}"
+
+
+def test_doc_dup_windows_two_data_shuffles(spark):
+    df = Q.queries()["doc_dup_windows"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "occurrence counts are annotated in place, not joined"
+    c = plan_counts(df)
+    # window-hash partition + per-doc agg (+1 presentation orderBy)
+    assert c["shuffles"] <= 3, f"expected win+doc_id(+order) shuffles only: {c}"
+
+
+def test_sq8_topk_broadcasts_queries(spark):
+    emb = SRC.load(spark, SF, "embeddings")
+    from mobilityduck_spark.operators import similarity as SIM
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = SIM.sq8_topk(emb, q, k=3)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, "query side must broadcast"
+    assert c["sortmerge_joins"] == 0
