@@ -1016,37 +1016,29 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality metrics (Gopher-rule style, adapted to the
-    newline-free corpus): duplicate-word fraction (pure expression) and
-    top-bigram occurrence fraction (relational per-doc argmax — explode,
-    count per (doc, gram), window max). Both deterministic."""
+    newline-free corpus): duplicate-word fraction (JVM expression) and
+    top-bigram occurrence fraction (Arrow kernel over the token array).
+    Per-doc metrics stay per-row — no shuffle of an exploded relation
+    (the orderBy is presentation-only); see max_ngram_count_udf for the
+    measured comparison of the three shapes."""
     from .operators import text as TX
 
     docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", TX.tokens("text").alias("w"))
-    base = toks.select(
-        "doc_id",
-        F.round(TX.dup_word_fraction(F.col("w")), 6).alias("dup_word_frac"),
-        F.greatest(F.size("w") - 1, F.lit(0)).alias("n_bigrams"),
-    )
-    top = (
-        toks.select(
-            "doc_id", F.explode(TX.word_ngrams(F.col("w"), n=2)).alias("gram")
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("topc"))
-    )
     return (
-        base.join(top, "doc_id", "left")
+        toks.select(
+            "doc_id",
+            F.round(TX.dup_word_fraction(F.col("w")), 6).alias("dup_word_frac"),
+            F.greatest(F.size("w") - 1, F.lit(0)).alias("n_bigrams"),
+            TX.max_ngram_count_udf(n=2)(F.col("w")).alias("topc"),
+        )
         .select(
             "doc_id",
             "dup_word_frac",
             F.round(
                 F.when(
                     F.col("n_bigrams") > 0,
-                    F.coalesce(F.col("topc"), F.lit(0)).cast("double")
-                    / F.col("n_bigrams"),
+                    F.col("topc").cast("double") / F.col("n_bigrams"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("top_bigram_frac"),
