@@ -93,6 +93,10 @@ def _edge_integral(phi0: float, dlam: float) -> float:
         return 0.0
     sgn = 1.0 if phi0 > 0 else -1.0
     phi0 = abs(phi0)
+    if phi0 >= math.pi / 2 - 1e-12:
+        # polar edge: both endpoints are the pole, the edge is a point —
+        # the boundary integral reduces to the exact cap-slice term
+        return sgn * float(_area_per_lon(math.pi / 2)) * dlam
     base = float(_area_per_lon(phi0)) * dlam
     beta0 = math.atan((1 - FLAT) * math.tan(phi0))
     # Shooting unknown c0 = cos α0 ∈ (sin β0, 1): λ-span runs

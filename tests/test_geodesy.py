@@ -95,3 +95,14 @@ def test_geodetic_area_column(spark):
         ).alias("a")
     )
     assert round(df.collect()[0]["a"], 1) == 110593375170.3
+
+
+def test_pole_touching_box():
+    # the polar edge is a point: additivity across an inner parallel
+    # must still hold, and the cap slice is positive and finite
+    whole = geodesy.geodetic_box_area(0, 80, 30, 90)
+    parts = geodesy.geodetic_box_area(0, 80, 30, 89) + geodesy.geodetic_box_area(
+        0, 89, 30, 90
+    )
+    assert whole > 0
+    assert whole == pytest.approx(parts, rel=1e-9)
