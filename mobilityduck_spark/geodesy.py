@@ -25,13 +25,30 @@ latitude β) the edge is parameterized by the spherical arc σ with the
 exact closed-form relations
 
     sinβ = cosα0 sinσ,   tanφ = tanβ/(1−f),
-    dλ/dσ = (b/a) sinα0 √(1+k²sin²σ) / (1−cos²α0 sin²σ),  k² = e'²cos²α0,
+    dλ/dσ = (b/a) sinα0 √(1+k²sin²σ) / (1−cos²α0 sin²σ),  k² = e'²cos²α0.
 
-so both the longitude span and the area integral are smooth 1-D
-integrals evaluated with fixed-order Gauss–Legendre quadrature to
-machine precision; the single shooting unknown α0 is solved by
-bisection.  Verified against the reference golden
-(test/sql/stbox.test:83-86): round(area, 1) == 110593375170.3 m².
+Numerical conditioning: dλ/dσ has a Lorentzian peak of width sinα0 at
+σ = π/2 (a near-polar geodesic spends almost no σ near the pole but
+sweeps most of its longitude there), so plain quadrature dies as
+α0 → 0.  Both integrals are therefore split analytically:
+
+  λ-span  = (b/a)√(1+k²)·(π − 2·atan(s0·tanσ1))   [the peak, closed form]
+          + ∫ bounded remainder (amplitude ≤ s0·k², smooth)
+  area    = F(φ0)·Δλ                                [base, closed form —
+            differencing two edges cancels these analytically, so tiny
+            boxes keep full precision]
+          + (F(φ_vertex) − F(φ0))·Δλ               [peak, closed form]
+          + ∫ (F(φ(σ)) − F(φ_vertex))·dλ/dσ dσ    [vanishes quadratically
+            at the peak → bounded, GL-safe at every α0]
+
+so a SINGLE vertex-to-vertex geodesic edge is evaluated accurately for
+any longitude span < 180° — matching the reference's corner polygon
+exactly (verified against the golden in test/sql/stbox.test:83-86:
+round(area, 1) == 110593375170.3 m²).  Spans ≥ 180° have no
+well-defined single geodesic edge (the reference's own corner polygon
+is ambiguous there); they are evaluated with the edge segmentized into
+<180° pieces whose intermediate vertices sit at the base latitude, and
+documented as such.
 
 Scale note: this is driver/UDF-side scalar math (a few thousand flops
 per box); the Column form in functions/box.py wraps it in an
@@ -66,29 +83,29 @@ def _area_per_lon(phi):
     return 0.5 * A * A * (1 - E2) * q
 
 
-def _lam_span(c0: float, beta0: float) -> float:
-    """Longitude span of the symmetric geodesic with cos α0 = c0 whose
-    endpoints sit at reduced latitude β0 (> 0)."""
-    s0 = math.sqrt(1 - c0 * c0)
+def _lam_span(c0: float, sig1: float) -> float:
+    """Longitude span of the symmetric geodesic with cos α0 = c0 between
+    auxiliary arcs σ1 and π−σ1.  Peak term closed-form, remainder GL."""
+    s0 = math.sqrt((1 - c0) * (1 + c0))
     k2 = EP2 * c0 * c0
-    sig1 = math.asin(min(1.0, math.sin(beta0) / c0))
+    sqk = math.sqrt(1 + k2)
+    closed = (B / A) * sqk * (math.pi - 2 * math.atan(s0 * math.tan(sig1)))
 
-    def integrand(sig):
-        ss = np.sin(sig)
-        return (B / A) * s0 * np.sqrt(1 + k2 * ss * ss) / (1 - (c0 * ss) ** 2)
+    def rem(sig):
+        ss, cs = np.sin(sig), np.cos(sig)
+        denom = cs * cs + (s0 * ss) ** 2
+        return (
+            -(B / A) * s0 * k2 * cs * cs
+            / (denom * (np.sqrt(1 + k2 * ss * ss) + sqk))
+        )
 
-    return _gl(integrand, sig1, math.pi - sig1)
+    return closed + 2.0 * _gl(rem, sig1, math.pi / 2)
 
 
 def _edge_integral(phi0: float, dlam: float) -> float:
-    """∫ F(φ(λ)) dλ (eastward) along the geodesic joining two points at
-    geographic latitude phi0 (radians) separated by dlam (radians).
-
-    Split as F(φ0)·Δλ (closed form) + the poleward-bulge correction
-    ∫ (F(φ(λ)) − F(φ0)) dλ.  The box area differences two edge
-    integrals whose base terms nearly cancel; carrying the base term
-    analytically keeps the quadrature error on the SMALL bulge term, so
-    tiny boxes don't lose precision to cancellation amplification."""
+    """∫ F(φ(λ)) dλ (eastward) along the single geodesic joining two
+    points at geographic latitude phi0 (radians) separated by dlam
+    (radians, < π)."""
     if dlam == 0.0 or phi0 == 0.0:
         return 0.0
     sgn = 1.0 if phi0 > 0 else -1.0
@@ -97,33 +114,42 @@ def _edge_integral(phi0: float, dlam: float) -> float:
         # polar edge: both endpoints are the pole, the edge is a point —
         # the boundary integral reduces to the exact cap-slice term
         return sgn * float(_area_per_lon(math.pi / 2)) * dlam
-    base = float(_area_per_lon(phi0)) * dlam
+    f_base = float(_area_per_lon(phi0))
     beta0 = math.atan((1 - FLAT) * math.tan(phi0))
+    sb0 = math.sin(beta0)
     # Shooting unknown c0 = cos α0 ∈ (sin β0, 1): λ-span runs
-    # monotonically from 0 (vertex at the endpoints) to ~π (near-polar
+    # monotonically from 0 (vertex at the endpoints) to π (near-polar
     # geodesic), so bisection converges unconditionally.
-    lo, hi = math.sin(beta0), 1.0 - 1e-16
-    for _ in range(100):
+    lo, hi = sb0, 1.0
+    for _ in range(80):
         mid = (lo + hi) / 2.0
-        if _lam_span(mid, beta0) < dlam:
+        if mid <= lo or mid >= hi:
+            break  # interval at 1 ulp — converged
+        if _lam_span(mid, math.asin(min(1.0, sb0 / mid))) < dlam:
             lo = mid
         else:
             hi = mid
     c0 = (lo + hi) / 2.0
-    s0 = math.sqrt(1 - c0 * c0)
+    s0 = math.sqrt(max(0.0, (1 - c0) * (1 + c0)))
     k2 = EP2 * c0 * c0
-    sig1 = math.asin(min(1.0, math.sin(beta0) / c0))
-    f_base = float(_area_per_lon(phi0))
+    sig1 = math.asin(min(1.0, sb0 / c0))
+    # vertex latitude (σ = π/2): sin β_v = c0
+    phi_v = math.atan2(c0, (1 - FLAT) * s0) if s0 > 0 else math.pi / 2
+    f_vert = float(_area_per_lon(phi_v))
 
-    def integrand(sig):
+    def rem(sig):
         ss = np.sin(sig)
         sinbeta = c0 * ss
         phi = np.arctan2(sinbeta, (1 - FLAT) * np.sqrt(1 - sinbeta**2))
-        dlam_dsig = (B / A) * s0 * np.sqrt(1 + k2 * ss * ss) / (1 - sinbeta**2)
-        return (_area_per_lon(phi) - f_base) * dlam_dsig
+        dlam_dsig = (
+            (B / A) * s0 * np.sqrt(1 + k2 * ss * ss) / (1 - sinbeta**2)
+        )
+        return (_area_per_lon(phi) - f_vert) * dlam_dsig
 
-    bulge = _gl(integrand, sig1, math.pi - sig1)
-    return sgn * (base + bulge)
+    # base + peak closed-form (the ∫dλ over the edge is dlam by the
+    # shooting solve; residual ~1e-16·F is below the quadrature floor)
+    bulge = (f_vert - f_base) * dlam + 2.0 * _gl(rem, sig1, math.pi / 2)
+    return sgn * (f_base * dlam + bulge)
 
 
 def geodetic_box_area(
@@ -131,16 +157,15 @@ def geodetic_box_area(
 ) -> float:
     """Ellipsoidal area (m²) of the GEODSTBOX with lon ∈ [xmin, xmax],
     lat ∈ [ymin, ymax] — the geodesic-edge polygon of its 4 corners,
-    matching the reference's area(GEODSTBOX).  A single geodesic edge
-    is well-defined for longitude spans < 180°; spans > 90° are split
-    into ≤90° sub-edges with intermediate vertices at the base latitude
-    (the segmentized-polygon convention; also keeps the shooting solve
-    and quadrature in their well-conditioned range — near-180° edges
-    pass arbitrarily close to the pole)."""
+    matching the reference's area(GEODSTBOX) for any longitude span
+    < 180° (single vertex-to-vertex geodesic edges).  Spans ≥ 180°,
+    where no single geodesic edge is well-defined, use <180° sub-edges
+    with intermediate vertices at the base latitude (the
+    segmentized-polygon convention — documented deviation)."""
     dlam_deg = xmax - xmin
     if dlam_deg < 0 or ymin > ymax:
         raise ValueError("malformed geodetic box")
-    pieces = max(1, math.ceil(dlam_deg / 90.0 - 1e-12))
+    pieces = 1 if dlam_deg < 180.0 else math.ceil(dlam_deg / 179.0)
     dlam = math.radians(dlam_deg / pieces)
     north = _edge_integral(math.radians(ymax), dlam)
     south = _edge_integral(math.radians(ymin), dlam)

@@ -1895,7 +1895,13 @@ def python_eval(node: Node):
         p = node.args[1]
         if v[0] in ("num", "float64") and p.kind == "lit" \
                 and p.littype == "num":
-            return ("float64", round(v[1], int(float(p.value))))
+            # half-away-from-zero on the binary double (DuckDB round();
+            # Python round() would banker's-round exact half steps)
+            d = int(float(p.value))
+            scale = 10.0 ** d
+            return ("float64",
+                    math.copysign(math.floor(abs(v[1]) * scale + 0.5), v[1])
+                    / scale)
         raise _NotPy()
     if name == "expandspace":
         v = python_eval(node.args[0])

@@ -371,10 +371,12 @@ def sq8_codes(vec, lo: list, hi: list) -> Column:
     no unsigned byte); at rest they compress to a byte per dim. Pure JVM
     zip_with arithmetic — the codec runs at scan speed."""
     lo_a = F.array(*[F.lit(float(x)) for x in lo])
-    hi_a = F.array(*[F.lit(float(x)) for x in hi])
+    # ranges precomputed driver-side: same IEEE subtraction, done once
+    # instead of per row
+    rng_a = F.array(*[F.lit(float(h) - float(l)) for h, l in zip(hi, lo)])
     scaled = F.zip_with(
         F.zip_with(_c(vec), lo_a, lambda v, l: v.cast("double") - l),
-        F.zip_with(hi_a, lo_a, lambda h, l: h - l),
+        rng_a,
         lambda d, rng: F.when(rng > 0, 255.0 * d / rng).otherwise(F.lit(0.0)),
     )
     return F.transform(
@@ -404,13 +406,18 @@ def sq8_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    codebook: "tuple[list, list] | None" = None,
 ) -> DataFrame:
     """Top-k cosine where the CORPUS side is 8-bit scalar-quantized and
     queries stay float — the standard asymmetric-distance setup (4× less
     memory/IO on the side that is 100 TB; the float side is tiny).
     Deterministic: codes via floor(x+0.5), scores ranked on the
-    round-6 cosine with id tiebreak, same contract as brute_force_topk."""
-    lo, hi = sq8_train(emb, vec_col)
+    round-6 cosine with id tiebreak, same contract as brute_force_topk.
+    Pass `codebook` = (lo, hi) from a prior sq8_train to skip the
+    training pass — at scale the codebook is trained once and reused
+    across every query batch (a second full corpus scan per batch would
+    defeat the point of the smaller store)."""
+    lo, hi = codebook if codebook is not None else sq8_train(emb, vec_col)
     deq = emb.select(
         F.col(id_col),
         sq8_dequantize(sq8_codes(F.col(vec_col), lo, hi), lo, hi).alias("_deq"),

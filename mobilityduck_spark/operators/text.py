@@ -254,12 +254,14 @@ def stratified_sample(
 
     Returns the kept rows plus (bucket, rk, n_stratum)."""
     base = df.select("*", split_bucket(F.col(key_col), salt).alias("bucket"))
-    cut = min(1.0, (prefilter_margin or 0.0) * frac)
-    counts = base.groupBy(strata_col).agg(
-        F.count(F.lit(1)).alias("n_stratum"),
-        F.sum(F.when(F.col("bucket") < cut, 1).otherwise(0)).alias("_survivors"),
-    )
     if prefilter_margin is not None:
+        cut = min(1.0, prefilter_margin * frac)
+        counts = base.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n_stratum"),
+            F.sum(
+                F.when(F.col("bucket") < cut, 1).otherwise(0)
+            ).alias("_survivors"),
+        )
         flags = counts.select(
             strata_col,
             "n_stratum",
@@ -274,9 +276,10 @@ def stratified_sample(
             .drop("_deficient")
         )
     else:
-        base = base.join(
-            F.broadcast(counts.select(strata_col, "n_stratum")), strata_col
+        counts = base.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n_stratum")
         )
+        base = base.join(F.broadcast(counts), strata_col)
     w = Window.partitionBy(strata_col).orderBy(
         F.col("bucket").asc(), F.col(key_col).asc()
     )

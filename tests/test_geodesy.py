@@ -57,14 +57,59 @@ def test_degenerate_boxes_are_zero():
     assert geodesy.geodetic_box_area(1, 2, 4, 2) == pytest.approx(0.0, abs=1e-6)
 
 
-def test_wide_box_piecewise_consistency():
-    # a 120° box must equal the sum of its 60°+60° halves (same
-    # segmentation convention: vertices at the base latitude)
+def test_wide_box_single_geodesic_edges():
+    # spans < 180° use ONE vertex-to-vertex geodesic per edge (reference
+    # parity): the whole-box area must EXCEED the 60°+60° segmentized
+    # sum, because the single 120° north edge bulges much further
+    # poleward than two 60° sub-edges pinned at the base latitude
     whole = geodesy.geodetic_box_area(0, 10, 120, 20)
     halves = geodesy.geodetic_box_area(0, 10, 60, 20) + geodesy.geodetic_box_area(
         60, 10, 120, 20
     )
-    assert whole == pytest.approx(halves, rel=1e-12)
+    assert whole > halves * 1.001
+    # latitude additivity stays exact at wide spans (shared mid edge
+    # cancels in the boundary integral)
+    parts = geodesy.geodetic_box_area(0, 10, 120, 15) + geodesy.geodetic_box_area(
+        0, 15, 120, 20
+    )
+    assert whole == pytest.approx(parts, rel=1e-12)
+
+
+def test_wide_box_matches_spherical_excess_in_sphere_limit():
+    """Independent cross-check of the 170°-span single-edge geometry:
+    with flattening → 0 the geodesic polygon area must equal the exact
+    spherical-excess (Oosterom–Strackee) area of the great-circle
+    corner polygon — a corner-only closed form sharing no code with the
+    Green's-theorem evaluation."""
+    import numpy as np
+
+    saved = (geodesy.FLAT, geodesy.E2, geodesy.EP2, geodesy.B)
+    f = 1e-9
+    geodesy.FLAT = f
+    geodesy.E2 = f * (2 - f)
+    geodesy.EP2 = geodesy.E2 / (1 - geodesy.E2)
+    geodesy.B = geodesy.A * (1 - f)
+    try:
+        got = geodesy.geodetic_box_area(0, 10, 170, 25)
+    finally:
+        geodesy.FLAT, geodesy.E2, geodesy.EP2, geodesy.B = saved
+
+    def to_xyz(lon, lat):
+        lo, la = math.radians(lon), math.radians(lat)
+        return np.array(
+            [math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la)]
+        )
+
+    corners = [(0, 10), (170, 10), (170, 25), (0, 25)]
+    pts = [to_xyz(*c) for c in corners]
+    excess = 0.0
+    for i in range(1, len(pts) - 1):
+        a, b, c = pts[0], pts[i], pts[i + 1]
+        num = float(np.dot(a, np.cross(b, c)))
+        den = 1 + float(np.dot(a, b) + np.dot(b, c) + np.dot(a, c))
+        excess += 2 * math.atan2(num, den)
+    sphere = abs(excess) * geodesy.A**2
+    assert got == pytest.approx(sphere, rel=1e-6)
 
 
 def test_narrow_box_close_to_zone():
