@@ -98,3 +98,46 @@ def test_token_windows_edges(spark):
     assert got[0] == ["a b", "c d"]  # trailing partial window dropped
     assert got[1] == ["x y"]
     assert got[2] == []
+
+
+def test_stratified_sample_quota_property(spark):
+    """Randomized property: for random strata sizes and fractions, every
+    stratum keeps EXACTLY ceil(frac*n) rows, the kept set is identical
+    with and without the prefilter, and is stable under repartitioning."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import text as TX
+
+    rng = random.Random(7)
+    rows = []
+    sizes = {}
+    for s in range(6):
+        n = rng.randint(1, 400)
+        sizes[f"s{s}"] = n
+        for i in range(n):
+            rows.append((s * 100000 + i, f"s{s}"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    for frac in (0.03, 0.27, 0.5):
+        kept = (
+            TX.stratified_sample(df, frac=frac)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .collect()
+        )
+        got = {r["lang"]: r["k"] for r in kept}
+        want = {s: math.ceil(frac * n) for s, n in sizes.items()}
+        assert got == want, (frac, got, want)
+    base = {
+        (r["lang"], r["doc_id"])
+        for r in TX.stratified_sample(df, frac=0.27).collect()
+    }
+    pre = {
+        (r["lang"], r["doc_id"])
+        for r in TX.stratified_sample(
+            df.repartition(13), frac=0.27, prefilter_margin=2.0
+        ).collect()
+    }
+    assert base == pre
