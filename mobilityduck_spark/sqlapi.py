@@ -97,6 +97,12 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         " (a.tmin <= b.tmax AND b.tmin <= a.tmax))",
     ),
     (
+        "area",
+        f"b {STBOX_SQL}",
+        "DOUBLE",
+        "CASE WHEN b.hasx THEN (b.xmax - b.xmin) * (b.ymax - b.ymin) END",
+    ),
+    (
         "expandSpace",
         f"b {STBOX_SQL}, d DOUBLE",
         STBOX_SQL,

@@ -186,3 +186,12 @@ def test_duration_us_sql(spark):
         """
     ).collect()[0]
     assert r["d"] == 86_400_000_000
+
+
+def test_area_sql_matches_dataframe(spark):
+    got = spark.sql("SELECT user_id, area(stbox(tp)) AS a FROM trips_v")
+    tr = spark.table("trips_v")
+    exp = tr.select(
+        "user_id", B.area(B.stbox_of_tpoint(F.col("tp"))).alias("a")
+    )
+    assert _rows(got, "user_id", "a") == _rows(exp, "user_id", "a")
