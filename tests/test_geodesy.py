@@ -151,3 +151,20 @@ def test_pole_touching_box():
     )
     assert whole > 0
     assert whole == pytest.approx(parts, rel=1e-9)
+
+
+def test_geodetic_area_column_null_rows(spark):
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.functions import box as BX
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 4.0, 5.0), (None, None, None, None)],
+        "x0 double, y0 double, x1 double, y1 double",
+    ).select(
+        BX.geodetic_area(
+            BX.stbox(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+        ).alias("a")
+    )
+    got = [r["a"] for r in df.collect()]
+    assert round(got[0], 1) == 110593375170.3 and got[1] is None
