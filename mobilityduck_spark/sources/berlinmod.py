@@ -150,7 +150,22 @@ def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("user_id", "vehicle_id")
 
 
+_VEH_CACHE: dict = {}
+
+
 def vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vehicle dim derived from events (scan + distinct shuffle).
+    Persisted per session: it feeds licences1/licences2/probe dims in
+    most bm queries, and several of those embed it in multiple
+    materialized (checkpointed) subtrees per run — without the cache
+    each run re-scans and re-shuffles the events table per use."""
+    key = (id(spark), sf_dir)
+    if key not in _VEH_CACHE:
+        _VEH_CACHE[key] = _vehicles_uncached(spark, sf_dir).persist()
+    return _VEH_CACHE[key]
+
+
+def _vehicles_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = SRC.load(spark, sf_dir, "events")
     vid = F.col("user_id")
     return ev.select("user_id").distinct().select(
