@@ -28,7 +28,7 @@ strategy explicitly:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import span as S
@@ -226,3 +226,62 @@ def grid_pair_candidates(
         .select(F.col("_lid").alias(left_id + "_l"), F.col("_rid").alias(right_id + "_r"))
         .distinct()
     )
+
+
+def asof_join(
+    probes: DataFrame,
+    events: DataFrame,
+    key: str,
+    probe_ts: str,
+    event_ts: str,
+    value_cols: list,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for every probe row, the values of the latest event
+    with event_ts ≤ probe_ts in the same key group (left join — probes
+    with no prior event keep NULLs).
+
+    Spark-first plan: UNION the two inputs, ONE shuffle on the key, and
+    a running last-non-null window ordered by (ts, side, tiebreak) —
+    events sort before probes at equal timestamps, so ties are
+    inclusive, and `tiebreak` makes the pick deterministic when events
+    share a timestamp. This is the canonical cluster-scale as-of shape:
+    no range-bucketing, no row duplication, no join operator at all —
+    wall cost is a sort within each key partition, and skew follows the
+    key distribution exactly like any groupBy.
+    """
+    order = [F.col("_ats").asc(), F.col("_side").asc()]
+    ev_cols = [
+        F.col(key),
+        F.col(event_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+    ] + [F.col(c).alias(f"_v_{c}") for c in value_cols]
+    pr_cols = [
+        F.col(key),
+        F.col(probe_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+    ] + [F.lit(None).cast(events.schema[c].dataType).alias(f"_v_{c}")
+         for c in value_cols]
+    if tiebreak is not None:
+        ev_cols.append(F.col(tiebreak).alias("_tb"))
+        pr_cols.append(F.lit(None).cast(events.schema[tiebreak].dataType).alias("_tb"))
+        order.append(F.col("_tb").asc_nulls_last())
+    probe_keep = [c for c in probes.columns]
+    union = events.select(*ev_cols, *[F.lit(None).cast(probes.schema[c].dataType).alias(f"_p_{c}") for c in probe_keep]) \
+        .unionByName(
+            probes.select(*pr_cols, *[F.col(c).alias(f"_p_{c}") for c in probe_keep])
+        )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = union.select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe_keep],
+        F.col("_side"),
+        *[
+            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return picked.filter(F.col("_side") == 1).drop("_side")

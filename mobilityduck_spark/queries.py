@@ -1610,3 +1610,55 @@ def embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.sq8_topk(emb, queries_df, k=5).select(
         "query_id", "vec_id", "qcos", "rank"
     )
+
+
+@register(
+    "events_asof_value",
+    """
+    WITH probes AS (
+      SELECT user_id, event_id AS probe_id,
+             ts + INTERVAL 17 MINUTE AS pts
+      FROM events WHERE event_id % 101 = 0
+    )
+    SELECT p.user_id, p.probe_id,
+           (SELECT e.value FROM events e
+            WHERE e.user_id = p.user_id AND e.ts <= p.pts
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS asof_value,
+           (SELECT e.event_type FROM events e
+            WHERE e.user_id = p.user_id AND e.ts <= p.pts
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS asof_type
+    FROM probes p
+    ORDER BY user_id, probe_id
+    """,
+)
+def events_asof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the classic time-series enrichment Spark lacks as a
+    built-in): for each probe instant, the value/type of the latest
+    event at-or-before it per user. Implemented as UNION + one key
+    shuffle + a running last-non-null window (operators/range_join.
+    asof_join) — no range bucketing, no row duplication, no join
+    operator; the oracle is the equivalent correlated LIMIT-1 lookup.
+    event_id tiebreaks equal timestamps so the pick is deterministic."""
+    from .operators.range_join import asof_join
+
+    ev = SRC.load(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 101 == 0).select(
+        "user_id",
+        F.col("event_id").alias("probe_id"),
+        (F.col("ts") + F.expr("INTERVAL 17 MINUTES")).alias("pts"),
+    )
+    out = asof_join(
+        probes,
+        ev.select("user_id", "ts", "event_id", "value", "event_type"),
+        key="user_id",
+        probe_ts="pts",
+        event_ts="ts",
+        value_cols=["value", "event_type"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "probe_id",
+        F.col("value").alias("asof_value"),
+        F.col("event_type").alias("asof_type"),
+    ).orderBy("user_id", "probe_id")

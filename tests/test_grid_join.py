@@ -100,3 +100,37 @@ def test_grid_candidate_plan_shuffles(spark):
         assert cand.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators.range_join import asof_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, 1, 10.0, "a"),
+            (1, 200, 2, 20.0, "b"),
+            (1, 200, 3, 30.0, "c"),  # same ts as event 2 — tiebreak on id
+            (2, 500, 4, 50.0, "d"),
+        ],
+        "user_id long, ts long, event_id long, value double, event_type string",
+    )
+    probes = spark.createDataFrame(
+        [(1, 10, 50), (1, 11, 100), (1, 12, 200), (1, 13, 999), (2, 14, 499)],
+        "user_id long, probe_id long, pts long",
+    )
+    out = asof_join(
+        probes, ev, key="user_id", probe_ts="pts", event_ts="ts",
+        value_cols=["value", "event_type"], tiebreak="event_id",
+    )
+    got = {r["probe_id"]: (r["value"], r["event_type"]) for r in out.collect()}
+    assert got[10] == (None, None)          # before any event
+    assert got[11] == (10.0, "a")           # ties are inclusive (ts == pts)
+    assert got[12] == (30.0, "c")           # equal-ts events: max event_id wins
+    assert got[13] == (30.0, "c")
+    assert got[14] == (None, None)          # other key, probe before its event
+    # plan: no join operator at all, single key shuffle + window
+    plan = str(out._jdf.queryExecution().executedPlan())
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # key hash + AQE read at most
