@@ -249,19 +249,39 @@ def asof_join(
     no range-bucketing, no row duplication, no join operator at all —
     wall cost is a sort within each key partition, and skew follows the
     key distribution exactly like any groupBy.
+
+    The matched event's value_cols travel as ONE struct through the
+    window (NULL struct on probe rows): the output row is atomically
+    the latest event — a genuinely-NULL value in that event stays NULL
+    instead of bleeding an older event's value through per-column
+    ignorenulls. Events with NULL event_ts are excluded (ts ≤ pts is
+    never true for them); probes with NULL probe_ts sort before every
+    event and yield all-NULL output.
     """
-    order = [F.col("_ats").asc(), F.col("_side").asc()]
+    from pyspark.sql import types as T
+
+    collide = set(value_cols) & set(probes.columns)
+    if collide:
+        raise ValueError(
+            f"value_cols collide with probe columns: {sorted(collide)}"
+        )
+    events = events.filter(F.col(event_ts).isNotNull())
+    order = [F.col("_ats").asc_nulls_first(), F.col("_side").asc()]
+    payload_t = T.StructType(
+        [T.StructField(c, events.schema[c].dataType) for c in value_cols]
+    )
     ev_cols = [
         F.col(key),
         F.col(event_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-    ] + [F.col(c).alias(f"_v_{c}") for c in value_cols]
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_ev"),
+    ]
     pr_cols = [
         F.col(key),
         F.col(probe_ts).alias("_ats"),
         F.lit(1).alias("_side"),
-    ] + [F.lit(None).cast(events.schema[c].dataType).alias(f"_v_{c}")
-         for c in value_cols]
+        F.lit(None).cast(payload_t).alias("_ev"),
+    ]
     if tiebreak is not None:
         ev_cols.append(F.col(tiebreak).alias("_tb"))
         pr_cols.append(F.lit(None).cast(events.schema[tiebreak].dataType).alias("_tb"))
@@ -279,9 +299,8 @@ def asof_join(
     picked = union.select(
         *[F.col(f"_p_{c}").alias(c) for c in probe_keep],
         F.col("_side"),
-        *[
-            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last(F.col("_ev"), ignorenulls=True).over(w).alias("_ev"),
     )
-    return picked.filter(F.col("_side") == 1).drop("_side")
+    return picked.filter(F.col("_side") == 1).select(
+        *probe_keep, *[F.col("_ev")[c].alias(c) for c in value_cols]
+    )

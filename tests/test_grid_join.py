@@ -130,6 +130,43 @@ def test_asof_join_semantics(spark):
     assert got[12] == (30.0, "c")           # equal-ts events: max event_id wins
     assert got[13] == (30.0, "c")
     assert got[14] == (None, None)          # other key, probe before its event
+
+
+def test_asof_join_null_semantics(spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from mobilityduck_spark.operators.range_join import asof_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, 1, 10.0, "a"),
+            (1, 200, 2, None, "b"),    # latest event has a NULL value
+            (2, None, 3, 99.0, "x"),   # NULL event_ts: never matches
+        ],
+        "user_id long, ts long, event_id long, value double, event_type string",
+    )
+    probes = spark.createDataFrame(
+        [(1, 10, 300), (2, 11, 500)],
+        "user_id long, probe_id long, pts long",
+    )
+    out = asof_join(
+        probes, ev, key="user_id", probe_ts="pts", event_ts="ts",
+        value_cols=["value", "event_type"], tiebreak="event_id",
+    )
+    got = {r["probe_id"]: (r["value"], r["event_type"]) for r in out.collect()}
+    # the matched row is atomic: the latest event's NULL value stays
+    # NULL instead of bleeding the older event's 10.0
+    assert got[10] == (None, "b")
+    # NULL-ts events are excluded entirely
+    assert got[11] == (None, None)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            probes.withColumnRenamed("probe_id", "value"), ev,
+            key="user_id", probe_ts="pts", event_ts="ts",
+            value_cols=["value"],
+        )
     # plan: no join operator at all, single key shuffle + window
     plan = str(out._jdf.queryExecution().executedPlan())
     assert "Join" not in plan
