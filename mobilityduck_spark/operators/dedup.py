@@ -476,8 +476,12 @@ def _fp128_udf(id_col: str):
 
     def word(hs_list) -> int:
         hs = np.asarray(hs_list, dtype=np.int64).astype(np.uint64)
-        bits = (hs[:, None] >> lanes) & np.uint64(1)
-        votes = bits.sum(0) * 2 - len(hs)
+        # vote in SIGNED space: a uint64 `bits.sum(0)*2 - len` wraps to
+        # a huge positive for minority bits, which silently saturates
+        # every fingerprint to all-ones (one giant bucket, hamming 0
+        # everywhere — caught by the bucket-cap unit test)
+        bits = ((hs[:, None] >> lanes) & np.uint64(1)).astype(np.int64)
+        votes = bits.sum(0, dtype=np.int64) * 2 - len(hs)
         w = ((votes > 0).astype(np.uint64) << lanes).sum(dtype=np.uint64)
         # view-reinterpret: numpy>=2.0 raises OverflowError on
         # int(np.int64(uint64_val >= 2**63)); .view is version-stable

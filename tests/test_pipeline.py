@@ -141,3 +141,48 @@ def test_stratified_sample_quota_property(spark):
         ).collect()
     }
     assert base == pre
+
+
+def test_simhash_bucket_cap_bounds_boilerplate(spark):
+    """The bucket-size cap must drop degenerate boilerplate clusters
+    (quadratic-bucket guard) while leaving genuine small near-dup pairs
+    untouched — the behavior the 100 TB argument in dedup.py rests on."""
+    from mobilityduck_spark.operators import dedup as DD
+
+    boiler = [(i, "identical boilerplate page footer text " * 8) for i in range(40)]
+    base = "a quick brown fox jumps over the lazy dog near the river bank " * 10
+    near = [
+        (100, base + "today"),
+        (101, base + "again"),
+    ]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+    capped = DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=10)
+    rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 40-doc identical cluster (780 quadratic pairs) is dropped
+    assert not any(a < 100 and b < 100 for a, b in rows)
+    # the genuine near-dup pair survives (its buckets are size 2)
+    assert (100, 101) in rows
+    # uncapped, the quadratic cluster comes back
+    full = DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=None)
+    n_boiler = sum(
+        1 for r in full.collect() if r["id_a"] < 100 and r["id_b"] < 100
+    )
+    assert n_boiler == 40 * 39 // 2
+
+
+def test_simhash_planted_pair_recall(spark):
+    """SimHash must recover every planted near-dup pair that the
+    oracle-checked n-gram Jaccard query finds (recall gate; before the
+    signed-vote fix the fingerprints were saturated all-ones and this
+    held vacuously with ~72k false candidates — now it holds with ~24
+    total pairs at sf0.01)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.01"
+    qs = entry_mod.queries()
+    sim = {(r["id_a"], r["id_b"]) for r in qs["doc_simhash_pairs"](spark, sf).collect()}
+    jac = {(r["id_a"], r["id_b"]) for r in qs["doc_ngram_jaccard"](spark, sf).collect()}
+    assert jac, "expected planted near-dup pairs in the corpus"
+    assert jac <= sim, f"simhash missed planted pairs: {sorted(jac - sim)}"
+    # precision sanity: no quadratic blowup
+    assert len(sim) < 100
