@@ -186,3 +186,28 @@ def test_simhash_planted_pair_recall(spark):
     assert jac <= sim, f"simhash missed planted pairs: {sorted(jac - sim)}"
     # precision sanity: no quadratic blowup
     assert len(sim) < 100
+
+
+def test_simhash_numpy_kernel_matches_jvm_expression(spark):
+    """The numpy 128-bit fingerprint kernel's lane-0 word must equal the
+    independent JVM-expression 64-bit simhash bit-for-bit on the whole
+    test corpus (same seed-0 token hashing, same vote rule) — the
+    strongest check available for a hash-seeded rows-only operator, and
+    exactly the gate that would have caught the uint64 vote saturation."""
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import dedup as DD
+    from mobilityduck_spark.operators import text as TX
+    from mobilityduck_spark.sources import tables as SRC
+
+    docs = SRC.load(spark, "/root/testdata/sf0.001", "documents")
+    toks = TX.tokens(F.col("text"))
+    fp = DD._fp128_udf("doc_id")
+    df = docs.select(
+        DD.simhash(F.col("text")).alias("expr64"),
+        fp(
+            F.transform(toks, lambda w: F.xxhash64(w)),
+            F.transform(toks, lambda w: F.xxhash64(F.lit(1), w)),
+        )[0].alias("np_w0"),
+    )
+    assert df.filter(F.col("expr64") != F.col("np_w0")).count() == 0
