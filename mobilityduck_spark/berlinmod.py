@@ -1346,11 +1346,14 @@ def bm_q14_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seg
     ),
     verts AS (
+      -- UNION (not UNION ALL): a raw ping that also appears as a clip endpoint
+      -- must be counted ONCE, else the ray-cast crossing SUM doubles and the
+      -- % 2 = 1 parity in vhit flips inside verdicts to outside.
       SELECT e.user_id, p.period_id, e.x AS wx, e.y AS wy
       FROM isl e JOIN p ON e.ts >= p.tstart AND e.ts < p.tend
-      UNION ALL
+      UNION
       SELECT user_id, period_id, cx0, cy0 FROM clip
-      UNION ALL
+      UNION
       SELECT user_id, period_id, cx1, cy1 FROM clip
     ),
     vhit AS (

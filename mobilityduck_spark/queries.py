@@ -1067,14 +1067,14 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              t
       FROM synth
     )
-    SELECT lang, COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(t,
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
-             AS n_emails,
-           SUM(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{1,4}\b')))
-             AS n_phones,
-           SUM(CASE WHEN r LIKE '%<EMAIL>%' AND r LIKE '%<PHONE>%'
-                    THEN 1 ELSE 0 END) AS n_redacted
+             AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{1,4}\b')))
+             AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN r LIKE '%<EMAIL>%' AND r LIKE '%<PHONE>%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
     FROM red GROUP BY lang ORDER BY lang
     """,
 )
@@ -1107,19 +1107,21 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.regexp_count(F.col("t"), F.lit(TX._EMAIL_RE))).alias(
-                "n_emails"
-            ),
-            F.sum(F.regexp_count(F.col("t"), F.lit(TX._PHONE_RE))).alias(
-                "n_phones"
-            ),
+            F.sum(F.regexp_count(F.col("t"), F.lit(TX._EMAIL_RE)))
+            .cast("long")
+            .alias("n_emails"),
+            F.sum(F.regexp_count(F.col("t"), F.lit(TX._PHONE_RE)))
+            .cast("long")
+            .alias("n_phones"),
             F.sum(
                 F.when(
                     F.col("r").contains("<EMAIL>")
                     & F.col("r").contains("<PHONE>"),
                     1,
                 ).otherwise(0)
-            ).alias("n_redacted"),
+            )
+            .cast("long")
+            .alias("n_redacted"),
         )
         .orderBy("lang")
     )
@@ -1374,11 +1376,12 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_stats",
     """
     SELECT source,
-           COUNT(*) AS n_media,
-           SUM(octet_length(encode(text))) AS total_bytes,
-           MAX(octet_length(encode(text))) AS max_bytes
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents
     GROUP BY source
+    ORDER BY source
     """,
 )
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,9 +1402,10 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.sum(F.octet_length("content")).alias("total_bytes"),
-            F.max(F.octet_length("content")).alias("max_bytes"),
+            F.sum(F.octet_length("content")).cast("long").alias("total_bytes"),
+            F.max(F.octet_length("content")).cast("long").alias("max_bytes"),
         )
+        .orderBy("source")
     )
 
 

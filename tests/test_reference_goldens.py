@@ -33,6 +33,10 @@ def test_reference_golden_corpus(spark):
             if status == "fail":
                 failures.append((fname, sql[:100], detail[:200]))
     assert not failures, f"{len(failures)} golden mismatches: {failures[:10]}"
+    assert stats["fail"] == 0, f"golden failures present: {stats}"
+    assert stats["skip"] == 0, (
+        f"translator regression: cases newly skipped: {stats}"
+    )
     assert stats["pass"] >= MIN_PASS, (
         f"replayed-case count regressed: {stats} (floor {MIN_PASS})"
     )
