@@ -179,17 +179,24 @@ def geodetic_area_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    def one(a, b_, c, d):
+        # NULL-propagate on ANY missing coordinate and null out malformed
+        # boxes (xmax < xmin / ymin > ymax) instead of raising — a single
+        # bad row must not fail the whole Spark job (the reference's
+        # Stbox_area masks error rows invalid rather than erroring).
+        if pd.isna(a) or pd.isna(b_) or pd.isna(c) or pd.isna(d):
+            return None
+        try:
+            return geodetic_box_area(a, b_, c, d)
+        except ValueError:
+            return None
+
     @pandas_udf("double")
     def _geod_area(
         xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
     ) -> pd.Series:
         return pd.Series(
-            [
-                None
-                if pd.isna(a)
-                else geodetic_box_area(a, b_, c, d)
-                for a, b_, c, d in zip(xmin, ymin, xmax, ymax)
-            ],
+            [one(a, b_, c, d) for a, b_, c, d in zip(xmin, ymin, xmax, ymax)],
             dtype="float64",
         )
 

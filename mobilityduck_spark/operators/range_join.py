@@ -285,7 +285,11 @@ def asof_join(
     if tiebreak is not None:
         ev_cols.append(F.col(tiebreak).alias("_tb"))
         pr_cols.append(F.lit(None).cast(events.schema[tiebreak].dataType).alias("_tb"))
-        order.append(F.col("_tb").asc_nulls_last())
+        # the running last() picks the final row at an equal timestamp, so
+        # ascending-NULLS-FIRST means a NULL-tiebreak event loses the tie
+        # to any non-NULL tiebreak (= the oracle's ORDER BY tiebreak DESC
+        # NULLS LAST preferring the max non-NULL event)
+        order.append(F.col("_tb").asc_nulls_first())
     probe_keep = [c for c in probes.columns]
     union = events.select(*ev_cols, *[F.lit(None).cast(probes.schema[c].dataType).alias(f"_p_{c}") for c in probe_keep]) \
         .unionByName(

@@ -54,18 +54,27 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each (broadcast) query vector.
 
     Returns (query_id, vec_id, cos, rank). Ties break on vec_id for
     determinism.
+
+    Contract: `exclude_self=True` (default) assumes query ids live in
+    the CORPUS id space and drops the id==query_id row (a vector is
+    trivially its own nearest neighbor). If queries come from a separate
+    id space, pass exclude_self=False — otherwise an accidental id
+    collision silently drops a legitimate neighbor.
     """
     joined = emb.crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
-    ).filter(F.col(id_col) != F.col(query_id_col))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
     )
@@ -407,12 +416,16 @@ def sq8_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     codebook: "tuple[list, list] | None" = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine where the CORPUS side is 8-bit scalar-quantized and
     queries stay float — the standard asymmetric-distance setup (4× less
     memory/IO on the side that is 100 TB; the float side is tiny).
     Deterministic: codes via floor(x+0.5), scores ranked on the
-    round-6 cosine with id tiebreak, same contract as brute_force_topk.
+    round-6 cosine with id tiebreak, same contract as brute_force_topk
+    (including `exclude_self`: queries are assumed to share the corpus
+    id space — pass False when they come from a separate id space, or a
+    query_id that collides with a vec_id silently drops that neighbor).
     Pass `codebook` = (lo, hi) from a prior sq8_train to skip the
     training pass — at scale the codebook is trained once and reused
     across every query batch (a second full corpus scan per batch would
@@ -427,7 +440,9 @@ def sq8_topk(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(F.col("_deq"), F.col(query_vec_col)), 6).alias("qcos"),
-    ).filter(F.col(id_col) != F.col(query_id_col))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("qcos").desc(), F.col(id_col).asc()
     )

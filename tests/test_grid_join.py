@@ -171,3 +171,23 @@ def test_asof_join_null_semantics(spark):
     plan = str(out._jdf.queryExecution().executedPlan())
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # key hash + AQE read at most
+
+
+def test_asof_join_null_tiebreak_loses_ties(spark):
+    # at an equal event timestamp, a NULL-tiebreak event must lose to any
+    # non-NULL tiebreak (oracle semantics: ORDER BY tiebreak DESC NULLS
+    # LAST picks the max non-NULL event)
+    from mobilityduck_spark.operators.range_join import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, 100, None, 1.0), (1, 100, 5, 2.0), (1, 100, 3, 3.0)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    probes = spark.createDataFrame(
+        [(1, 10, 100)], "user_id long, probe_id long, pts long"
+    )
+    out = asof_join(
+        probes, ev, key="user_id", probe_ts="pts", event_ts="ts",
+        value_cols=["value"], tiebreak="event_id",
+    )
+    assert out.collect()[0]["value"] == 2.0  # event_id=5 wins, not NULL
