@@ -31,10 +31,19 @@ def main() -> None:
     # representative untimed run so the first timed query doesn't absorb
     # session startup — cluster jobs run warm, this measures the queries
     qs = Q.queries()
+    t_setup = time.perf_counter()
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     qs["attime_duration"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # also warm the embedding/cosine expression path (same rationale)
     qs["embed_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # build the shared persisted intermediates (trips / flat trips /
+    # point hits) HERE so the one-time cost is charged to setup_sec, not
+    # to whichever bm query touches a cache first (BENCH_r3's bm_q13 /
+    # bm_q16 attribution swings)
+    from mobilityduck_spark import berlinmod as BMQ
+
+    BMQ.warm_caches(spark, sf_dir)
+    setup_sec = round(time.perf_counter() - t_setup, 3)
 
     # best-of-N per query (default 2): the first rep of a query that
     # builds a shared persisted intermediate (_flat_trips, _point_hits)
@@ -61,6 +70,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "reps": reps,
+                "setup_sec": setup_sec,
             }
         )
     )

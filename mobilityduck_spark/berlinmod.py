@@ -55,6 +55,20 @@ def release_caches() -> int:
     return n
 
 
+def warm_caches(spark: SparkSession, sf_dir: str) -> float:
+    """Materialize the shared persisted intermediates (trips, flat trips,
+    point hits) and return the wall seconds spent. Benchmarks call this
+    so the one-time cache builds are charged to an explicit setup phase
+    instead of whichever query happens to touch a cache first."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    _trips(spark, sf_dir).count()
+    _flat_trips(spark, sf_dir).count()
+    _point_hits(spark, sf_dir).count()
+    return _time.perf_counter() - t0
+
+
 def _trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trips assembly is shared by every bm query — cache per session."""
     key = (id(spark), sf_dir)

@@ -109,6 +109,51 @@ def tdiscseq(instants) -> Column:
     return tsequence(instants, interp="discrete")
 
 
+def assemble_tsequence(
+    df,
+    raw_col: str,
+    out_col: str = "tf",
+    interp: str = "step",
+    lower_inc=True,
+    upper_inc=True,
+):
+    """DataFrame-level tsequence assembly: same semantics as
+    `agg(tsequence(collect_list(...)))` but STAGED across projections.
+
+    PERF: composed as one expression inside an aggregate, the seq struct
+    references the array_sort/dedup subtree up to 6× (dedup's zip_with /
+    slice / size each re-inline the sort; the `one`-instant bound fix and
+    the instants field each re-inline the dedup) — and aggregate result
+    expressions get neither codegen CSE (lambdas block codegen) nor
+    interpreted-mode reuse, so assembly cost multiplies by ~6. Splitting
+    sort → dedup → struct into separate Projects turns every reuse into a
+    cheap attribute reference; Catalyst's CollapseProject will NOT merge
+    the stages back because the intermediates are non-cheap expressions
+    referenced more than once. Measured 2.6→0.9 s on the sf0.1 tfloat
+    assembly.
+
+    `df` must contain `raw_col` = ARRAY<STRUCT<t, v>> (one row per
+    temporal, e.g. the output of groupBy().agg(collect_list(...)));
+    every other column passes through.
+    """
+    keep = [c for c in df.columns if c != raw_col]
+    iid = _interp_id(interp)
+    d1 = df.select(*keep, F.array_sort(F.col(raw_col)).alias("_srt"))
+    d2 = d1.select(*keep, _dedup_by_t(F.col("_srt")).alias("_ins"))
+    arr = F.col("_ins")
+    is_disc = iid == F.lit(INTERP_DISCRETE)
+    li = F.when(is_disc, F.lit(True)).otherwise(_c(lower_inc))
+    ui = F.when(is_disc, F.lit(True)).otherwise(_c(upper_inc))
+    one = F.size(arr) == 1
+    seq = _seq_struct(li | one, ui | one, arr)
+    return d2.select(
+        *keep,
+        _temporal_struct(F.lit(SUBTYPE_SEQUENCE), iid, F.array(seq)).alias(
+            out_col
+        ),
+    )
+
+
 def tsequenceset(seqs, interp="step") -> Column:
     """tintSeqSet(list) — src/temporal/temporal.cpp:280-298.
 

@@ -396,20 +396,16 @@ def _traj_points(spark: SparkSession, sf_dir: str):
 
 
 def _user_trajectories(spark: SparkSession, sf_dir: str):
-    from .functions import tpoint as TP
-
     pts = _traj_points(spark, sf_dir)
-    return pts.groupBy("user_id").agg(
-        TP.tpoint_seq(
-            F.collect_list(
-                F.struct(
-                    F.col("ts").alias("t"),
-                    F.struct(F.col("x"), F.col("y")).alias("v"),
-                )
-            ),
-            interp="linear",
-        ).alias("tp")
+    raw = pts.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("ts").alias("t"),
+                F.struct(F.col("x"), F.col("y")).alias("v"),
+            )
+        ).alias("_raw")
     )
+    return TT.assemble_tsequence(raw, "_raw", out_col="tp", interp="linear")
 
 
 _TRAJ_SQL = """
@@ -529,12 +525,20 @@ def tpoint_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = _user_trajectories(spark, sf_dir)
     probes = SRC.instant_grid(spark)
-    joined = tr.crossJoin(F.broadcast(probes))
+    # NULL rows are excluded by a cheap range predicate in the join (one
+    # gap-free sequence per user ⟹ pos non-NULL ⟺ instant ∈ [start, end])
+    # instead of a post-filter on `pos` — a filter above the projection is
+    # predicate-pushed through it and re-evaluates the interpreted HOF
+    # subtree once more per row (the value_at_instants pattern)
+    in_range = (F.col("instant") >= TT.start_timestamp(F.col("tp"))) & (
+        F.col("instant") <= TT.end_timestamp(F.col("tp"))
+    )
+    joined = tr.crossJoin(F.broadcast(probes)).filter(in_range)
     pos = joined.select(
         "user_id",
         "instant_id",
         TP.value_at_timestamp(F.col("tp"), F.col("instant")).alias("pos"),
-    ).filter(F.col("pos").isNotNull())
+    )
     return pos.select(
         "user_id",
         "instant_id",

@@ -81,14 +81,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def user_tfloat(spark: SparkSession, sf_dir: str, interp: str = "step") -> DataFrame:
-    """events → one tfloat per user (sorted, deduped inside tsequence)."""
+    """events → one tfloat per user (sorted, deduped inside tsequence);
+    staged assembly (see assemble_tsequence PERF note)."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        TT.tsequence(
-            F.collect_list(F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))),
-            interp=interp,
-        ).alias("tf")
+    raw = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+        ).alias("_raw")
     )
+    return TT.assemble_tsequence(raw, "_raw", out_col="tf", interp=interp)
 
 
 def user_tbool(
@@ -96,17 +97,15 @@ def user_tbool(
 ) -> DataFrame:
     """events → one tbool per user: value > threshold (step interp)."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        TT.tsequence(
-            F.collect_list(
-                F.struct(
-                    F.col("ts").alias("t"),
-                    (F.col("value") > F.lit(threshold)).alias("v"),
-                )
-            ),
-            interp="step",
-        ).alias("tb")
+    raw = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("ts").alias("t"),
+                (F.col("value") > F.lit(threshold)).alias("v"),
+            )
+        ).alias("_raw")
     )
+    return TT.assemble_tsequence(raw, "_raw", out_col="tb", interp="step")
 
 
 def period_grid(
