@@ -1945,7 +1945,7 @@ _LINE_AX, _LINE_AY, _LINE_BX, _LINE_BY = 0.0, 50.0, 100.0, 50.0
     )
     SELECT user_id AS vehicle_id,
            CAST(COUNT(*) AS INT) AS n_spans,
-           SUM(hi_us - lo_us) AS dur_us
+           CAST(SUM(hi_us - lo_us) AS BIGINT) AS dur_us
     FROM merged
     GROUP BY user_id
     """,
@@ -2061,6 +2061,244 @@ def at_line_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo_us").alias("lo_us"), F.max("hi_us").alias("hi_us")
     )
     return merged.groupBy("vehicle_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum(F.col("hi_us") - F.col("lo_us")).alias("dur_us"),
+    )
+
+
+# ======================================================= atGeometry(POLYGON)
+# Time-in-polygon restriction: entry/exit crossing times of the linear
+# trajectory against the star-polygon regions — the polygon-interior
+# atGeometry the reference's tgeo_at_geom performs over arbitrary
+# geometries (src/geo/tgeompoint.cpp:265-273). The oracle transliterates
+# the identical IEEE formulas: strict proper-crossing parameter
+# s = d3/(d3-d4), midpoint ray-cast per sub-interval, µs FLOOR, and the
+# identical closed-span maximal merge.
+_SEG_D3 = "(e.bx - e.ax) * (({py}) - e.ay) - (e.by_ - e.ay) * (({px}) - e.ax)"
+_SEG_D4 = "(e.bx - e.ax) * (({qy}) - e.ay) - (e.by_ - e.ay) * (({qx}) - e.ax)"
+
+
+def _sql_cross_param(px, py, qx, qy) -> str:
+    d3 = _SEG_D3.format(px=px, py=py)
+    d4 = _SEG_D4.format(qx=qx, qy=qy)
+    return f"({d3}) / (({d3}) - ({d4}))"
+
+
+@register(
+    "at_polygon_duration",
+    f"""
+    WITH isl AS (
+      SELECT * FROM ({BM.ISLANDS_SQL}) WHERE user_id % 7 = 0
+    ),
+    {_POLY_EDGES_SQL},
+    seg0 AS (
+      SELECT user_id, island, ts AS t0, x AS x0, y AS y0,
+             lead(ts) OVER w AS t1, lead(x) OVER w AS x1,
+             lead(y) OVER w AS y1, lead(island) OVER w AS isl1
+      FROM isl
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    seg AS (
+      SELECT user_id, t0, x0, y0, x1, y1,
+             CAST(epoch_us(t0) AS DOUBLE) AS t0u,
+             CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE) AS dtu
+      FROM seg0 WHERE t1 IS NOT NULL AND island = isl1
+    ),
+    xs AS (
+      SELECT s.user_id, s.t0, e.region_id,
+             {_sql_cross_param('s.x0', 's.y0', 's.x1', 's.y1')} AS sp
+      FROM seg s JOIN edges e
+        ON {_sql_proper_cross('s.x0', 's.y0', 's.x1', 's.y1')}
+    ),
+    prs AS (
+      SELECT s.user_id, s.t0, r.region_id
+      FROM seg s CROSS JOIN (SELECT DISTINCT region_id FROM rv) r
+    ),
+    bnd AS (
+      SELECT user_id, t0, region_id, CAST(0.0 AS DOUBLE) AS sp FROM prs
+      UNION ALL
+      SELECT user_id, t0, region_id, CAST(1.0 AS DOUBLE) FROM prs
+      UNION ALL
+      SELECT user_id, t0, region_id, sp FROM xs
+    ),
+    iv0 AS (
+      SELECT user_id, t0, region_id, sp AS s0,
+             lead(sp) OVER (PARTITION BY user_id, t0, region_id
+                            ORDER BY sp) AS s1
+      FROM bnd
+    ),
+    mid AS (
+      SELECT i.user_id, i.t0, i.region_id, i.s0, i.s1,
+             s.x0 + (s.x1 - s.x0) * ((i.s0 + i.s1) / 2.0) AS mx,
+             s.y0 + (s.y1 - s.y0) * ((i.s0 + i.s1) / 2.0) AS my,
+             s.t0u, s.dtu
+      FROM iv0 i JOIN seg s ON s.user_id = i.user_id AND s.t0 = i.t0
+      WHERE i.s1 IS NOT NULL AND i.s1 > i.s0
+    ),
+    ins AS (
+      SELECT m.user_id, m.region_id,
+             CAST(FLOOR(m.t0u + m.s0 * m.dtu) AS BIGINT) AS lo_us,
+             CAST(FLOOR(m.t0u + m.s1 * m.dtu) AS BIGINT) AS hi_us
+      FROM mid m JOIN edges e ON e.region_id = m.region_id
+      GROUP BY m.user_id, m.t0, m.region_id, m.s0, m.s1, m.mx, m.my,
+               m.t0u, m.dtu
+      HAVING {_sql_raycast('m.mx', 'm.my')}
+    ),
+    singles AS (
+      SELECT i.user_id, e.region_id,
+             epoch_us(i.ts) AS lo_us, epoch_us(i.ts) AS hi_us
+      FROM isl i
+      JOIN (SELECT user_id, island FROM isl
+            GROUP BY user_id, island HAVING COUNT(*) = 1) s1
+        ON s1.user_id = i.user_id AND s1.island = i.island
+      CROSS JOIN edges e
+      GROUP BY i.user_id, e.region_id, i.x, i.y, epoch_us(i.ts)
+      HAVING {_sql_raycast('i.x', 'i.y')}
+    ),
+    allsp AS (
+      SELECT * FROM ins UNION ALL SELECT * FROM singles
+    ),
+    ordered AS (
+      SELECT user_id, region_id, lo_us, hi_us,
+             MAX(hi_us) OVER (PARTITION BY user_id, region_id
+                              ORDER BY lo_us, hi_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+      FROM allsp
+    ),
+    grp AS (
+      SELECT user_id, region_id, lo_us, hi_us,
+             SUM(CASE WHEN prev_max IS NULL OR lo_us > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, region_id
+                     ORDER BY lo_us, hi_us ROWS UNBOUNDED PRECEDING) AS g
+      FROM ordered
+    ),
+    merged AS (
+      SELECT user_id, region_id, MIN(lo_us) AS lo_us, MAX(hi_us) AS hi_us
+      FROM grp GROUP BY user_id, region_id, g
+    )
+    SELECT user_id AS vehicle_id, region_id,
+           CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(SUM(hi_us - lo_us) AS BIGINT) AS dur_us
+    FROM merged
+    GROUP BY user_id, region_id
+    """,
+)
+def at_polygon_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-polygon over the probe fleet (vehicle_id % 7 == 0): per
+    (vehicle, star-polygon region), the number of maximal intervals and
+    total µs the trajectory spends INSIDE the polygon, with exact
+    entry/exit crossing times (duration(atGeometry(trip, polygon)) —
+    MEOS tgeo_at_geom, src/geo/tgeompoint.cpp:265-273).
+
+    Plan shape (the 100 TB path): trajectories EXPLODE into a flat
+    per-segment relation; the 10-polygon dim broadcasts with a prebuilt
+    edge ARRAY + bbox; candidates are bbox-gated (a segment whose bbox
+    misses the ring bbox cannot contribute — exact pruning); per
+    candidate the crossing-partition + midpoint ray-cast runs as array
+    expressions over the 8-edge ring (segment_inside_intervals — tiny
+    arrays, no join-back, no extra shuffle); the maximal-interval merge
+    is the relational prev-max/group-sum window, partition-parallel per
+    (vehicle, region)."""
+    from .functions import polygon as PG
+
+    trips = _trips(spark, sf_dir).filter(F.col("vehicle_id") % 7 == 0)
+
+    inst = (
+        trips.select(
+            "vehicle_id", F.posexplode(F.col("trip")["seqs"]).alias("si", "seq")
+        )
+        .select(
+            "vehicle_id", "si",
+            F.size(F.col("seq")["instants"]).alias("n_inst"),
+            F.posexplode(F.col("seq")["instants"]).alias("ii", "i"),
+        )
+        .select(
+            "vehicle_id", "si", "n_inst", "ii",
+            F.col("i")["t"].alias("t0"),
+            F.col("i")["v"]["x"].alias("x0"),
+            F.col("i")["v"]["y"].alias("y0"),
+        )
+    )
+    w = Window.partitionBy("vehicle_id", "si").orderBy("ii")
+    segs = inst.select(
+        "vehicle_id", "n_inst", "t0", "x0", "y0",
+        F.lead("t0").over(w).alias("t1"),
+        F.lead("x0").over(w).alias("x1"),
+        F.lead("y0").over(w).alias("y1"),
+    )
+
+    polys = BM.regions_poly(spark, sf_dir)
+    bx0, by0, bx1, by1 = PG.ring_bbox(F.col("ring"))
+    pr = polys.select(
+        "region_id",
+        PG.ring_edges(F.col("ring")).alias("edges"),
+        bx0.alias("rx0"), by0.alias("ry0"),
+        bx1.alias("rx1"), by1.alias("ry1"),
+    )
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    x1, y1 = F.col("x1"), F.col("y1")
+    bbox_hit = (
+        (F.least(x0, x1) <= F.col("rx1"))
+        & (F.greatest(x0, x1) >= F.col("rx0"))
+        & (F.least(y0, y1) <= F.col("ry1"))
+        & (F.greatest(y0, y1) >= F.col("ry0"))
+    )
+    cand = (
+        segs.filter(F.col("t1").isNotNull())
+        .crossJoin(F.broadcast(pr))
+        .filter(bbox_hit)
+    )
+    t0u = F.unix_micros(F.col("t0"))
+    dtu = (F.unix_micros(F.col("t1")) - t0u).cast("double")
+    ivs = PG.segment_inside_intervals(x0, y0, x1, y1, F.col("edges"))
+    seg_spans = (
+        cand.select(
+            "vehicle_id", "region_id",
+            t0u.cast("double").alias("t0u"), dtu.alias("dtu"),
+            F.explode(ivs).alias("iv"),
+        )
+        .select(
+            "vehicle_id", "region_id",
+            F.floor(F.col("t0u") + F.col("iv")["lo"] * F.col("dtu"))
+            .cast("long").alias("lo_us"),
+            F.floor(F.col("t0u") + F.col("iv")["hi"] * F.col("dtu"))
+            .cast("long").alias("hi_us"),
+        )
+    )
+    pt_hit = (
+        (x0 >= F.col("rx0")) & (x0 <= F.col("rx1"))
+        & (y0 >= F.col("ry0")) & (y0 <= F.col("ry1"))
+    )
+    singles = (
+        segs.filter(F.col("n_inst") == 1)
+        .crossJoin(F.broadcast(pr))
+        .filter(pt_hit & PG.point_in_edges(x0, y0, F.col("edges")))
+        .select(
+            "vehicle_id", "region_id",
+            t0u.alias("lo_us"), t0u.alias("hi_us"),
+        )
+    )
+    allsp = seg_spans.unionAll(singles)
+
+    wv = Window.partitionBy("vehicle_id", "region_id").orderBy(
+        "lo_us", "hi_us"
+    )
+    prev_max = F.max("hi_us").over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = allsp.select(
+        "vehicle_id", "region_id", "lo_us", "hi_us",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("lo_us") > prev_max), 1).otherwise(0)
+        ).over(wv.rowsBetween(Window.unboundedPreceding, 0)).alias("g"),
+    )
+    merged = grouped.groupBy("vehicle_id", "region_id", "g").agg(
+        F.min("lo_us").alias("lo_us"), F.max("hi_us").alias("hi_us")
+    )
+    return merged.groupBy("vehicle_id", "region_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_spans"),
         F.sum(F.col("hi_us") - F.col("lo_us")).alias("dur_us"),
     )

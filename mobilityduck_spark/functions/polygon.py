@@ -221,6 +221,118 @@ def point_on_edges(px, py, edges) -> Column:
     return F.exists(_c(edges), on)
 
 
+def segment_inside_intervals(px, py, qx, qy, edges) -> Column:
+    """ARRAY<STRUCT<lo, hi>> of motion-parameter intervals s ∈ [0, 1]
+    during which the segment p→q lies INSIDE the simple polygon whose
+    prebuilt edge array is `edges` (even-odd interior; boundary per the
+    PNPOLY half-open rule of point_in_edges).
+
+    Method: every strict proper crossing of a polygon edge contributes
+    its segment parameter s = d3/(d3−d4) (strictly in (0,1) by the
+    strict sign tests); {0, 1} ∪ crossings sorted partitions [0, 1];
+    each sub-interval's state is decided by a ray-cast on its midpoint —
+    robust against double-toggles (vertex passes) because the state is
+    computed independently per sub-interval, never by toggling.
+    Collinear boundary travel and vertex/tangent touches (measure-zero
+    on continuous data) follow the midpoint verdict — the same
+    convention as _proper_cross, and the identical IEEE formula order is
+    transliterated in the at_polygon_duration oracle.
+
+    Reference: atGeometry over polygon interiors (MEOS tgeo_at_geom,
+    /root/reference/src/geo/tgeompoint.cpp:265-273)."""
+    px, py, qx, qy = _c(px), _c(py), _c(qx), _c(qy)
+    eg = _c(edges)
+
+    def s_of(e: Column) -> Column:
+        a, b = e["a"], e["b"]
+        d1 = (qx - px) * (a["y"] - py) - (qy - py) * (a["x"] - px)
+        d2 = (qx - px) * (b["y"] - py) - (qy - py) * (b["x"] - px)
+        d3 = (b["x"] - a["x"]) * (py - a["y"]) - (b["y"] - a["y"]) * (px - a["x"])
+        d4 = (b["x"] - a["x"]) * (qy - a["y"]) - (b["y"] - a["y"]) * (qx - a["x"])
+        proper = (
+            ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+        ) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+        )
+        return F.when(proper, d3 / (d3 - d4))
+
+    crossings = F.filter(F.transform(eg, s_of), lambda s: s.isNotNull())
+    bounds = F.array_sort(
+        F.concat(F.array(F.lit(0.0), F.lit(1.0)), crossings)
+    )
+
+    def iv(s0: Column, s1: Column) -> Column:
+        m = (s0 + s1) / F.lit(2.0)
+        inside = point_in_edges(px + (qx - px) * m, py + (qy - py) * m, eg)
+        return F.when(
+            (s1 > s0) & inside, F.struct(s0.alias("lo"), s1.alias("hi"))
+        )
+
+    pairs = F.zip_with(bounds, F.slice(bounds, 2, F.size(bounds) - 1), iv)
+    return F.filter(pairs, lambda x: x.isNotNull())
+
+
+def in_polygon_spanset(t, edges) -> Column:
+    """atGeometry(TGEOMPOINT, POLYGON) restricted to its time dimension:
+    the tstzspanset during which the moving point is INSIDE the simple
+    polygon (prebuilt `edges` array) — the polygon-interior counterpart
+    of on_line_spanset. Linear sequences get exact entry/exit crossing
+    times via segment_inside_intervals (µs FLOOR quantization);
+    discrete/single-instant sequences contribute instantaneous spans
+    when the position ray-casts inside. Per-segment spans are
+    normalized+merged by spanset().
+
+    Reference: MEOS tgeo_at_geom (src/geo/tgeompoint.cpp:265-273)."""
+    from ..types import INTERP_DISCRETE
+    from . import span as S
+
+    tc, eg = _c(t), _c(edges)
+
+    def closed(lo_us, hi_us):
+        return S.span(
+            F.timestamp_micros(lo_us), F.timestamp_micros(hi_us),
+            F.lit(True), F.lit(True),
+        )
+
+    def seg_pair_spans(p: Column, q: Column) -> Column:
+        t0u = F.unix_micros(p["t"])
+        dtu = (F.unix_micros(q["t"]) - t0u).cast("double")
+        ivs = segment_inside_intervals(
+            p["v"]["x"], p["v"]["y"], q["v"]["x"], q["v"]["y"], eg
+        )
+        return F.transform(
+            ivs,
+            lambda s: closed(
+                F.floor(t0u.cast("double") + s["lo"] * dtu).cast("long"),
+                F.floor(t0u.cast("double") + s["hi"] * dtu).cast("long"),
+            ),
+        )
+
+    def inst_spans(seq: Column) -> Column:
+        return F.transform(
+            seq["instants"],
+            lambda i: F.when(
+                point_in_edges(i["v"]["x"], i["v"]["y"], eg),
+                closed(F.unix_micros(i["t"]), F.unix_micros(i["t"])),
+            ),
+        )
+
+    disc = tc["interp"] == F.lit(INTERP_DISCRETE)
+
+    def seq_spans(seq: Column) -> Column:
+        inst = seq["instants"]
+        n = F.size(inst)
+        pairs = F.flatten(
+            F.zip_with(
+                F.slice(inst, 1, n - 1), F.slice(inst, 2, n - 1),
+                seg_pair_spans,
+            )
+        )
+        return F.when(disc | (n == 1), inst_spans(seq)).otherwise(pairs)
+
+    return S.spanset(F.flatten(F.transform(tc["seqs"], seq_spans)))
+
+
 def on_line_spanset(t, edges) -> Column:
     """atGeometry(TGEOMPOINT, LINESTRING) restricted to its time
     dimension: the tstzspanset during which the moving point lies ON

@@ -153,3 +153,67 @@ def test_on_line_spanset_collinear_and_crossing(spark):
     assert row["dur"] == 12 * 3600 * 1_000_000
     assert str(row["lo"]).startswith("2000-01-01 12:00:00")
     assert str(row["hi"]).startswith("2000-01-02 00:00:00")
+
+
+def test_segment_inside_intervals(spark):
+    """Crossing-partition + midpoint ray-cast over the unit square."""
+    df = spark.range(1)
+    sq_edges = PG.ring_edges(_ring(*SQUARE))
+
+    def ivs(p, q):
+        return one(
+            df,
+            PG.segment_inside_intervals(
+                F.lit(float(p[0])), F.lit(float(p[1])),
+                F.lit(float(q[0])), F.lit(float(q[1])), sq_edges,
+            ),
+        )
+
+    # pass-through: enters at s=1/6, exits at s=5/6
+    got = ivs((-1, 2), (5, 2))
+    assert len(got) == 1
+    lo, hi = got[0]["lo"], got[0]["hi"]
+    assert abs(lo - 1 / 6) < 1e-12 and abs(hi - 5 / 6) < 1e-12
+    # fully inside: single [0, 1]
+    assert [tuple(i) for i in ivs((1, 1), (3, 3))] == [(0.0, 1.0)]
+    # fully outside: empty
+    assert ivs((5, 5), (9, 9)) == []
+    # starts inside, exits at s=0.5
+    got = ivs((2, 2), (2, 6))
+    assert len(got) == 1 and got[0]["lo"] == 0.0 and abs(got[0]["hi"] - 0.5) < 1e-12
+    # stationary segment inside / outside
+    assert [tuple(i) for i in ivs((1, 1), (1, 1))] == [(0.0, 1.0)]
+    assert ivs((9, 9), (9, 9)) == []
+
+
+def test_in_polygon_spanset_concave(spark):
+    """in_polygon_spanset over the concave L: a straight pass along
+    y=3 is inside for x∈(0,2) only (the notch excludes x∈(2,4));
+    entry/exit crossing times are exact."""
+    from pyspark.sql import types as T
+
+    from mobilityduck_spark import textio
+    from mobilityduck_spark import types as mt
+    from mobilityduck_spark.functions import span as S
+
+    trip = textio.parse_temporal(
+        "[Point(-2 3)@2000-01-01, Point(4 3)@2000-01-04]", "point"
+    )
+    schema = T.StructType(
+        [T.StructField("t", mt.temporal_type(mt.POINT_TYPE), True)]
+    )
+    df = spark.createDataFrame([(trip,)], schema)
+    edges = PG.ring_edges(_ring(*ELL))
+    row = df.select(
+        PG.in_polygon_spanset(F.col("t"), edges).alias("ss")
+    ).select(
+        F.size("ss").alias("n"),
+        S.spanset_duration_us(F.col("ss")).alias("dur"),
+        F.col("ss")[0]["lower"].alias("lo"),
+        F.col("ss")[0]["upper"].alias("hi"),
+    ).collect()[0]
+    # x: -2 → 4 over 3 days (2 units/day); inside x∈(0,2) → day 2 only
+    assert row["n"] == 1
+    assert row["dur"] == 24 * 3600 * 1_000_000
+    assert str(row["lo"]).startswith("2000-01-02 00:00:00")
+    assert str(row["hi"]).startswith("2000-01-03 00:00:00")
