@@ -804,6 +804,81 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_minhash_recall",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM documents WHERE doc_id % 5 = 0 ORDER BY id_a
+    """,
+)
+def doc_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible MinHash+LSH recall gate: every fifth document gets
+    an exact copy planted at doc_id + 1,000,000. Identical texts yield
+    identical shingle sets → identical 32-lane signatures → collisions
+    in ALL 8 bands, so the candidate generator MUST emit every planted
+    pair with estimated Jaccard exactly 1.0 — a hash-family-independent
+    guarantee, hence ANSI-computable. The inner join to the planted pair
+    list makes the driver's row-count/value check the recall assertion:
+    a missed planted pair drops a row. Natural near-dup candidates fall
+    outside the planted set and are excluded (their band collisions are
+    hash-dependent, not oracle-expressible — they remain covered by the
+    rows-only doc_minhash_pairs entry and the unit recall gates)."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    sel = docs.filter(F.col("doc_id") % 5 == 0)
+    copies = sel.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    pairs = DD.minhash_lsh_pairs(
+        docs.unionByName(copies),
+        num_hashes=32, bands=8, shingle_k=3, min_est_jaccard=1.0,
+    )
+    planted = sel.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("id_b"),
+    )
+    return (
+        planted.join(pairs, ["id_a", "id_b"])
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a")
+    )
+
+
+@register(
+    "doc_simhash_recall",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id % 5 = 0 ORDER BY id_a
+    """,
+)
+def doc_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible SimHash recall gate (same planted-copy scheme as
+    doc_minhash_recall): identical texts yield identical 128-bit
+    fingerprints → all six ~21-bit chunk buckets collide → every planted
+    pair MUST surface with hamming exactly 0, independent of the token
+    hash family. No bucket cap here — planting doubles every natural
+    bucket and a cap could legitimately drop a degenerate cluster, which
+    would make the expected output data-dependent instead of exact."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    sel = docs.filter(F.col("doc_id") % 5 == 0)
+    copies = sel.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    pairs = DD.simhash128_pairs(
+        docs.unionByName(copies), max_hamming=0, max_bucket_size=None
+    )
+    planted = sel.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("id_b"),
+    )
+    return (
+        planted.join(pairs, ["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
+    )
+
+
+@register(
     "doc_dup_clusters",
     rf"""
     WITH RECURSIVE
