@@ -44,7 +44,9 @@ def release_caches() -> int:
     should call this when done with a BerlinMOD workload — the module
     caches otherwise hold executor storage for the session's lifetime."""
     n = 0
-    for cache in (_TRIP_CACHE, _FLAT_CACHE, _HITS_CACHE, BM._VEH_CACHE):
+    for cache in (
+        _TRIP_CACHE, _FLAT_CACHE, _HITS_CACHE, _SEG_CACHE, BM._VEH_CACHE
+    ):
         while cache:
             _, df = cache.popitem()
             try:
@@ -66,6 +68,7 @@ def warm_caches(spark: SparkSession, sf_dir: str) -> float:
     _trips(spark, sf_dir).count()
     _flat_trips(spark, sf_dir).count()
     _point_hits(spark, sf_dir).count()
+    _segments(spark, sf_dir).count()
     return _time.perf_counter() - t0
 
 
@@ -103,6 +106,48 @@ def _flat_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
             B.stbox_of_tpoint(F.col("trip")).alias("bb"),
         ).persist()
     return _FLAT_CACHE[key]
+
+
+_SEG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat per-segment relation of the trips table: one row per instant
+    with its island successor (t1/x1/y1 NULL for island-final instants)
+    plus the island's instant count (single-instant arm). Shared by the
+    exact box-clip semi-join (bm_q13), at_line_duration and
+    at_polygon_duration; persisted once per session — the relational
+    form keeps the per-candidate geometry in whole-stage codegen where
+    the per-trip HOF form stays interpreted."""
+    key = (id(spark), sf_dir)
+    if key in _SEG_CACHE:
+        return _SEG_CACHE[key]
+    trips = _trips(spark, sf_dir)
+    inst = (
+        trips.select(
+            "vehicle_id", F.posexplode(F.col("trip")["seqs"]).alias("si", "seq")
+        )
+        .select(
+            "vehicle_id", "si",
+            F.size(F.col("seq")["instants"]).alias("n_inst"),
+            F.posexplode(F.col("seq")["instants"]).alias("ii", "i"),
+        )
+        .select(
+            "vehicle_id", "si", "n_inst", "ii",
+            F.col("i")["t"].alias("t0"),
+            F.col("i")["v"]["x"].alias("x0"),
+            F.col("i")["v"]["y"].alias("y0"),
+        )
+    )
+    w = Window.partitionBy("vehicle_id", "si").orderBy("ii")
+    segs = inst.select(
+        "vehicle_id", "n_inst", "t0", "x0", "y0",
+        F.lead("t0").over(w).alias("t1"),
+        F.lead("x0").over(w).alias("x1"),
+        F.lead("y0").over(w).alias("y1"),
+    )
+    _SEG_CACHE[key] = segs.persist()
+    return _SEG_CACHE[key]
 
 
 _HITS_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -1152,30 +1197,82 @@ def bm_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing-interpolation semantics (Trip && stbox(region, period) +
     atStbox non-empty): a trajectory that clips a region corner
     between samples counts, with the entry/exit interval floored to µs
-    exactly as the oracle's Liang–Barsky SQL does. The sampled
-    approximation remains available as TP.at_box_sampled."""
-    # _flat_trips persists the per-trip bbox (bb): the prefilter reads
-    # it instead of re-scanning every instant once per probe pair
-    trips = _flat_trips(spark, sf_dir).select("vehicle_id", "trip", "bb")
+    exactly as the oracle's Liang–Barsky SQL does.
+
+    Plan shape (round-4 rework, 4.1 → ~1 s at sf0.1): the per-trip
+    `TP.intersects_stbox` HOF evaluated Liang–Barsky over every instant
+    once per surviving (trip, probe) pair in the INTERPRETER — and trip
+    bboxes cover most of the space, so the bbox prefilter barely cut
+    the 1500×100 candidate set. The flat _segments relation keeps the
+    identical per-segment IEEE formulas in whole-stage codegen, with a
+    segment-level bbox×time prefilter that actually prunes (segments
+    are short); `TP.intersects_stbox` remains the per-row API form."""
+    segs = _segments(spark, sf_dir)
     p = BM.periods1(spark, sf_dir)
     r = BM.regions1(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
     probe = p.crossJoin(r).select(
-        "period_id",
-        "region_id",
-        B.stbox(
-            xmin=F.col("rx0"), ymin=F.col("ry0"),
-            xmax=F.col("rx1"), ymax=F.col("ry1"),
-            tmin=F.col("tstart"),
-            tmax=F.col("tend") - F.expr("INTERVAL 1 MICROSECOND"),
-        ).alias("box"),
+        "period_id", "region_id", "rx0", "ry0", "rx1", "ry1",
+        F.unix_micros(F.col("tstart")).alias("tmin_us"),
+        (F.unix_micros(F.col("tend")) - 1).alias("tmax_us"),
     )
-    t = trips.crossJoin(F.broadcast(probe)).filter(
-        B.stbox_overlaps(F.col("bb"), F.col("box"))
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    x1, y1 = F.col("x1"), F.col("y1")
+    t0u = F.unix_micros(F.col("t0"))
+    t1u = F.unix_micros(F.col("t1"))
+    dtu = (t1u - t0u).cast("double")
+
+    # identical IEEE axis-window formulas as TP.intersects_stbox.seg_hit
+    def axis(v0, v1, lo, hi):
+        dv = v1 - v0
+        a = (lo - v0) / dv
+        c = (hi - v0) / dv
+        flat_in = (v0 >= lo) & (v0 <= hi)
+        u_lo = F.when(
+            dv == 0, F.when(flat_in, F.lit(0.0)).otherwise(F.lit(1.0))
+        ).otherwise(F.least(a, c))
+        u_hi = F.when(
+            dv == 0, F.when(flat_in, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).otherwise(F.greatest(a, c))
+        return u_lo, u_hi
+
+    ux_lo, ux_hi = axis(x0, x1, F.col("rx0"), F.col("rx1"))
+    uy_lo, uy_hi = axis(y0, y1, F.col("ry0"), F.col("ry1"))
+    u0 = F.greatest(F.lit(0.0), ux_lo, uy_lo)
+    u1 = F.least(F.lit(1.0), ux_hi, uy_hi)
+    enter_us = F.floor(t0u.cast("double") + u0 * dtu).cast("long")
+    exit_us = F.floor(t0u.cast("double") + u1 * dtu).cast("long")
+    seg_hit = (u0 <= u1) & (
+        F.greatest(enter_us, F.col("tmin_us"))
+        <= F.least(exit_us, F.col("tmax_us"))
     )
-    inside = t.filter(TP.intersects_stbox(F.col("trip"), F.col("box")))
+    # prefilter: segment bbox × box, segment window × period — cheap
+    # codegen conjunctions that prune before the divide-heavy clip
+    pre = (
+        (F.least(x0, x1) <= F.col("rx1")) & (F.greatest(x0, x1) >= F.col("rx0"))
+        & (F.least(y0, y1) <= F.col("ry1")) & (F.greatest(y0, y1) >= F.col("ry0"))
+        & (t0u <= F.col("tmax_us")) & (t1u >= F.col("tmin_us"))
+    )
+    seg_hits = (
+        segs.filter(F.col("t1").isNotNull())
+        .crossJoin(F.broadcast(probe))
+        .filter(pre & seg_hit)
+        .select("vehicle_id", "region_id", "period_id")
+    )
+    single_hits = (
+        segs.filter(F.col("n_inst") == 1)
+        .crossJoin(F.broadcast(probe))
+        .filter(
+            (x0 >= F.col("rx0")) & (x0 <= F.col("rx1"))
+            & (y0 >= F.col("ry0")) & (y0 <= F.col("ry1"))
+            & (t0u >= F.col("tmin_us")) & (t0u <= F.col("tmax_us"))
+        )
+        .select("vehicle_id", "region_id", "period_id")
+    )
+    hits = seg_hits.unionAll(single_hits).distinct()
     return (
-        inside.join(v, "vehicle_id")
+        hits.join(v, "vehicle_id")
         .select("region_id", "period_id", "licence")
         .distinct()
     )
@@ -1964,33 +2061,10 @@ def at_line_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation scale this reformulation ran 12.4 s → ~1 s at sf0.01), and
     the maximal-interval merge is the relational prev-max/group-sum
     window, partition-parallel per vehicle."""
-    trips = _trips(spark, sf_dir).filter(F.col("vehicle_id") % 7 == 0)
     ax, ay, bx, by = _LINE_AX, _LINE_AY, _LINE_BX, _LINE_BY
     ex, ey = bx - ax, by - ay
 
-    inst = (
-        trips.select(
-            "vehicle_id", F.posexplode(F.col("trip")["seqs"]).alias("si", "seq")
-        )
-        .select(
-            "vehicle_id", "si",
-            F.size(F.col("seq")["instants"]).alias("n_inst"),
-            F.posexplode(F.col("seq")["instants"]).alias("ii", "i"),
-        )
-        .select(
-            "vehicle_id", "si", "n_inst", "ii",
-            F.col("i")["t"].alias("t0"),
-            F.col("i")["v"]["x"].alias("x0"),
-            F.col("i")["v"]["y"].alias("y0"),
-        )
-    )
-    w = Window.partitionBy("vehicle_id", "si").orderBy("ii")
-    segs = inst.select(
-        "vehicle_id", "n_inst", "t0", "x0", "y0",
-        F.lead("t0").over(w).alias("t1"),
-        F.lead("x0").over(w).alias("x1"),
-        F.lead("y0").over(w).alias("y1"),
-    )
+    segs = _segments(spark, sf_dir).filter(F.col("vehicle_id") % 7 == 0)
 
     x0, y0 = F.col("x0"), F.col("y0")
     x1, y1 = F.col("x1"), F.col("y1")
@@ -2203,31 +2277,7 @@ def at_polygon_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vehicle, region)."""
     from .functions import polygon as PG
 
-    trips = _trips(spark, sf_dir).filter(F.col("vehicle_id") % 7 == 0)
-
-    inst = (
-        trips.select(
-            "vehicle_id", F.posexplode(F.col("trip")["seqs"]).alias("si", "seq")
-        )
-        .select(
-            "vehicle_id", "si",
-            F.size(F.col("seq")["instants"]).alias("n_inst"),
-            F.posexplode(F.col("seq")["instants"]).alias("ii", "i"),
-        )
-        .select(
-            "vehicle_id", "si", "n_inst", "ii",
-            F.col("i")["t"].alias("t0"),
-            F.col("i")["v"]["x"].alias("x0"),
-            F.col("i")["v"]["y"].alias("y0"),
-        )
-    )
-    w = Window.partitionBy("vehicle_id", "si").orderBy("ii")
-    segs = inst.select(
-        "vehicle_id", "n_inst", "t0", "x0", "y0",
-        F.lead("t0").over(w).alias("t1"),
-        F.lead("x0").over(w).alias("x1"),
-        F.lead("y0").over(w).alias("y1"),
-    )
+    segs = _segments(spark, sf_dir).filter(F.col("vehicle_id") % 7 == 0)
 
     polys = BM.regions_poly(spark, sf_dir)
     bx0, by0, bx1, by1 = PG.ring_bbox(F.col("ring"))

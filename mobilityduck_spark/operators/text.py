@@ -187,6 +187,75 @@ def split_assign(
     )
 
 
+def pack_chunks(
+    docs: "DataFrame",
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 8,
+) -> "DataFrame":
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end (in deterministic id order within a hash shard) and the
+    stream is cut into fixed `capacity`-token training chunks; each doc
+    reports the chunk span it lands in.
+
+    Returns (shard, doc_id, tok, start_off, chunk_first, chunk_last)
+    where start_off is the doc's token offset in its shard stream and
+    chunk_first/chunk_last = floor(start/capacity) /
+    floor((end-1)/capacity) — a doc straddling a cut contributes to
+    both neighboring chunks (standard pretraining packing; no padding
+    waste, boundary docs split).
+
+    Scale shape: packing is inherently a prefix scan, so it is scoped
+    PER SHARD (engine-portable md5 bucket of the id, as in split_bucket)
+    — each shard's running sum is one window partition, shards are
+    independent and the shard count scales with the cluster. One shuffle
+    on the shard key. Note the whitespace tokenizer counts '' as one
+    token (split yields ['']) on both engines, so even an empty doc
+    occupies one stream slot; the tok>0 guard only drops genuinely
+    0-token rows (NULL text)."""
+    from pyspark.sql import Window as W
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-", F.col(id_col).cast("string"), F.lit("pack")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(shards)
+    ).cast("int")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).alias("tok"),
+    ).filter(F.col("tok") > 0)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = d.select(
+        "shard", "doc_id", "tok", F.sum("tok").over(w).alias("_cum")
+    )
+    start = F.col("_cum") - F.col("tok")
+    return cum.select(
+        "shard",
+        "doc_id",
+        "tok",
+        start.alias("start_off"),
+        F.floor(start / F.lit(capacity)).cast("long").alias("chunk_first"),
+        F.floor((F.col("_cum") - 1) / F.lit(capacity))
+        .cast("long")
+        .alias("chunk_last"),
+    )
+
+
 def dup_word_fraction(toks) -> Column:
     """Repetition quality signal (Gopher-style): fraction of tokens that
     are repeats of an earlier token. 0 = all distinct, →1 = degenerate

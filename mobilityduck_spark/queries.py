@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = [
     "at_polygon_duration",
     "doc_minhash_recall",
     "doc_simhash_recall",
+    "doc_pack_chunks",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
     "doc_dup_windows",
@@ -396,16 +397,19 @@ def _traj_points(spark: SparkSession, sf_dir: str):
 
 
 def _user_trajectories(spark: SparkSession, sf_dir: str):
-    pts = _traj_points(spark, sf_dir)
-    raw = pts.groupBy("user_id").agg(
-        F.collect_list(
-            F.struct(
-                F.col("ts").alias("t"),
-                F.struct(F.col("x"), F.col("y")).alias("v"),
-            )
-        ).alias("_raw")
-    )
-    return TT.assemble_tsequence(raw, "_raw", out_col="tp", interp="linear")
+    def build():
+        pts = _traj_points(spark, sf_dir)
+        raw = pts.groupBy("user_id").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.struct(F.col("x"), F.col("y")).alias("v"),
+                )
+            ).alias("_raw")
+        )
+        return TT.assemble_tsequence(raw, "_raw", out_col="tp", interp="linear")
+
+    return SRC._cached((id(spark), sf_dir, "utraj"), build)
 
 
 _TRAJ_SQL = """
@@ -801,6 +805,49 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=2000)
+
+
+@register(
+    "doc_pack_chunks",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-pack'),
+                                       1, 8)) AS UBIGINT) % 8 AS INT) AS shard,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+    ),
+    c AS (
+      SELECT shard, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT shard, doc_id, CAST(tok AS BIGINT) AS tok,
+           CAST(cum - tok AS BIGINT) AS start_off,
+           CAST(FLOOR((cum - tok) / 512.0) AS BIGINT) AS chunk_first,
+           CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS chunk_last
+    FROM c ORDER BY shard, doc_id
+    """,
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (capacity 512 tokens,
+    8 shards): per doc, its token offset in the shard stream and the
+    training-chunk span it contributes to. Packing is a prefix scan, so
+    it is sharded by an engine-portable md5 bucket — shards are
+    independent window partitions, shard count scales with the cluster,
+    and the assignment is stable across runs/partitionings."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    out = TX.pack_chunks(docs, capacity=512, shards=8)
+    return out.select(
+        "shard", "doc_id",
+        F.col("tok").cast("long").alias("tok"),
+        F.col("start_off").cast("long").alias("start_off"),
+        "chunk_first", "chunk_last",
+    ).orderBy("shard", "doc_id")
 
 
 @register(

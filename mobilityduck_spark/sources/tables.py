@@ -80,32 +80,68 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+# Assembled temporal tables are the engine's "materialized view" of the
+# events feed: many registry queries read the same one, so cache per
+# (session, sf_dir, variant) exactly like berlinmod._trips. Callers that
+# need a one-off assembly can bypass with cache=False.
+_TEMPORAL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def release_temporal_caches() -> int:
+    """Unpersist every cached assembled temporal table; returns count."""
+    n = 0
+    while _TEMPORAL_CACHE:
+        _, df = _TEMPORAL_CACHE.popitem()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def _cached(key: tuple, build) -> DataFrame:
+    if key not in _TEMPORAL_CACHE:
+        _TEMPORAL_CACHE[key] = build().persist()
+    return _TEMPORAL_CACHE[key]
+
+
 def user_tfloat(spark: SparkSession, sf_dir: str, interp: str = "step") -> DataFrame:
     """events → one tfloat per user (sorted, deduped inside tsequence);
-    staged assembly (see assemble_tsequence PERF note)."""
-    ev = load(spark, sf_dir, "events")
-    raw = ev.groupBy("user_id").agg(
-        F.collect_list(
-            F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
-        ).alias("_raw")
-    )
-    return TT.assemble_tsequence(raw, "_raw", out_col="tf", interp=interp)
+    staged assembly (see assemble_tsequence PERF note); persisted per
+    session (shared by the tfloat query family)."""
+
+    def build() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        raw = ev.groupBy("user_id").agg(
+            F.collect_list(
+                F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+            ).alias("_raw")
+        )
+        return TT.assemble_tsequence(raw, "_raw", out_col="tf", interp=interp)
+
+    return _cached((id(spark), sf_dir, "tfloat", interp), build)
 
 
 def user_tbool(
     spark: SparkSession, sf_dir: str, threshold: float = 10.0
 ) -> DataFrame:
-    """events → one tbool per user: value > threshold (step interp)."""
-    ev = load(spark, sf_dir, "events")
-    raw = ev.groupBy("user_id").agg(
-        F.collect_list(
-            F.struct(
-                F.col("ts").alias("t"),
-                (F.col("value") > F.lit(threshold)).alias("v"),
-            )
-        ).alias("_raw")
-    )
-    return TT.assemble_tsequence(raw, "_raw", out_col="tb", interp="step")
+    """events → one tbool per user: value > threshold (step interp);
+    persisted per session."""
+
+    def build() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        raw = ev.groupBy("user_id").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    (F.col("value") > F.lit(threshold)).alias("v"),
+                )
+            ).alias("_raw")
+        )
+        return TT.assemble_tsequence(raw, "_raw", out_col="tb", interp="step")
+
+    return _cached((id(spark), sf_dir, "tbool", threshold), build)
 
 
 def period_grid(

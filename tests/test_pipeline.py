@@ -211,3 +211,39 @@ def test_simhash_numpy_kernel_matches_jvm_expression(spark):
         )[0].alias("np_w0"),
     )
     assert df.filter(F.col("expr64") != F.col("np_w0")).count() == 0
+
+
+def test_pack_chunks_invariants(spark):
+    """Concat-and-chunk packing: shard streams are gapless (offsets
+    telescope), chunk spans follow from offsets, and a doc straddling a
+    512-token cut spans both neighboring chunks."""
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (100 + i)) for i in range(40)], "doc_id long, text string"
+    )
+    out = TX.pack_chunks(docs, capacity=512, shards=4).orderBy(
+        "shard", "doc_id"
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for rows in by_shard.values():
+        off = 0
+        for r in rows:
+            assert r["start_off"] == off, "shard stream must be gapless"
+            assert r["chunk_first"] == r["start_off"] // 512
+            assert r["chunk_last"] == (r["start_off"] + r["tok"] - 1) // 512
+            off += r["tok"]
+    straddlers = [r for r in out if r["chunk_last"] > r["chunk_first"]]
+    assert straddlers, "with ~100-token docs some must straddle a cut"
+    # the whitespace tokenizer counts '' as one token ([''] after split)
+    # on BOTH engines, so an empty doc still occupies one stream slot —
+    # only a genuinely 0-token doc would be dropped by the tok>0 guard
+    docs2 = docs.union(
+        spark.createDataFrame([(99, "")], "doc_id long, text string")
+    )
+    assert TX.pack_chunks(docs2, capacity=512, shards=4).count() == 41

@@ -182,14 +182,18 @@ def test_stratified_sample_broadcasts_flags_no_cartesian(spark):
     assert c["sortmerge_joins"] == 0, f"rank path must not sort-merge join: {c}"
 
 
-def test_doc_dup_windows_two_data_shuffles(spark):
+def test_doc_dup_windows_partial_agg_join(spark):
+    """Occurrence counts come from a groupBy (map-side PARTIAL count —
+    the skew guard a count-over-window lacks) joined back on the 8-byte
+    window hash; no cartesian, no window function in the count path."""
     df = Q.queries()["doc_dup_windows"](spark, SF)
     plan = str(df._jdf.queryExecution().executedPlan())
     assert "CartesianProduct" not in plan
-    assert "Join" not in plan, "occurrence counts are annotated in place, not joined"
+    assert "partial_count" in plan, "count must pre-aggregate map-side"
     c = plan_counts(df)
-    # window-hash partition + per-doc agg (+1 presentation orderBy)
-    assert c["shuffles"] <= 3, f"expected win+doc_id(+order) shuffles only: {c}"
+    # wins hash + counts (reuses the hash partitioning) + doc_id agg
+    # (+1 presentation orderBy)
+    assert c["shuffles"] <= 4, f"unexpected extra shuffles: {c}"
 
 
 def test_sq8_topk_broadcasts_queries(spark):
