@@ -1495,22 +1495,27 @@ def bm_q13_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped trajectory intersects the polygon iff any vertex falls
     inside or any segment properly crosses an edge.
 
-    Plan shape: at_time evaluated once per (vehicle, period) in a
-    projection below the 10-row broadcast polygon join; the intersect
-    predicate runs JVM-side (HOFs over ~8 edges), bbox-gated."""
+    Plan shape (round-4 rework, 3.2 → ~1 s at sf0.1, replaces the
+    per-(vehicle, period) at_time HOF + localCheckpoint barrier): the
+    shared flat _segments relation is clipped to each period with the
+    ORACLE's own interpolation CASE (whole-stage codegen — identical
+    IEEE operand order), then joined to the broadcast 10-polygon
+    edge-array dim behind a clip-bbox × ring-bbox prefilter; a
+    (vehicle, period, region) hit is either clip endpoint ray-casting
+    inside or the clipped segment properly crossing an edge (tiny HOFs
+    over the 8-edge ring). Single-instant islands keep the raw-vertex
+    arm. `at_time` + `PG.tpoint_intersects_edges` remain the per-row
+    API forms."""
     from .functions import polygon as PG
 
-    trips = _trips(spark, sf_dir)
+    segs = _segments(spark, sf_dir)
     p = BM.periods1(spark, sf_dir)
     polys = BM.regions_poly(spark, sf_dir)
     v = BM.vehicles(spark, sf_dir)
     per = p.select(
         "period_id",
-        S.span(
-            F.col("tstart"),
-            F.col("tend") - F.expr("INTERVAL 1 MICROSECOND"),
-            F.lit(True), F.lit(True),
-        ).alias("per"),
+        F.unix_micros(F.col("tstart")).alias("ts_us"),
+        (F.unix_micros(F.col("tend")) - 1).alias("te1_us"),
     )
     bx0, by0, bx1, by1 = PG.ring_bbox(F.col("ring"))
     pr = polys.select(
@@ -1519,29 +1524,65 @@ def bm_q13_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         bx0.alias("bx0"), by0.alias("by0"),
         bx1.alias("bx1"), by1.alias("by1"),
     )
-    t = trips.crossJoin(F.broadcast(per))
-    rest = t.select(
-        "vehicle_id",
-        "period_id",
-        TT.at_time(F.col("trip"), F.col("per"), point=True).alias("rt"),
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    x1, y1 = F.col("x1"), F.col("y1")
+    t0u = F.unix_micros(F.col("t0"))
+    t1u = F.unix_micros(F.col("t1"))
+    dtu = (t1u - t0u).cast("double")
+    # the oracle's clip CTE, operand for operand
+    frac0 = (F.col("ts_us") - t0u) / dtu
+    frac1 = (F.col("te1_us") - t0u) / dtu
+    cx0 = F.when(t0u >= F.col("ts_us"), x0).otherwise(x0 + (x1 - x0) * frac0)
+    cy0 = F.when(t0u >= F.col("ts_us"), y0).otherwise(y0 + (y1 - y0) * frac0)
+    cx1 = F.when(t1u <= F.col("te1_us"), x1).otherwise(x0 + (x1 - x0) * frac1)
+    cy1 = F.when(t1u <= F.col("te1_us"), y1).otherwise(y0 + (y1 - y0) * frac1)
+    clip = (
+        segs.filter(F.col("t1").isNotNull())
+        .crossJoin(F.broadcast(per))
+        .filter((t1u >= F.col("ts_us")) & (t0u <= F.col("te1_us")))
+        .select(
+            "vehicle_id", "period_id",
+            cx0.alias("cx0"), cy0.alias("cy0"),
+            cx1.alias("cx1"), cy1.alias("cy1"),
+        )
     )
-    rest = rest.select(
-        "vehicle_id", "period_id", "rt",
-        B.stbox_of_tpoint(F.col("rt")).alias("bb"),
-    ).filter(F.col("rt").isNotNull())
-    # materialize the clipped trips ONCE: without a barrier Catalyst
-    # inlines the at_time HOF into the bbox filter + null check +
-    # edge-intersect predicate below the 10-row polygon cross join,
-    # re-evaluating the clip per (row, predicate) — measured 36 s vs
-    # ~3 s at sf0.01. Output is |vehicles|x|periods| clipped rows.
-    rest = rest.localCheckpoint()
-    cand = rest.crossJoin(F.broadcast(pr)).filter(
-        (F.col("bb.xmin") <= F.col("bx1")) & (F.col("bb.xmax") >= F.col("bx0"))
-        & (F.col("bb.ymin") <= F.col("by1")) & (F.col("bb.ymax") >= F.col("by0"))
+    c0x, c0y = F.col("cx0"), F.col("cy0")
+    c1x, c1y = F.col("cx1"), F.col("cy1")
+    cand = clip.crossJoin(F.broadcast(pr)).filter(
+        (F.least(c0x, c1x) <= F.col("bx1"))
+        & (F.greatest(c0x, c1x) >= F.col("bx0"))
+        & (F.least(c0y, c1y) <= F.col("by1"))
+        & (F.greatest(c0y, c1y) >= F.col("by0"))
     )
-    hit = cand.filter(PG.tpoint_intersects_edges(F.col("rt"), F.col("edges")))
+    vert_in = PG.point_in_edges(c0x, c0y, F.col("edges")) | PG.point_in_edges(
+        c1x, c1y, F.col("edges")
+    )
+    crossed = F.exists(
+        F.col("edges"),
+        lambda e: PG._proper_cross(
+            c0x, c0y, c1x, c1y,
+            e["a"]["x"], e["a"]["y"], e["b"]["x"], e["b"]["y"],
+        ),
+    )
+    seg_hits = cand.filter(vert_in | crossed).select(
+        "vehicle_id", "period_id", "region_id"
+    )
+    single_hits = (
+        segs.filter(F.col("n_inst") == 1)
+        .crossJoin(F.broadcast(per))
+        .filter((t0u >= F.col("ts_us")) & (t0u <= F.col("te1_us")))
+        .crossJoin(F.broadcast(pr))
+        .filter(
+            (x0 >= F.col("bx0")) & (x0 <= F.col("bx1"))
+            & (y0 >= F.col("by0")) & (y0 <= F.col("by1"))
+            & PG.point_in_edges(x0, y0, F.col("edges"))
+        )
+        .select("vehicle_id", "period_id", "region_id")
+    )
+    hits = seg_hits.unionAll(single_hits).distinct()
     return (
-        hit.join(v, "vehicle_id")
+        hits.join(v, "vehicle_id")
         .select("region_id", "period_id", "licence")
         .distinct()
     )
