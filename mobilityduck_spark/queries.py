@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "doc_minhash_recall",
     "doc_simhash_recall",
     "doc_pack_chunks",
+    "events_sliding",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
     "doc_dup_windows",
@@ -1535,6 +1536,48 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return W.sliding_window_stats(
         ev, window="1 hour", slide="1 hour", streaming=False
+    ).select(
+        F.unix_micros(F.col("wstart")).alias("wstart_us"),
+        F.unix_micros(F.col("wend")).alias("wend_us"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@register(
+    "events_sliding",
+    """
+    WITH w AS (
+      SELECT ts, event_type, value,
+             time_bucket(INTERVAL 30 MINUTE, ts)
+               - CAST(k AS INT) * INTERVAL 30 MINUTE AS wstart
+      FROM events, UNNEST([0, 1]) t(k)
+    )
+    SELECT epoch_us(wstart) AS wstart_us,
+           epoch_us(wstart + INTERVAL 1 HOUR) AS wend_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM w
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h window / 30 min slide) via the same
+    streaming operator as events_tumbling run in batch mode — exercises
+    the overlapping-assignment path (every event lands in exactly two
+    windows; the oracle materializes both via k ∈ {0,1} bucket shifts).
+    DECIMAL-exact sums keep the double output order-independent."""
+    from .streaming import windows as W
+
+    ev = SRC.load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    return W.sliding_window_stats(
+        ev, window="1 hour", slide="30 minutes", streaming=False
     ).select(
         F.unix_micros(F.col("wstart")).alias("wstart_us"),
         F.unix_micros(F.col("wend")).alias("wend_us"),
