@@ -207,3 +207,20 @@ def test_sq8_topk_broadcasts_queries(spark):
     c = plan_counts(df)
     assert c["broadcast_joins"] >= 1, "query side must broadcast"
     assert c["sortmerge_joins"] == 0
+
+
+def test_segment_relational_queries_broadcast_probe_dims(spark):
+    """bm_q13 / bm_q13_poly / at_polygon_duration (round-4 relational
+    reworks): the probe dims (periods×regions, polygon edge arrays) must
+    broadcast — the flat segment side never shuffles into a sort-merge
+    join — and no CartesianProduct appears."""
+    for name in ("bm_q13", "bm_q13_poly", "at_polygon_duration"):
+        df = Q.queries()[name](spark, SF)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "CartesianProduct" not in plan, name
+        c = plan_counts(df)
+        assert c["broadcast_joins"] >= 1, f"{name}: probe dim must broadcast"
+        assert c["sortmerge_joins"] <= 1, f"{name}: {c}"  # licence join only
+    from mobilityduck_spark import berlinmod as BMQ
+
+    BMQ.release_caches()
