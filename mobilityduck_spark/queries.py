@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "doc_simhash_recall",
     "doc_pack_chunks",
     "events_sliding",
+    "embed_ivf_full_probe",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
     "doc_dup_windows",
@@ -1419,9 +1420,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # Training-data pipeline: similarity search over embeddings
 # =====================================================================
-@register(
-    "embed_topk",
-    """
+_EMBED_TOPK_SQL = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
     ),
@@ -1448,8 +1447,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("embed_topk", _EMBED_TOPK_SQL)
 def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline)."""
     from .operators import similarity as SIM
@@ -1676,6 +1677,27 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_search(assigned, centroids, queries_df, k=5, n_probe=4).select(
         "query_id", "vec_id", "cos", "rank"
     )
+
+
+@register("embed_ivf_full_probe", _EMBED_TOPK_SQL)
+def embed_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible IVF correctness gate: searching with n_probe ==
+    n_centroids visits every cell, so the IVF path MUST return exactly
+    the exact brute-force top-k — the oracle is embed_topk's own ANSI
+    cosine ranking, independent of where k-means placed the centroids
+    (the model only affects WHICH cells hold which vectors, not the
+    union of all cells). The probed variant stays rows-only
+    (embed_ivf_topk) since partial-probe recall is model-dependent."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, centroids = SIM.build_ivf_index(emb, n_centroids=16)
+    return SIM.ivf_search(
+        assigned, centroids, queries_df, k=5, n_probe=16
+    ).select("query_id", "vec_id", "cos", "rank")
 
 
 @register(
