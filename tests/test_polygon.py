@@ -217,3 +217,92 @@ def test_in_polygon_spanset_concave(spark):
     assert row["dur"] == 24 * 3600 * 1_000_000
     assert str(row["lo"]).startswith("2000-01-02 00:00:00")
     assert str(row["hi"]).startswith("2000-01-03 00:00:00")
+
+
+def test_at_polygon_duration_dense_sampling_independent(spark):
+    """INDEPENDENT semantic check for at_polygon_duration (not an
+    oracle transliteration): re-derive each probe vehicle's polyline
+    from the raw events formula, densely sample every motion segment
+    with a fresh numpy PNPOLY implementation, and integrate approximate
+    time-in-polygon. The exact crossing-time answer must sit within the
+    sampling-error bound — if interval states were systematically
+    flipped (the bug class the oracle's old UNION ALL parity defect
+    hid), the error would be the whole interval, orders of magnitude
+    above the bound."""
+    import numpy as np
+
+    from mobilityduck_spark import queries as Q
+
+    SF = "/root/testdata/sf0.001"
+    out = {
+        (r["vehicle_id"], r["region_id"]): r["dur_us"]
+        for r in Q.queries()["at_polygon_duration"](spark, SF).collect()
+    }
+    assert out, "no (vehicle, region) rows at sf0.001"
+
+    # raw polyline per probe vehicle (same derivation as the dataset)
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) ts", "event_id"
+    ).collect()
+    import collections
+
+    pts = collections.defaultdict(list)
+    for r in ev:
+        if r["user_id"] % 7 == 0:
+            x = (r["event_id"] % 1000) / 10.0
+            y = (r["event_id"] * 7919 % 1000) / 10.0
+            pts[r["user_id"]].append((r["ts"].timestamp(), x, y))
+    for v in pts.values():
+        v.sort()
+
+    # polygons re-derived from the published closed form
+    DX = [2, 2, 0, -1, -2, -2, 0, 1]
+    DY = [0, 1, 2, 2, 0, -1, -2, -2]
+    rings = {}
+    for k in range(10):
+        cx, cy = k * 9 % 80 + 10.5, k * 13 % 80 + 10.5
+        rings[k] = [
+            (
+                cx + (6 + (k * 3 + j * 5) % 7) / 2.0 * DX[j],
+                cy + (6 + (k * 3 + j * 5) % 7) / 2.0 * DY[j],
+            )
+            for j in range(8)
+        ]
+
+    def pnpoly(xs, ys, ring):  # fresh numpy ray-cast, vectorized
+        inside = np.zeros(len(xs), dtype=bool)
+        n = len(ring)
+        for i in range(n):
+            ax, ay = ring[i]
+            bx, by = ring[(i + 1) % n]
+            straddle = (ay > ys) != (by > ys)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xcross = (bx - ax) * (ys - ay) / (by - ay) + ax
+            inside ^= straddle & (xs < xcross)
+        return inside
+
+    GAP = 7200.0
+    N = 200  # samples per segment
+    checked = 0
+    top = sorted(out.items(), key=lambda kv: -kv[1])[:8]
+    for (veh, reg), dur_us in top:
+        ring = rings[reg]
+        approx = 0.0
+        err_cap = 0.0
+        seq = pts[veh]
+        for (t0, x0, y0), (t1, x1, y1) in zip(seq, seq[1:]):
+            if t1 - t0 > GAP:  # island split — undefined between
+                continue
+            s = (np.arange(N) + 0.5) / N  # midpoint rule
+            xs = x0 + (x1 - x0) * s
+            ys = y0 + (y1 - y0) * s
+            frac = pnpoly(xs, ys, ring).mean()
+            approx += frac * (t1 - t0)
+            err_cap += 16.0 * (t1 - t0) / N  # ≤2 per crossing, ≤8 edges
+        tol_us = (err_cap + 60.0) * 1e6
+        assert abs(dur_us - approx * 1e6) <= tol_us, (
+            f"veh {veh} region {reg}: exact {dur_us} vs sampled "
+            f"{approx * 1e6:.0f} (tol {tol_us:.0f})"
+        )
+        checked += 1
+    assert checked >= 5
