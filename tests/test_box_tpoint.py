@@ -276,3 +276,53 @@ def test_tbox_scale_time_value_only_box(spark):
     vx = B.tbox(xmin=1, xmax=5)
     r = one(df, B.tbox_scale_time(vx, F.expr("INTERVAL 1 DAY")))
     assert r["tmax"] is None and r["tmin"] is None
+
+
+def test_at_stbox_duration_dense_sampling_independent(spark):
+    """INDEPENDENT semantic check for the exact Liang-Barsky clip (the
+    registered oracle transliterates the engine's formula): densely
+    sample every motion segment of the single-sequence trajectories with
+    fresh numpy box tests and integrate approximate time-in-box; the
+    exact per-user answer must sit within the sampling-error bound."""
+    import collections
+
+    import numpy as np
+
+    from mobilityduck_spark import queries as Q
+
+    SF = "/root/testdata/sf0.001"
+    exact = {
+        r["user_id"]: r["in_us"]
+        for r in Q.queries()["at_stbox_duration"](spark, SF).collect()
+    }
+    assert exact
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) ts", "event_id"
+    ).collect()
+    pts = collections.defaultdict(list)
+    for r in ev:
+        x = (r["event_id"] % 1000) / 10.0
+        y = (r["event_id"] * 7919 % 1000) / 10.0
+        pts[r["user_id"]].append((r["ts"].timestamp(), x, y))
+    for v in pts.values():
+        v.sort()
+
+    N = 200
+    checked = 0
+    for user, dur_us in sorted(exact.items(), key=lambda kv: -kv[1])[:8]:
+        approx = err_cap = 0.0
+        seq = pts[user]
+        for (t0, x0, y0), (t1, x1, y1) in zip(seq, seq[1:]):
+            s = (np.arange(N) + 0.5) / N
+            xs, ys = x0 + (x1 - x0) * s, y0 + (y1 - y0) * s
+            inside = (xs >= 20.0) & (xs <= 60.0) & (ys >= 20.0) & (ys <= 60.0)
+            approx += inside.mean() * (t1 - t0)
+            err_cap += 8.0 * (t1 - t0) / N  # ≤2 samples per crossing, ≤4 faces
+        tol_us = (err_cap + 60.0) * 1e6
+        assert abs(dur_us - approx * 1e6) <= tol_us, (
+            f"user {user}: exact {dur_us} vs sampled {approx * 1e6:.0f} "
+            f"(tol {tol_us:.0f})"
+        )
+        checked += 1
+    assert checked >= 5
