@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None):
 _DRIVER_PRIORITY = [
     # changed this round — must re-prove green
     "bm_q13_poly",
+    "bm_q13",
     "media_stats",
     "doc_pii_redaction",
     # new this round
