@@ -67,6 +67,43 @@ def quality_score(text) -> Column:
     )
 
 
+def gopher_flags(text) -> Column:
+    """Gopher-rule quality flags (Rae et al. 2021 §A1.1, the standard
+    pretraining pre-filter set), as ONE struct of booleans so a corpus
+    pass computes every rule in a single scan-speed projection:
+
+    - n_tokens in [50, 100000]
+    - mean word length in [3, 10]
+    - stopword count >= 2 (of the common-English set)
+    - symbol-to-token ratio <= 0.1 ('#' and '...' occurrences)
+    - dup-word fraction <= 0.3 (repetition guard)
+
+    `keep` is the conjunction. All rules are pure JVM expressions with
+    exact ANSI equivalents (doc_gopher_flags oracle)."""
+    txt = _c(text)
+    t = tokens(txt)
+    n = F.size(t)
+    awl = avg_word_len(txt)
+    sw = F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS)))
+    # occurrence counts via split (n_parts - 1), identical in ANSI SQL
+    symbols = (F.size(F.split(txt, r"#")) - 1) + (
+        F.size(F.split(txt, r"\.\.\.")) - 1
+    )
+    ok_len = (n >= 50) & (n <= 100000)
+    ok_awl = (awl >= 3.0) & (awl <= 10.0)
+    ok_stop = sw >= 2
+    ok_sym = F.when(n > 0, symbols / n <= 0.1).otherwise(F.lit(False))
+    ok_rep = dup_word_fraction(t) <= 0.3
+    return F.struct(
+        ok_len.alias("ok_len"),
+        ok_awl.alias("ok_awl"),
+        ok_stop.alias("ok_stop"),
+        ok_sym.alias("ok_sym"),
+        ok_rep.alias("ok_rep"),
+        (ok_len & ok_awl & ok_stop & ok_sym & ok_rep).alias("keep"),
+    )
+
+
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "is", "a"),
     "de": ("der", "die", "und", "das", "ist"),

@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "doc_pack_chunks",
     "events_sliding",
     "embed_ivf_full_probe",
+    "doc_gopher_flags",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
     "doc_dup_windows",
@@ -808,6 +809,66 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=2000)
+
+
+@register(
+    "doc_gopher_flags",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(w) AS n,
+             CASE WHEN len(w) > 0
+                  THEN list_sum(list_transform(w, x -> length(x)))
+                       / CAST(len(w) AS DOUBLE)
+                  ELSE 0.0 END AS awl,
+             len(list_filter(w, x -> x IN
+                 ('the','a','and','of','is','to','in','that','it','for'))) AS sw,
+             (len(string_split(text, '#')) - 1)
+               + (len(string_split(text, '...')) - 1) AS symbols,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+                  ELSE 0.0 END AS dwf
+      FROM t
+    )
+    SELECT doc_id,
+           (n >= 50 AND n <= 100000) AS ok_len,
+           (awl >= 3.0 AND awl <= 10.0) AS ok_awl,
+           (sw >= 2) AS ok_stop,
+           CASE WHEN n > 0 THEN symbols / CAST(n AS DOUBLE) <= 0.1
+                ELSE FALSE END AS ok_sym,
+           (dwf <= 0.3) AS ok_rep,
+           ((n >= 50 AND n <= 100000) AND (awl >= 3.0 AND awl <= 10.0)
+            AND (sw >= 2)
+            AND (CASE WHEN n > 0 THEN symbols / CAST(n AS DOUBLE) <= 0.1
+                      ELSE FALSE END)
+            AND (dwf <= 0.3)) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021 §A1.1) per document:
+    token count / mean word length / stopword presence / symbol ratio /
+    repetition, plus the conjunction `keep` — the standard pretraining
+    pre-filter, computed as ONE scan-speed projection (all five rules in
+    a single struct, no joins, no shuffles)."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    g = TX.gopher_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["ok_len"].alias("ok_len"),
+        g["ok_awl"].alias("ok_awl"),
+        g["ok_stop"].alias("ok_stop"),
+        g["ok_sym"].alias("ok_sym"),
+        g["ok_rep"].alias("ok_rep"),
+        g["keep"].alias("keep"),
+    ).orderBy("doc_id")
 
 
 @register(
