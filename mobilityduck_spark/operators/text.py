@@ -394,6 +394,48 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df,
+    fracs: dict,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "v1",
+):
+    """Data-mix weighting: per-stratum quota sampling with a DIFFERENT
+    fraction per stratum — the mixture-reweighting step of a training
+    pipeline (upweight curated sources, downweight boilerplate-heavy
+    ones). Same deterministic smallest-salted-bucket rule as
+    stratified_sample, so quotas land exactly (ceil(frac_s · n_s) per
+    stratum) and the kept set is stable across runs/partitionings;
+    strata absent from `fracs` are dropped at scan speed. Plan: one
+    count agg + one window rank, both shuffled on the stratum key (the
+    prefilter_margin scale path of stratified_sample generalizes
+    per-stratum unchanged)."""
+    frac_col = F.lit(None).cast("double")
+    for k, v in sorted(fracs.items()):
+        frac_col = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(
+            frac_col
+        )
+    base = (
+        df.filter(F.col(strata_col).isin(*fracs.keys()))
+        .select(
+            "*",
+            split_bucket(F.col(key_col), salt).alias("bucket"),
+            frac_col.alias("_frac"),
+        )
+    )
+    counts = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_stratum")
+    )
+    base = base.join(F.broadcast(counts), strata_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("bucket").asc(), F.col(key_col).asc()
+    )
+    return base.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= F.ceil(F.col("_frac") * F.col("n_stratum"))
+    )
+
+
 def max_ngram_count_udf(n: int = 2):
     """Highest occurrence count of any single word n-gram within ONE
     document — an Arrow-batched kernel over the materialized token

@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = [
     "events_sliding",
     "embed_ivf_full_probe",
     "doc_gopher_flags",
+    "doc_mixture_sample",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
     "doc_dup_windows",
@@ -809,6 +810,49 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=2000)
+
+
+@register(
+    "doc_mixture_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-v1'), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS bucket,
+             CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.15
+                       WHEN 'fr' THEN 0.05 END AS frac
+      FROM documents WHERE lang IN ('en', 'de', 'fr')
+    ),
+    n AS (SELECT lang, COUNT(*) AS n_stratum FROM b GROUP BY lang),
+    r AS (
+      SELECT doc_id, lang, frac,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY bucket ASC, doc_id ASC) AS INT) AS rk
+      FROM b
+    )
+    SELECT r.lang, r.doc_id, r.rk
+    FROM r JOIN n USING (lang)
+    WHERE rk <= CAST(ceil(r.frac * n.n_stratum) AS BIGINT)
+    ORDER BY lang, rk
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: exact per-source quotas at DIFFERENT rates
+    (en 30%, de 15%, fr 5%; other languages dropped) — the data-mix
+    step of a training pipeline, deterministic via the salted-md5
+    bucket rule so the kept set is identical on any engine or cluster
+    size."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return (
+        TX.mixture_sample(
+            docs, {"en": 0.3, "de": 0.15, "fr": 0.05},
+            strata_col="lang", key_col="doc_id",
+        )
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
 
 
 @register(
