@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "embed_ivf_full_probe",
     "doc_gopher_flags",
     "doc_mixture_sample",
+    "at_stbox_duration",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
     "doc_dup_windows",
