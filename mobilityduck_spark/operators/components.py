@@ -84,6 +84,10 @@ def connected_components(
         ptr = stepped.select(
             F.col("node").alias("p_node"), F.col("mid_lbl").alias("p_lbl")
         )
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it, so each round costs ONE job instead of
+        # two (eager-checkpoint job + count job) — round latency is
+        # fixed-overhead-bound on small dedup forests
         jumped = (
             stepped.join(ptr, stepped["mid_lbl"] == ptr["p_node"], "left")
             .select(
@@ -93,7 +97,7 @@ def connected_components(
                     "lbl"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
         labels = jumped.select("node", "lbl")
