@@ -33,6 +33,7 @@ from .functions import temporal as TT
 from .functions import tpoint as TP
 from .queries import register
 from .sources import berlinmod as BM
+from .sources import tables as SRC
 
 # ---------------------------------------------------------------- helpers
 _TRIP_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -74,7 +75,7 @@ def warm_caches(spark: SparkSession, sf_dir: str) -> float:
 
 def _trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trips assembly is shared by every bm query — cache per session."""
-    key = (id(spark), sf_dir)
+    key = (SRC.session_key(spark), sf_dir)
     if key not in _TRIP_CACHE:
         _TRIP_CACHE[key] = BM.trips(spark, sf_dir).persist()
     return _TRIP_CACHE[key]
@@ -92,7 +93,7 @@ def _flat_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     the subtree on an untuned session (measured 61s vs 1s at sf0.01)."""
     from .operators.tpoint_pairs import flat_cols
 
-    key = (id(spark), sf_dir)
+    key = (SRC.session_key(spark), sf_dir)
     if key not in _FLAT_CACHE:
         trips = _trips(spark, sf_dir)
         ts_, xs, ys, lens = flat_cols(F.col("trip"))
@@ -119,7 +120,7 @@ def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_polygon_duration; persisted once per session — the relational
     form keeps the per-candidate geometry in whole-stage codegen where
     the per-trip HOF form stays interpreted."""
-    key = (id(spark), sf_dir)
+    key = (SRC.session_key(spark), sf_dir)
     if key in _SEG_CACHE:
         return _SEG_CACHE[key]
     trips = _trips(spark, sf_dir)
@@ -169,7 +170,7 @@ def _point_hits(spark, sf_dir):
     whole-stage-codegen expressions — no interpreted HOF in the hot
     path (the HOF-per-pair formulation cost 14 s vs ~2 s at sf0.01).
     Persisted once per session: four queries consume this relation."""
-    key = (id(spark), sf_dir)
+    key = (SRC.session_key(spark), sf_dir)
     if key in _HITS_CACHE:
         return _HITS_CACHE[key]
     trips = _trips(spark, sf_dir)

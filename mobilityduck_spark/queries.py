@@ -415,7 +415,7 @@ def _user_trajectories(spark: SparkSession, sf_dir: str):
         )
         return TT.assemble_tsequence(raw, "_raw", out_col="tp", interp="linear")
 
-    return SRC._cached((id(spark), sf_dir, "utraj"), build)
+    return SRC._cached((SRC.session_key(spark), sf_dir, "utraj"), build)
 
 
 _TRAJ_SQL = """

@@ -159,7 +159,7 @@ def vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     most bm queries, and several of those embed it in multiple
     materialized (checkpointed) subtrees per run — without the cache
     each run re-scans and re-shuffles the events table per use."""
-    key = (id(spark), sf_dir)
+    key = (SRC.session_key(spark), sf_dir)
     if key not in _VEH_CACHE:
         _VEH_CACHE[key] = _vehicles_uncached(spark, sf_dir).persist()
     return _VEH_CACHE[key]

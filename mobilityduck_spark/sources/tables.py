@@ -87,6 +87,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _TEMPORAL_CACHE: dict[tuple, DataFrame] = {}
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable per-JVM-context cache key. id(spark) is unsafe here: after
+    a session is GC'd a new object can land on the same address and be
+    handed a stopped session's persisted DataFrame."""
+    return spark.sparkContext.applicationId
+
+
 def release_temporal_caches() -> int:
     """Unpersist every cached assembled temporal table; returns count."""
     n = 0
@@ -120,7 +127,7 @@ def user_tfloat(spark: SparkSession, sf_dir: str, interp: str = "step") -> DataF
         )
         return TT.assemble_tsequence(raw, "_raw", out_col="tf", interp=interp)
 
-    return _cached((id(spark), sf_dir, "tfloat", interp), build)
+    return _cached((session_key(spark), sf_dir, "tfloat", interp), build)
 
 
 def user_tbool(
@@ -141,7 +148,7 @@ def user_tbool(
         )
         return TT.assemble_tsequence(raw, "_raw", out_col="tb", interp="step")
 
-    return _cached((id(spark), sf_dir, "tbool", threshold), build)
+    return _cached((session_key(spark), sf_dir, "tbool", threshold), build)
 
 
 def period_grid(
