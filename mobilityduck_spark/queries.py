@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "embed_ivf_full_probe",
     "doc_gopher_flags",
     "doc_mixture_sample",
+    "embed_near_dup_recall",
     "at_stbox_duration",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
@@ -1578,6 +1579,44 @@ def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = SRC.load(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(emb, min_cos=0.9)
+
+
+@register(
+    "embed_near_dup_recall",
+    """
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos
+    FROM embeddings WHERE vec_id % 4 = 0 ORDER BY id_a
+    """,
+)
+def embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible hyperplane-LSH recall gate (planted-copy scheme of
+    doc_minhash_recall): every fourth embedding gets an exact copy at
+    vec_id + 1,000,000. Identical vectors have identical sign
+    projections on every hyperplane → identical LSH signature → same
+    bucket, so the candidate generator MUST surface each planted pair;
+    the exact-verify cosine of identical vectors rounds to exactly 1.0
+    (dot/(norm·norm) is within 1 ulp of 1). The inner join to the
+    planted list makes the row-count check the recall assertion; natural
+    near-dups (bucket collisions are plane-dependent) stay excluded and
+    remain covered by the rows-only embed_near_dups entry."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    sel = emb.filter(F.col("vec_id") % 4 == 0)
+    copies = sel.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
+    pairs = SIM.embedding_near_dup_pairs(
+        emb.unionByName(copies), min_cos=1.0
+    )
+    planted = sel.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(1000000)).alias("id_b"),
+    )
+    return (
+        planted.join(pairs, ["id_a", "id_b"])
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a")
+    )
 
 
 @register(
