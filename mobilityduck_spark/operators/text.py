@@ -306,6 +306,32 @@ def dup_word_fraction(toks) -> Column:
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\b\d{3}-\d{3}-\d{1,4}\b"
+_URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domains(text) -> Column:
+    """Lowercased domains of every http(s) URL in the text — the
+    domain-blocklist primitive of web-corpus curation. RE2-portable
+    pattern; pure JVM regexp, scan-speed at 100 TB."""
+    return F.transform(
+        F.regexp_extract_all(_c(text), F.lit(_URL_DOMAIN_RE), F.lit(1)),
+        F.lower,
+    )
+
+
+def domain_filter(text, blocked: tuple) -> Column:
+    """STRUCT(n_urls, n_blocked, keep): URL count, how many resolve to a
+    blocklisted domain, and the keep verdict (no blocked domains). The
+    blocklist is a literal IN-set here; at scale swap for a broadcast
+    join against a blocklist table — the corpus side never shuffles
+    either way."""
+    ds = url_domains(text)
+    nb = F.size(F.filter(ds, lambda d: d.isin(*blocked)))
+    return F.struct(
+        F.size(ds).alias("n_urls"),
+        nb.alias("n_blocked"),
+        (nb == 0).alias("keep"),
+    )
 
 
 def redact_pii(text) -> Column:

@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = [
     "doc_gopher_flags",
     "doc_mixture_sample",
     "embed_near_dup_recall",
+    "doc_url_filter",
     "at_stbox_duration",
     # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
@@ -854,6 +855,71 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "doc_url_filter",
+    r"""
+    WITH synth AS (
+      SELECT doc_id, lang,
+             text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/page and http://ref'
+                  || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS t
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             list_transform(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+                            x -> lower(x)) AS ds
+      FROM synth
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(ds)) AS BIGINT) AS n_urls,
+           CAST(SUM(len(list_filter(ds, x -> x IN
+               ('site0.example.com', 'site3.example.com')))) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN len(list_filter(ds, x -> x IN
+               ('site0.example.com', 'site3.example.com'))) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering (web-curation staple): URLs are
+    planted deterministically (the synthetic corpus has none), domains
+    extracted with a portable regexp, and per language the query rolls
+    up URL / blocked / kept counts. Pure JVM regexp expressions — scan
+    speed; the blocklist stays corpus-side-shuffle-free (literal set
+    here, broadcast join at scale)."""
+    from .operators import text as TX
+
+    blocked = ("site0.example.com", "site3.example.com")
+    docs = SRC.load(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page and http://ref"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.org"),
+        ).alias("t"),
+    )
+    g = TX.domain_filter(F.col("t"), blocked)
+    flagged = synth.select("lang", g.alias("g"))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("g")["n_urls"]).cast("long").alias("n_urls"),
+            F.sum(F.col("g")["n_blocked"]).cast("long").alias("n_blocked"),
+            F.sum(F.col("g")["keep"].cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
     )
 
 
