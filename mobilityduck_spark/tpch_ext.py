@@ -293,12 +293,12 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                      OR o_orderpriority = '2-HIGH'
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority <> '1-URGENT'
-                     AND o_orderpriority <> '2-HIGH'
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           OR o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                          AND o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -320,8 +320,10 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long")
+            .alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )
