@@ -360,6 +360,45 @@ def token_windows(toks, w: int = 20) -> Column:
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
+def _two_level_rank(base, strata_col: str, key_col: str):
+    """Exact within-stratum rank by (bucket, key) WITHOUT a full-stratum
+    sort — the scale-safe replacement for row_number() over
+    (PARTITION BY stratum ORDER BY bucket, key), whose single window
+    partition pushes an entire stratum (multiple TB for a dominant
+    language at 100 TB) through one task.
+
+    Two levels: (1) a tiny histogram groupBy (stratum, _cb coarse
+    bucket) → per-stratum running sum over ≤ coarse_buckets rows gives
+    each coarse bucket its global rank offset (broadcast back); (2)
+    row_number() partitioned by (stratum, _cb) — expected partition
+    size n_s/coarse_buckets — gives the local rank. Global rank =
+    offset + local rank, exact because _cb = floor(bucket·B) is
+    monotone in the sort key and ties in bucket can't cross a _cb
+    boundary. Input needs columns bucket and _cb."""
+    wh = (
+        Window.partitionBy(strata_col)
+        .orderBy("_cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        base.groupBy(strata_col, "_cb")
+        .agg(F.count(F.lit(1)).alias("_cbn"))
+        .select(
+            strata_col,
+            "_cb",
+            F.coalesce(F.sum("_cbn").over(wh), F.lit(0)).alias("_off"),
+        )
+    )
+    w = Window.partitionBy(strata_col, "_cb").orderBy(
+        F.col("bucket").asc(), F.col(key_col).asc()
+    )
+    return (
+        base.join(F.broadcast(offs), [strata_col, "_cb"])
+        .withColumn("rk", (F.col("_off") + F.row_number().over(w)).cast("int"))
+        .drop("_off")
+    )
+
+
 def stratified_sample(
     df,
     frac: float,
@@ -367,25 +406,33 @@ def stratified_sample(
     key_col: str = "doc_id",
     salt: str = "v1",
     prefilter_margin: float | None = None,
+    coarse_buckets: int = 4096,
 ):
     """Exact per-stratum quota sampling: within each stratum keep the
     ceil(frac·n) rows with the smallest salted-md5 bucket (split_bucket
     order, key tiebreak) — deterministic, engine-portable, and exactly
     proportional per stratum, unlike Bernoulli sampleBy.
 
-    Plan: one count agg + one window rank, both shuffling on the
-    stratum key. At 100 TB pass prefilter_margin (e.g. 2.0): rows with
-    bucket ≥ margin·frac are discarded at scan speed BEFORE the rank
-    shuffle, so the per-stratum sort touches ~margin·frac of the data
-    instead of all of it. Correctness is unconditional: the same count
-    agg that computes quotas also counts prefilter survivors, and any
-    stratum whose binomial survivor count dipped below its quota (tiny
-    strata) is exempted from the prefilter via a broadcast flag —
-    measured on the test corpus this actually fires (a 71-doc stratum
-    missed its quota at margin 2), so the guard is load-bearing.
+    Plan: one count agg + a two-level rank (_two_level_rank — no
+    full-stratum sort; raise coarse_buckets so n_s/coarse_buckets rows
+    fit one task at the target scale). At 100 TB also pass
+    prefilter_margin (e.g. 2.0): rows with bucket ≥ margin·frac are
+    discarded at scan speed BEFORE any shuffle, so the rank stage
+    touches ~margin·frac of the data instead of all of it. Correctness
+    is unconditional: the same count agg that computes quotas also
+    counts prefilter survivors, and any stratum whose binomial survivor
+    count dipped below its quota (tiny strata) is exempted from the
+    prefilter via a broadcast flag — measured on the test corpus this
+    actually fires (a 71-doc stratum missed its quota at margin 2), so
+    the guard is load-bearing. Survivor ranks equal full-data ranks
+    because every dropped row sorts after every survivor.
 
     Returns the kept rows plus (bucket, rk, n_stratum)."""
-    base = df.select("*", split_bucket(F.col(key_col), salt).alias("bucket"))
+    base = df.select(
+        "*", split_bucket(F.col(key_col), salt).alias("bucket")
+    ).withColumn(
+        "_cb", F.floor(F.col("bucket") * coarse_buckets).cast("int")
+    )
     if prefilter_margin is not None:
         cut = min(1.0, prefilter_margin * frac)
         counts = base.groupBy(strata_col).agg(
@@ -412,11 +459,10 @@ def stratified_sample(
             F.count(F.lit(1)).alias("n_stratum")
         )
         base = base.join(F.broadcast(counts), strata_col)
-    w = Window.partitionBy(strata_col).orderBy(
-        F.col("bucket").asc(), F.col(key_col).asc()
-    )
-    return base.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= F.ceil(F.lit(frac) * F.col("n_stratum"))
+    return (
+        _two_level_rank(base, strata_col, key_col)
+        .filter(F.col("rk") <= F.ceil(F.lit(frac) * F.col("n_stratum")))
+        .drop("_cb")
     )
 
 
@@ -426,6 +472,8 @@ def mixture_sample(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     salt: str = "v1",
+    prefilter_margin: float | None = None,
+    coarse_buckets: int = 4096,
 ):
     """Data-mix weighting: per-stratum quota sampling with a DIFFERENT
     fraction per stratum — the mixture-reweighting step of a training
@@ -433,10 +481,14 @@ def mixture_sample(
     ones). Same deterministic smallest-salted-bucket rule as
     stratified_sample, so quotas land exactly (ceil(frac_s · n_s) per
     stratum) and the kept set is stable across runs/partitionings;
-    strata absent from `fracs` are dropped at scan speed. Plan: one
-    count agg + one window rank, both shuffled on the stratum key (the
-    prefilter_margin scale path of stratified_sample generalizes
-    per-stratum unchanged)."""
+    strata absent from `fracs` are dropped at scan speed.
+
+    Scale shape matches stratified_sample: two-level rank (no
+    full-stratum sort), and prefilter_margin applies a PER-STRATUM
+    scan-speed cut min(1, margin·frac_s) before any shuffle, with the
+    same broadcast deficiency guard (a stratum whose survivor count
+    missed its quota is exempted, so correctness never depends on the
+    margin)."""
     frac_col = F.lit(None).cast("double")
     for k, v in sorted(fracs.items()):
         frac_col = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(
@@ -449,16 +501,44 @@ def mixture_sample(
             split_bucket(F.col(key_col), salt).alias("bucket"),
             frac_col.alias("_frac"),
         )
+        .withColumn(
+            "_cb", F.floor(F.col("bucket") * coarse_buckets).cast("int")
+        )
     )
-    counts = base.groupBy(strata_col).agg(
-        F.count(F.lit(1)).alias("n_stratum")
-    )
-    base = base.join(F.broadcast(counts), strata_col)
-    w = Window.partitionBy(strata_col).orderBy(
-        F.col("bucket").asc(), F.col(key_col).asc()
-    )
-    return base.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= F.ceil(F.col("_frac") * F.col("n_stratum"))
+    if prefilter_margin is not None:
+        base = base.withColumn(
+            "_keep",
+            F.col("bucket")
+            < F.least(
+                F.lit(1.0), F.lit(float(prefilter_margin)) * F.col("_frac")
+            ),
+        )
+        counts = base.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n_stratum"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("_survivors"),
+            F.min("_frac").alias("_f"),
+        )
+        flags = counts.select(
+            strata_col,
+            "n_stratum",
+            (
+                F.col("_survivors") < F.ceil(F.col("_f") * F.col("n_stratum"))
+            ).alias("_deficient"),
+        )
+        base = (
+            base.join(F.broadcast(flags), strata_col)
+            .filter(F.col("_keep") | F.col("_deficient"))
+            .drop("_deficient", "_keep")
+        )
+    else:
+        counts = base.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n_stratum")
+        )
+        base = base.join(F.broadcast(counts), strata_col)
+    return (
+        _two_level_rank(base, strata_col, key_col)
+        .filter(F.col("rk") <= F.ceil(F.col("_frac") * F.col("n_stratum")))
+        .drop("_cb")
     )
 
 

@@ -46,12 +46,16 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
-    # changed this round — must re-prove green
+    # changed in round 5 — must re-prove green
+    "tpch_q12",           # oracle SUMs cast to BIGINT (HUGEINT hash fix)
+    "doc_stratified_sample",  # two-level rank, prefilter on in registry
+    "doc_mixture_sample",     # two-level rank + per-stratum prefilter
+    # changed round 4
     "bm_q13_poly",
     "bm_q13",
     "media_stats",
     "doc_pii_redaction",
-    # new this round
+    # new round 4
     "at_polygon_duration",
     "doc_minhash_recall",
     "doc_simhash_recall",
@@ -851,7 +855,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         TX.mixture_sample(
             docs, {"en": 0.3, "de": 0.15, "fr": 0.05},
-            strata_col="lang", key_col="doc_id",
+            strata_col="lang", key_col="doc_id", prefilter_margin=2.0,
         )
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
@@ -2000,7 +2004,10 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return (
-        TX.stratified_sample(docs, frac=0.1, strata_col="lang", key_col="doc_id")
+        TX.stratified_sample(
+            docs, frac=0.1, strata_col="lang", key_col="doc_id",
+            prefilter_margin=2.0,
+        )
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
     )

@@ -86,6 +86,64 @@ def test_stratified_sample_prefilter_equivalence(spark):
     assert base == pre and len(base) > 0
 
 
+def test_mixture_sample_prefilter_equivalence(spark):
+    """The per-stratum scan-speed cut min(1, margin·frac_s) must not
+    change the kept set or the ranks (deficiency guard covers strata
+    whose survivor count misses quota)."""
+    from mobilityduck_spark.operators import text as TX
+    from mobilityduck_spark.sources import tables as SRC
+
+    docs = SRC.load(spark, "/root/testdata/sf0.001", "documents")
+    fracs = {"en": 0.3, "de": 0.15, "fr": 0.05}
+    base = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in TX.mixture_sample(docs, fracs).select(
+            "lang", "doc_id", "rk"
+        ).collect()
+    }
+    pre = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in TX.mixture_sample(
+            docs.repartition(13), fracs, prefilter_margin=2.0
+        ).select("lang", "doc_id", "rk").collect()
+    }
+    assert base == pre and len(base) > 0
+
+
+def test_two_level_rank_matches_full_sort_rank(spark):
+    """The histogram-offset + per-coarse-bucket rank must equal the
+    plain full-stratum row_number rank exactly, including with a coarse
+    bucket count small enough that every bucket holds many rows."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import text as TX
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"s{rng.randint(0, 3)}") for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = {
+        (r["lang"], r["doc_id"]): r["rk"]
+        for r in TX.stratified_sample(
+            df, frac=1.0, coarse_buckets=7
+        ).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        TX.split_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r["lang"], r["doc_id"]): r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(w)
+        ).collect()
+    }
+    assert got == want
+
+
 def test_token_windows_edges(spark):
     from pyspark.sql import functions as F
 

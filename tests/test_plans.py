@@ -6,6 +6,7 @@ must keep the properties that make them scale (SURVEY.md §4.3):
 - bounded shuffle counts (assembly = ONE shuffle on the group key).
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from mobilityduck_spark import queries as Q
@@ -180,6 +181,36 @@ def test_stratified_sample_broadcasts_flags_no_cartesian(spark):
     c = plan_counts(df)
     assert c["broadcast_joins"] >= 1, "stratum flags must broadcast"
     assert c["sortmerge_joins"] == 0, f"rank path must not sort-merge join: {c}"
+
+
+@pytest.mark.parametrize(
+    "qname", ["doc_stratified_sample", "doc_mixture_sample"]
+)
+def test_samplers_have_no_full_stratum_window(spark, qname):
+    """The exact rank must come from the two-level scheme: every
+    row_number Window partitions by (stratum, _cb coarse bucket), never
+    by the stratum alone — a full-stratum sort is one task per language
+    at 100 TB. Also pins the scan-speed bucket prefilter: the plan
+    filters on `bucket` BELOW the rank window."""
+    df = Q.queries()[qname](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "row_number" in ln and "windowspecdefinition" in ln
+    ]
+    assert win_lines, "expected a row_number window in the rank path"
+    for ln in win_lines:
+        assert "_cb" in ln, f"full-stratum window partition: {ln}"
+    # prefilter present: the margin cut on the raw bucket value shows up
+    # either as a Filter or as the flags-join residual condition — both
+    # run before the rank shuffle
+    import re
+
+    assert re.search(
+        r"(Filter|BroadcastHashJoin).*(bucket#\d+ < |_keep#\d+ OR _deficient)",
+        plan,
+    ), "scan-speed bucket prefilter missing from plan"
 
 
 def test_doc_dup_windows_partial_agg_join(spark):
