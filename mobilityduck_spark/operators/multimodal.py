@@ -82,16 +82,263 @@ def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
-def decode_real(content: bytes, kind: str):
-    """The real codec step. Not available in this container.
+# ---------------------------------------------------------------------
+# Real codecs, pure stdlib + numpy. The container has no PIL/soundfile/
+# av, but PNG (zlib inflate + per-scanline defilter), uncompressed BMP,
+# and PCM WAV are fully decodable from first principles — enough to run
+# the decode→feature path on real bytes end-to-end. Anything else
+# (JPEG/MP3/H.264 need entropy/DCT codecs) still raises.
+# ---------------------------------------------------------------------
 
-    Intended implementation: PIL.Image.open(io.BytesIO(content)) for
-    images, soundfile.read for audio, av.open for video keyframes.
-    """
-    raise NotImplementedError(
-        "media codecs not installed in this environment; "
-        "use extract_features/resize_images (deterministic fake decode)"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
     )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG encoder for uint8 grayscale (h, w) or RGB (h, w, 3)
+    arrays. Scanline filters cycle 0..4 by row (None/Sub/Up/Average/
+    Paeth) so a round-trip exercises every defilter branch of the
+    decoder — the point of the planted fixtures."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        row = px[y].astype(np.int32)
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.vstack([np.zeros((1, ch), np.int32), row[:-1]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            left = np.vstack([np.zeros((1, ch), np.int32), row[:-1]])
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, ch), np.int32), row[:-1]])
+            ul = np.vstack([np.zeros((1, ch), np.int32), prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = row - pred
+        raw.append(ft)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG decoder: chunk walk → zlib inflate → per-scanline defilter
+    (all 5 filter types). Supports 8-bit grayscale / RGB / RGBA,
+    non-interlaced — the subset the fixtures and any minimal encoder
+    emit. Returns (h, w) or (h, w, ch) uint8."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {color_type} unsupported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth need the reconstructed left pixel —
+            # sequential in x by definition of the filter
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ft == 1:
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ft == 3:
+                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif ft == 4:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, ch)
+    return px[:, :, 0] if ch == 1 else px
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up, 4-byte row
+    padding). Returns (h, w, 3) uint8 in RGB order."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", data[10:14])
+    hdr_sz, w, h, _planes, bpp, comp = struct.unpack("<IiihhI", data[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(abs(h)):
+        line = np.frombuffer(data, np.uint8, w * 3, off + y * stride)
+        rows.append(line.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    px = np.stack(rows)
+    return px[::-1] if h > 0 else px  # bottom-up -> top-down
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV (RIFF) decoder: returns (sample_rate, samples) with
+    samples int16 (n,) mono or (n, ch)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, ch, bits, frames = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag, ln = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV supported")
+        elif tag == b"data":
+            frames = np.frombuffer(body, dtype="<i2")
+        pos += 8 + ln + (ln & 1)
+    if rate is None or frames is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, frames if ch == 1 else frames.reshape(-1, ch)
+
+
+def decode_real(content: bytes, kind: str):
+    """Real codec dispatch by magic bytes: PNG, uncompressed BMP, and
+    PCM WAV decode fully in pure stdlib+numpy (above). Compressed
+    codecs (JPEG/MP3/H.264) need entropy/DCT libraries absent from this
+    container and still raise — callers fall back to the deterministic
+    fake-decode path for those."""
+    content = bytes(content)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    raise NotImplementedError(
+        "unsupported media container (PNG/BMP/PCM-WAV decode natively; "
+        "JPEG/MP3/H.264 need codec libs not in this environment)"
+    )
+
+
+DECODE_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_px long, sum_px long"
+)
+
+
+def plant_gradient_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL PNG per id with analytically-known content:
+    dims (16 + id%16) × (12 + id%12), pixel(x, y) = (3x + 7y + id) % 256.
+    Because the pixel grid is pure integer arithmetic on the id, an
+    ANSI-SQL oracle can recompute every expected decode statistic from
+    first principles (cross join two index ranges) while the engine path
+    round-trips actual zlib-compressed, scanline-filtered PNG bytes —
+    encode_png cycles all 5 filter types, so a defilter bug anywhere
+    breaks the sums."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 16 + mid % 16, 12 + mid % 12
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((3 * x + 7 * y + mid) % 256).astype(np.uint8)
+                out.append((mid, encode_png(px)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Decode real media bytes (decode_real) and emit per-item pixel
+    statistics — dimensions from the container header, sums from the
+    reconstructed pixels, so every stage of the decoder is load-bearing
+    for the oracle comparison. Integer-exact outputs only; derived
+    ratios (mean etc.) belong in the relational layer where both
+    engines share one rounding rule."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_real(bytes(content), "image")
+                arr = px.astype(np.int64)
+                rows.append(
+                    (int(mid), px.shape[1], px.shape[0],
+                     int(arr.size), int(arr.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_px", "sum_px"],
+            )
+
+    return media.mapInPandas(op, schema=DECODE_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:

@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "tpch_q12",           # oracle SUMs cast to BIGINT (HUGEINT hash fix)
     "doc_stratified_sample",  # two-level rank, prefilter on in registry
     "doc_mixture_sample",     # two-level rank + per-stratum prefilter
+    "media_decode_stats",     # new r5: real PNG codec round-trip oracle
     # changed round 4
     "bm_q13_poly",
     "bm_q13",
@@ -1866,6 +1867,60 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "media_decode_stats",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 20
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(16 + media_id % 16 AS INT) AS width,
+             CAST(12 + media_id % 12 AS INT) AS height
+      FROM ids
+    ),
+    xs AS (SELECT unnest(range(0, 32)) AS x),
+    ys AS (SELECT unnest(range(0, 24)) AS y),
+    px AS (
+      SELECT d.media_id, d.width, d.height,
+             (3 * xs.x + 7 * ys.y + d.media_id) % 256 AS v
+      FROM dims d, xs, ys
+      WHERE xs.x < d.width AND ys.y < d.height
+    )
+    SELECT media_id, width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_px
+    FROM px GROUP BY media_id, width, height ORDER BY media_id
+    """,
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip with an independent first-principles
+    oracle: 20 planted PNGs whose pixel grid is pure integer arithmetic
+    on the id (pixel(x,y) = (3x+7y+id) % 256). The engine path encodes
+    genuine zlib-compressed PNG bytes with all five scanline filter
+    types, ships them through a binary media column, and decodes with
+    the pure-stdlib decoder (operators/multimodal.py decode_real);
+    DuckDB recomputes every expected statistic by regenerating the
+    pixel grid relationally — any header-parse, inflate, or defilter
+    bug breaks the sums. Scale shape: one narrow TakeOrdered over ids,
+    then embarrassingly parallel mapInPandas; media bytes never leave
+    Arrow batches."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(20)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    stats = MM.decode_stats(MM.plant_gradient_png(ids))
+    return stats.select(
+        "media_id", "width", "height", "n_px", "sum_px",
+        F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
+        .alias("mean_px"),
+    ).orderBy("media_id")
 
 
 # BerlinMOD query pack registers bm_q1..bm_q17 on import (placed at module

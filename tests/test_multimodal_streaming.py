@@ -55,9 +55,108 @@ def test_sample_frames(spark, media):
     assert sampled.groupBy("media_id").count().count() == n_vids
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_unsupported_container_raises():
+    """Compressed codecs (JPEG etc.) remain unsupported; anything that
+    isn't PNG/BMP/WAV magic must raise, not mis-decode."""
     with pytest.raises(NotImplementedError):
-        MM.decode_real(b"abc", "image")
+        MM.decode_real(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+
+
+def test_png_round_trip_all_filters():
+    """encode_png cycles filter types 0..4 by row; decode must
+    reconstruct bit-exactly for grayscale AND RGB, including dims not
+    divisible by anything convenient."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for shape in [(7, 5), (23, 31), (6, 9, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = MM.decode_real(MM.encode_png(px), "image")
+        assert out.shape == shape and (out == px).all()
+
+
+def test_png_decodes_external_zlib_stream():
+    """A PNG assembled independently of encode_png (single IDAT, filter
+    0 only, RGBA) must also decode — guards against the decoder only
+    understanding its sibling encoder's output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = 4, 3
+    px = np.arange(h * w * 4, dtype=np.uint8).reshape(h, w, 4)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    data = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(raw))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    out = MM.decode_real(data, "image")
+    assert out.shape == (h, w, 4) and (out == px).all()
+
+
+def test_bmp_decode():
+    """Hand-assembled uncompressed 24-bit BMP (bottom-up, padded rows)
+    decodes to the expected RGB grid."""
+    import struct
+
+    import numpy as np
+
+    h, w = 3, 2
+    px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    out = MM.decode_real(hdr + info + bytes(body), "image")
+    assert out.shape == (h, w, 3) and (out == px).all()
+
+
+def test_wav_decode():
+    import struct
+
+    import numpy as np
+
+    rate, samples = 16000, np.array([0, 1000, -1000, 32767, -32768],
+                                    dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    got_rate, got = MM.decode_real(wav, "audio")
+    assert got_rate == rate and (got == samples).all()
+
+
+def test_planted_png_decode_stats(spark):
+    """End-to-end through Spark: plant gradient PNGs, decode with the
+    real codec, check the analytic pixel sums."""
+    ids = spark.createDataFrame([(3,), (17,)], ["media_id"])
+    rows = {
+        r["media_id"]: r
+        for r in MM.decode_stats(MM.plant_gradient_png(ids)).collect()
+    }
+    import numpy as np
+
+    for mid in (3, 17):
+        w, h = 16 + mid % 16, 12 + mid % 12
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        px = (3 * x + 7 * y + mid) % 256
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_px"] == w * h and r["sum_px"] == int(px.sum())
 
 
 def test_batch_window_ops_match_sql(spark):
