@@ -1925,10 +1925,11 @@ def bm_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = hits.groupBy("point_id").agg(
         F.countDistinct("vehicle_id").alias("hits")
     )
-    w = Window.partitionBy()
+    # scalar-subquery max as a broadcast single-row join (an ungrouped
+    # window would move all of pc through one WindowExec partition)
+    mx = pc.agg(F.max("hits").alias("_mx"))
     return (
-        pc.withColumn("_mx", F.max("hits").over(w))
-        .filter(F.col("hits") == F.col("_mx"))
+        pc.join(F.broadcast(mx), F.col("hits") == F.col("_mx"))
         .drop("_mx")
     )
 

@@ -179,43 +179,58 @@ def _vehicles_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ranked_head(df: DataFrame, order_col: str, n: int, id_name: str) -> DataFrame:
+    """Rank-id the n smallest rows by order_col WITHOUT an unpartitioned
+    window over the full table: orderBy().limit() compiles to
+    TakeOrderedAndProject (per-partition top-n + driver merge — scale-
+    safe), and the row_number then runs on the ≤n-row head under a
+    constant partition key (single task on bounded input by
+    construction, no full-table sort, no 'no partition defined' hazard).
+    The key is order_col % 1 (constant 0, but non-foldable — a literal
+    would be constant-folded out of the partition spec, reviving the
+    unpartitioned-WindowExec plan)."""
+    w = Window.partitionBy(F.col(order_col) % 1).orderBy(order_col)
+    return (
+        df.orderBy(order_col)
+        .limit(n)
+        .withColumn(id_name, F.row_number().over(w).cast("int"))
+    )
+
+
 def licences1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vehicles(spark, sf_dir).orderBy("vehicle_id").limit(10)
 
 
 def licences2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("vehicle_id")
+    # licences 11..20: rank the 20-row TakeOrdered head, keep the tail
     return (
-        vehicles(spark, sf_dir)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > 10) & (F.col("_rn") <= 20))
+        _ranked_head(vehicles(spark, sf_dir), "vehicle_id", 20, "_rn")
+        .filter(F.col("_rn") > 10)
         .drop("_rn")
     )
 
 
 def instants1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = SRC.load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return (
-        ev.filter(F.col("event_id") % 101 == 0)
-        .withColumn("instant_id", F.row_number().over(w).cast("int"))
-        .filter(F.col("instant_id") <= 10)
-        .select("instant_id", F.col("ts").alias("instant"))
-    )
+    return _ranked_head(
+        ev.filter(F.col("event_id") % 101 == 0).select("event_id", "ts"),
+        "event_id",
+        10,
+        "instant_id",
+    ).select("instant_id", F.col("ts").alias("instant"))
 
 
 def points1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = SRC.load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return (
-        ev.filter(F.col("event_id") % 89 == 0)
-        .withColumn("point_id", F.row_number().over(w).cast("int"))
-        .filter(F.col("point_id") <= 10)
-        .select(
-            "point_id",
-            ((F.col("event_id") % 1000) / F.lit(10.0)).alias("px"),
-            ((F.col("event_id") * 7919 % 1000) / F.lit(10.0)).alias("py"),
-        )
+    return _ranked_head(
+        ev.filter(F.col("event_id") % 89 == 0).select("event_id"),
+        "event_id",
+        10,
+        "point_id",
+    ).select(
+        "point_id",
+        ((F.col("event_id") % 1000) / F.lit(10.0)).alias("px"),
+        ((F.col("event_id") * 7919 % 1000) / F.lit(10.0)).alias("py"),
     )
 
 
