@@ -315,6 +315,63 @@ def plant_gradient_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.mapInPandas(op, schema="media_id long, content binary")
 
 
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, sum_samples long"
+)
+
+
+def plant_tone_wav(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL PCM WAV per id with analytically-known samples:
+    rate = 16000 + (id%3)*8000, n = 4000 + (id%5)*400,
+    sample(i) = ((7919*i + 104729*id) % 65536) - 32768 — pure integer
+    arithmetic, so an ANSI oracle regenerates the sample stream
+    relationally while the engine parses actual RIFF containers."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rate = 16000 + (mid % 3) * 8000
+                n = 4000 + (mid % 5) * 400
+                i = np.arange(n, dtype=np.int64)
+                s = ((7919 * i + 104729 * mid) % 65536 - 32768).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                out.append((mid, wav))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode PCM WAV bytes (decode_real) and emit per-item sample
+    statistics — rate from the fmt chunk, sums from the sample stream,
+    integer-exact."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = decode_real(bytes(content), "audio")
+                s = samples.astype(np.int64)
+                rows.append((int(mid), int(rate), int(s.size), int(s.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "sum_samples"],
+            )
+
+    return media.mapInPandas(op, schema=AUDIO_STATS_SCHEMA)
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """Decode real media bytes (decode_real) and emit per-item pixel
     statistics — dimensions from the container header, sums from the

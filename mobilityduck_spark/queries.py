@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = [
     "doc_stratified_sample",  # two-level rank, prefilter on in registry
     "doc_mixture_sample",     # two-level rank + per-stratum prefilter
     "media_decode_stats",     # new r5: real PNG codec round-trip oracle
+    "media_audio_stats",      # new r5: real WAV codec round-trip oracle
     # changed round 4
     "bm_q13_poly",
     "bm_q13",
@@ -1921,6 +1922,50 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
         .alias("mean_px"),
     ).orderBy("media_id")
+
+
+@register(
+    "media_audio_stats",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 12
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(16000 + (media_id % 3) * 8000 AS INT) AS sample_rate,
+             4000 + (media_id % 5) * 400 AS n
+      FROM ids
+    ),
+    idx AS (SELECT unnest(range(0, 5600)) AS i),
+    s AS (
+      SELECT d.media_id, d.sample_rate, d.n,
+             (7919 * idx.i + 104729 * d.media_id) % 65536 - 32768 AS v
+      FROM dims d, idx
+      WHERE idx.i < d.n
+    )
+    SELECT media_id, sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_samples
+    FROM s GROUP BY media_id, sample_rate ORDER BY media_id
+    """,
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of media_decode_stats: 12 planted PCM WAVs whose
+    sample stream is integer arithmetic on the id; the engine parses
+    real RIFF containers with the pure-stdlib decoder while DuckDB
+    regenerates the stream relationally — fmt-chunk parse (rate) and
+    sample extraction both load-bearing."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(12)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return (
+        MM.audio_stats(MM.plant_tone_wav(ids))
+        .orderBy("media_id")
+    )
 
 
 # BerlinMOD query pack registers bm_q1..bm_q17 on import (placed at module

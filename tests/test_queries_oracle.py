@@ -50,6 +50,22 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sorted(cols) == sorted(ora.columns.tolist()), (
         f"column mismatch: spark={cols} duckdb={sorted(ora.columns.tolist())}"
     )
+    # dtype-hazard gate (cost a green driver row in rounds 2, 3 AND 4):
+    # DuckDB SUM(int) returns HUGEINT -> pandas object; NULL-bearing int
+    # columns fetch as float64 — either flips the driver's value hash on
+    # value-identical output. Oracles must CAST so dtypes line up.
+    spark_types = {f.name: f.dataType.simpleString() for f in qdf.schema.fields}
+    for c in ora.columns:
+        st, pd_ = spark_types[c], str(ora[c].dtype)
+        if st.startswith(("array", "struct", "map", "binary")):
+            continue
+        assert not (pd_ == "object" and st != "string"), (
+            f"{name}.{c}: spark {st} vs oracle pandas object (HUGEINT? "
+            f"add CAST in the oracle SQL)"
+        )
+        assert not (
+            st in ("long", "int", "short") and pd_.startswith("float")
+        ), f"{name}.{c}: spark {st} vs oracle {pd_} (NULL-widen/type drift)"
     # itertuples preserves per-column dtypes (iterrows would upcast whole
     # rows to float64 and break int/float comparison alignment)
     duck_rows = [tuple(r) for r in ora[cols].itertuples(index=False)]
