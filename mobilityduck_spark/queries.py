@@ -47,17 +47,30 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # changed in round 5 — must re-prove green
-    "tpch_q12",           # oracle SUMs cast to BIGINT (HUGEINT hash fix)
+    "tpch_q12",               # oracle SUMs cast to BIGINT (HUGEINT hash fix)
     "doc_stratified_sample",  # two-level rank, prefilter on in registry
     "doc_mixture_sample",     # two-level rank + per-stratum prefilter
     "media_decode_stats",     # new r5: real PNG codec round-trip oracle
     "media_audio_stats",      # new r5: real WAV codec round-trip oracle
-    # changed round 4
+    # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
+    # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
+    "bm_q1",
+    "bm_q3",
+    "bm_q4",
+    "bm_q5",
+    "bm_q7",
+    "bm_q11",
+    "bm_q12",
+    "bm_q14",
+    "bm_q14_poly",
+    "bm_q15",
+    "bm_q16",
+    "bm_q17",
+    # changed/new round 4 — keep inside the window one more round
     "bm_q13_poly",
     "bm_q13",
     "media_stats",
     "doc_pii_redaction",
-    # new round 4
     "at_polygon_duration",
     "doc_minhash_recall",
     "doc_simhash_recall",
@@ -65,17 +78,15 @@ _DRIVER_PRIORITY = [
     "events_sliding",
     "embed_ivf_full_probe",
     "doc_gopher_flags",
-    "doc_mixture_sample",
     "embed_near_dup_recall",
     "doc_url_filter",
     "at_stbox_duration",
-    # never driver-checked before round 4 (registered past the r3 window)
     "at_line_duration",
     "doc_dup_windows",
-    "doc_stratified_sample",
     "embed_sq8_topk",
     "events_asof_value",
     "embed_ivf_topk",
+    # TPC-H pack (q12 already listed first)
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
@@ -86,7 +97,6 @@ _DRIVER_PRIORITY = [
     "tpch_q9",
     "tpch_q10",
     "tpch_q11",
-    "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
