@@ -481,3 +481,177 @@ def sq8_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# =====================================================================
+# Product quantization (PQ) with asymmetric-distance (ADC) scoring —
+# the compression step past SQ8: m sub-codebooks of k centroids give
+# m·log2(k) bits per vector (dim=64, m=8, k=16 -> 4 bytes vs 256 float
+# bytes, 64x). At 100 TB the codes table is what lives on disk/memory;
+# queries stay float and score against per-query distance tables, so
+# the scan side never touches floats.
+# =====================================================================
+
+
+def pq_train(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    seed: int = 7,
+    train_cap: int = 100_000,
+) -> np.ndarray:
+    """Train m independent k-means sub-codebooks on a bounded,
+    deterministically-selected sample (same contract as build_ivf_index:
+    sort-by-id + limit, one driver-side numpy fit — the codebook is
+    m·k·(dim/m) floats, trained once and broadcast forever). Returns
+    centroids with shape (m, k, dim//m)."""
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .sort("_id")
+        .limit(train_cap)
+        .collect()
+    )
+    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("pq_train: empty embedding input")
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    cents = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        kk = min(k, len(xs))
+        cent = xs[rng.choice(len(xs), size=kk, replace=False)]
+        for _ in range(max_iter):
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * xs @ cent.T
+                + (cent * cent).sum(1)
+            )
+            lab = d2.argmin(1)
+            for j in range(kk):
+                sel = lab == j
+                if sel.any():
+                    cent[j] = xs[sel].mean(0)
+                else:
+                    cent[j] = xs[d2.min(1).argmax()]
+        if kk < k:  # degenerate tiny corpus: pad with the last centroid
+            cent = np.vstack([cent, np.repeat(cent[-1:], k - kk, 0)])
+        cents[s] = cent
+    return cents
+
+
+def pq_codes(
+    emb: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its m sub-codes (argmin L2 per subspace) —
+    one Arrow-batched kernel pass over the corpus, nothing per-row.
+    Returns (id_col, codes array<int>)."""
+    m, k, dsub = cents.shape
+    cmat = cents.copy()
+
+    @F.pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        arr = np.asarray([np.asarray(a, dtype=np.float64) for a in v])
+        if arr.size == 0:
+            return pd.Series([], dtype="object")
+        out = np.empty((len(arr), m), dtype=np.int32)
+        for s in range(m):
+            xs = arr[:, s * dsub : (s + 1) * dsub]
+            c = cmat[s]
+            d2 = (
+                (xs * xs).sum(1)[:, None] - 2.0 * xs @ c.T + (c * c).sum(1)
+            )
+            out[:, s] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by ADC: score(q, v) = Σ_s dot(q_s,
+    centroid_s[code_s(v)]) / (|q|·|recon(v)|) — the cosine of q with
+    v's reconstruction, computed WITHOUT reconstructing per row.
+
+    Plan shape: per-query dot/norm tables (m·k doubles each) ship as
+    broadcast literal arrays; the corpus side touches only its codes
+    column — score = aggregate(zip_with(codes, tables, element_at)),
+    pure whole-stage codegen over a 4-byte-per-vector relation. The
+    scale path reuses a precomputed `codes` table (pass it in) so the
+    float corpus is read zero times per query batch."""
+    m, nk, dsub = cents.shape
+    if codes is None:
+        codes = pq_codes(emb, cents, id_col, vec_col)
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    ).collect()
+    flat = cents.reshape(m * nk, dsub)
+    rnorm2 = (flat * flat).sum(1).reshape(m, nk)  # per-centroid |c|^2
+    out_parts = []
+    for r in qrows:
+        qv = np.asarray(r["_qv"], dtype=np.float64)
+        dots = np.empty((m, nk))
+        for s in range(m):
+            dots[s] = cents[s] @ qv[s * dsub : (s + 1) * dsub]
+        qn = float(np.sqrt((qv * qv).sum()))
+        dot_tab = F.array(*[
+            F.array(*[F.lit(float(x)) for x in dots[s]]) for s in range(m)
+        ])
+        n2_tab = F.array(*[
+            F.array(*[F.lit(float(x)) for x in rnorm2[s]]) for s in range(m)
+        ])
+        num = F.aggregate(
+            F.zip_with(
+                F.col("codes"), dot_tab, lambda c, t: F.element_at(t, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        rn = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), n2_tab, lambda c, t: F.element_at(t, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        qid = r["_qid"]
+        out_parts.append(
+            codes.select(
+                F.lit(qid).alias(query_id_col),
+                F.col(id_col),
+                F.round(
+                    F.when((rn > 0) & (F.lit(qn) > 0), num / (rn * qn))
+                    .otherwise(F.lit(0.0)),
+                    6,
+                ).alias("pq_cos"),
+            )
+        )
+    scored = out_parts[0]
+    for p in out_parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -52,6 +52,7 @@ _DRIVER_PRIORITY = [
     "doc_mixture_sample",     # two-level rank + per-stratum prefilter
     "media_decode_stats",     # new r5: real PNG codec round-trip oracle
     "media_audio_stats",      # new r5: real WAV codec round-trip oracle
+    "embed_pq_recall",        # new r5: PQ/ADC planted-copy recall oracle
     # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
     # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
     "bm_q1",
@@ -1932,6 +1933,47 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
         .alias("mean_px"),
     ).orderBy("media_id")
+
+
+@register(
+    "embed_pq_recall",
+    """
+    SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id
+    FROM embeddings
+    WHERE vec_id % 40 = 0 AND vec_id < 2000
+    ORDER BY query_id
+    """,
+)
+def embed_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC recall gate (planted-copy scheme): every
+    4th embedding gets an exact copy at vec_id + 1,000,000; identical
+    vectors quantize to identical m sub-codes, so for each planted query
+    the ADC scorer MUST surface the copy in the top-3 (codes are unique
+    per vector on this corpus — measured zero collision groups — so the
+    only code-equal row is the plant; ties break by id). The oracle is
+    the planted list itself. Queries are bounded (vec_id < 2000) so the
+    per-query broadcast-table plan stays fixed-size at any SF."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    plants = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(plants)
+    cents = SIM.pq_train(corpus, m=8, k=16)
+    qdf = emb.filter(
+        (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = SIM.pq_topk(corpus, qdf, cents, k=3)
+    return (
+        topk.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
+        .select("query_id", "vec_id")
+        .orderBy("query_id")
+    )
 
 
 @register(

@@ -137,3 +137,73 @@ def test_sq8_topk_recall_vs_exact(spark):
     # 8-bit asymmetric quantization on 64-dim vectors barely moves
     # neighbor ranks; well above any useful threshold
     assert recall >= 0.8, f"SQ8 recall {recall}"
+
+
+def test_pq_codes_in_range_and_deterministic(spark):
+    from mobilityduck_spark.operators import similarity as SIM
+    from mobilityduck_spark.sources import tables as SRC
+
+    emb = SRC.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = SIM.pq_train(emb, m=8, k=16)
+    assert cents.shape == (8, 16, 8)
+    cents2 = SIM.pq_train(emb, m=8, k=16)
+    import numpy as np
+
+    assert np.array_equal(cents, cents2)
+    rows = SIM.pq_codes(emb, cents).collect()
+    assert all(
+        len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+        for r in rows
+    )
+
+
+def test_pq_adc_matches_numpy_reconstruction_cosine(spark):
+    """The JVM-expression ADC score (per-query broadcast dot/norm
+    tables over the codes column) must equal cosine(q, recon(v))
+    computed independently in numpy from the same codes — pins both the
+    table construction and the zip_with/element_at scoring path."""
+    import numpy as np
+
+    from mobilityduck_spark.operators import similarity as SIM
+    from mobilityduck_spark.sources import tables as SRC
+    from pyspark.sql import functions as F
+
+    emb = SRC.load(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    cents = SIM.pq_train(emb, m=8, k=16)
+    codes = {r["vec_id"]: r["codes"] for r in SIM.pq_codes(emb, cents).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    qid = sorted(vecs)[3]
+    qdf = emb.filter(F.col("vec_id") == qid).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        r["vec_id"]: r["pq_cos"]
+        for r in SIM.pq_topk(emb, qdf, cents, k=1000).collect()
+    }
+    q = vecs[qid]
+    qn = np.sqrt((q * q).sum())
+    dsub = 8
+    for vid, cs in codes.items():
+        recon = np.concatenate([cents[s][cs[s]] for s in range(8)])
+        rn = np.sqrt((recon * recon).sum())
+        want = float(q @ recon / (qn * rn)) if rn > 0 and qn > 0 else 0.0
+        assert abs(got[vid] - round(want, 6)) < 2e-6, (vid, got[vid], want)
+
+
+def test_pq_exact_copy_shares_codes(spark):
+    from mobilityduck_spark.operators import similarity as SIM
+    from mobilityduck_spark.sources import tables as SRC
+    from pyspark.sql import functions as F
+
+    emb = SRC.load(spark, "/root/testdata/sf0.001", "embeddings")
+    plants = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(plants)
+    cents = SIM.pq_train(both, m=8, k=16)
+    rows = {r["vec_id"]: tuple(r["codes"])
+            for r in SIM.pq_codes(both, cents).collect()}
+    for vid, cs in rows.items():
+        if vid < 1_000_000:
+            assert rows[vid + 1_000_000] == cs
