@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = [
     "media_decode_stats",     # new r5: real PNG codec round-trip oracle
     "media_audio_stats",      # new r5: real WAV codec round-trip oracle
     "embed_pq_recall",        # new r5: PQ/ADC planted-copy recall oracle
+    "doc_bpe_merges",         # new r5: BPE trainer (rows-only, ref-impl gated)
     # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
     # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
     "bm_q1",
@@ -1933,6 +1934,24 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
         .alias("mean_px"),
     ).orderBy("media_id")
+
+
+@register("doc_bpe_merges", None)  # iterative argmax: no ANSI oracle;
+# gated instead by an independent full-recount reference implementation
+# (tests/test_bpe.py, exact merge-table match) + encode round-trip
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus: distributed word
+    histogram (the corpus-scale shuffle; vocab-bounded by construction)
+    → deterministic in-process merge loop with incremental pair counts
+    (operators/bpe.py). Returns the ordered merge table."""
+    from .operators import bpe as BPE
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    merges = BPE.bpe_train(docs, n_merges=24)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        schema="rank int, left string, right string",
+    )
 
 
 @register(
