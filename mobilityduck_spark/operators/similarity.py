@@ -587,68 +587,65 @@ def pq_topk(
     query_vec_col: str = "query_vec",
     codes: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k by ADC: score(q, v) = Σ_s dot(q_s,
-    centroid_s[code_s(v)]) / (|q|·|recon(v)|) — the cosine of q with
-    v's reconstruction, computed WITHOUT reconstructing per row.
+    """Approximate top-k by ADC: score(q, v) = cosine of q with v's
+    reconstruction, computed WITHOUT reconstructing per row.
 
-    Plan shape: per-query dot/norm tables (m·k doubles each) ship as
-    broadcast literal arrays; the corpus side touches only its codes
-    column — score = aggregate(zip_with(codes, tables, element_at)),
-    pure whole-stage codegen over a 4-byte-per-vector relation. The
-    scale path reuses a precomputed `codes` table (pass it in) so the
-    float corpus is read zero times per query batch."""
+    Plan shape: ONE broadcast join, not one plan branch per query — the
+    per-query dot table (m arrays of k doubles: dot(q_s, centroid)) is
+    computed as a COLUMN on the broadcast query side (one Arrow kernel
+    over the query batch), the query-independent per-centroid norm
+    table ships once as a literal, and the corpus side touches only its
+    codes column: score = aggregate(zip_with(codes, tables,
+    element_at)) in whole-stage codegen over a 4-byte-per-vector
+    relation. The scale path reuses a precomputed `codes` table (pass
+    it in) so the float corpus is read zero times per query batch."""
     m, nk, dsub = cents.shape
     if codes is None:
         codes = pq_codes(emb, cents, id_col, vec_col)
-    qrows = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
-    ).collect()
     flat = cents.reshape(m * nk, dsub)
-    rnorm2 = (flat * flat).sum(1).reshape(m, nk)  # per-centroid |c|^2
-    out_parts = []
-    for r in qrows:
-        qv = np.asarray(r["_qv"], dtype=np.float64)
-        dots = np.empty((m, nk))
-        for s in range(m):
-            dots[s] = cents[s] @ qv[s * dsub : (s + 1) * dsub]
-        qn = float(np.sqrt((qv * qv).sum()))
-        dot_tab = F.array(*[
-            F.array(*[F.lit(float(x)) for x in dots[s]]) for s in range(m)
-        ])
-        n2_tab = F.array(*[
-            F.array(*[F.lit(float(x)) for x in rnorm2[s]]) for s in range(m)
-        ])
-        num = F.aggregate(
-            F.zip_with(
-                F.col("codes"), dot_tab, lambda c, t: F.element_at(t, c + 1)
-            ),
+    rnorm2 = (flat * flat).sum(1).reshape(m, nk)
+    cmat = cents.copy()
+
+    @F.pandas_udf("array<array<double>>")
+    def _dot_tables(qv: pd.Series) -> pd.Series:
+        out = []
+        for v in qv:
+            q = np.asarray(v, dtype=np.float64)
+            out.append([
+                (cmat[s] @ q[s * dsub : (s + 1) * dsub]).tolist()
+                for s in range(m)
+            ])
+        return pd.Series(out)
+
+    n2_tab = F.array(*[
+        F.array(*[F.lit(float(x)) for x in rnorm2[s]]) for s in range(m)
+    ])
+    q = queries.select(
+        F.col(query_id_col),
+        _dot_tables(F.col(query_vec_col)).alias("_dt"),
+        norm(F.col(query_vec_col)).alias("_qn"),
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_dt"), lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rn = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("codes"), n2_tab, lambda c, t: F.element_at(t, c + 1)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        rn = F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"), n2_tab, lambda c, t: F.element_at(t, c + 1)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-        qid = r["_qid"]
-        out_parts.append(
-            codes.select(
-                F.lit(qid).alias(query_id_col),
-                F.col(id_col),
-                F.round(
-                    F.when((rn > 0) & (F.lit(qn) > 0), num / (rn * qn))
-                    .otherwise(F.lit(0.0)),
-                    6,
-                ).alias("pq_cos"),
-            )
-        )
-    scored = out_parts[0]
-    for p in out_parts[1:]:
-        scored = scored.unionByName(p)
+    )
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            F.when((rn > 0) & (F.col("_qn") > 0), num / (rn * F.col("_qn")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pq_cos"),
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_cos").desc(), F.col(id_col).asc()
     )
