@@ -33,6 +33,7 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
         "sortmerge_joins": joined.count("SortMergeJoin"),
         "shuffles": joined.count("Exchange"),
         "scans": joined.count("Scan parquet"),
+        "cartesian": joined.count("CartesianProduct"),
     }
 
 

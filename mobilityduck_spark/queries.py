@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = [
     "media_audio_stats",      # new r5: real WAV codec round-trip oracle
     "embed_pq_recall",        # new r5: PQ/ADC planted-copy recall oracle
     "doc_bpe_merges",         # new r5: BPE trainer (rows-only, ref-impl gated)
+    "events_enrich",          # new r5: stream-static enrichment join
+    "events_interval_pairs",  # new r5: watermarked stream-stream interval join
     # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
     # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
     "bm_q1",
@@ -1817,6 +1819,71 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+@register(
+    "events_enrich",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: every event picks up its customer
+    dimension via the streaming join operator run in batch mode, then
+    rolls up per (segment, type). The dim side is broadcast — under
+    Structured Streaming the static side is re-resolved per micro-batch,
+    so slowly-changing dims refresh for free; the stream side never
+    shuffles. DECIMAL-exact sums keep the double output stable."""
+    from .streaming import enrich_with_dim
+
+    ev = SRC.load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    dim = SRC.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return (
+        enrich_with_dim(ev, dim, on="user_id", streaming=False)
+        .groupBy("mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_interval_pairs",
+    """
+    SELECT a.user_id,
+           a.event_id AS id_a,
+           b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts - INTERVAL 300 SECOND
+     AND b.ts <= a.ts + INTERVAL 300 SECOND
+    """,
+)
+def events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join run in batch mode: pairs of
+    same-user events within ±300 s (the canonical correlation shape).
+    Under Structured Streaming both sides carry watermarks and the
+    two-sided event-time bound lets the state store evict rows older
+    than watermark + interval. In batch the plan is a user_id-partitioned
+    equi-join with the range bound as a post-filter — per-key pair volume
+    is bounded by interval event density, never all-pairs."""
+    from .streaming import interval_self_join
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return interval_self_join(ev, interval_secs=300, streaming=False)
 
 
 # =====================================================================

@@ -7,6 +7,7 @@ compose with readStream → watermark → window/session_window →
 writeStream unchanged.
 """
 
+from .joins import enrich_with_dim, interval_self_join
 from .windows import (
     session_spans_stream,
     sliding_window_stats,
@@ -17,4 +18,6 @@ __all__ = [
     "sliding_window_stats",
     "session_spans_stream",
     "tumbling_value_spans",
+    "enrich_with_dim",
+    "interval_self_join",
 ]

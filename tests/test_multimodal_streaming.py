@@ -311,3 +311,72 @@ def test_streaming_text_pipeline_equals_batch(spark, tmp_path):
     )
     exp = sorted(tuple(r) for r in transform(docs).collect())
     assert got == exp and len(got) > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static enrichment (broadcast dim join) is stateless per
+    micro-batch — the streamed result must equal the batch run row for
+    row, including events whose user has no dim row (left-join nulls)."""
+    from mobilityduck_spark.streaming import enrich_with_dim
+
+    src_dir = str(tmp_path / "enrich_src")
+    ev = SRC.load(spark, SF, "events").limit(400)
+    ev.write.mode("overwrite").parquet(src_dir)
+    dim = (
+        SRC.load(spark, SF, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        # drop half the users so the left-join null path is exercised
+        .filter(F.col("user_id") % 2 == 0)
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    q = (
+        enrich_with_dim(stream, dim, on="user_id", streaming=True)
+        .select("event_id", "user_id", "seg")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("enrich_out").collect())
+    exp = sorted(
+        tuple(r)
+        for r in enrich_with_dim(ev, dim, on="user_id", streaming=False)
+        .select("event_id", "user_id", "seg")
+        .collect()
+    )
+    assert got == exp and len(got) == 400
+    assert any(r[2] is None for r in got)  # left-join semantics held
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval self-join: inner-join matches
+    are emitted eagerly (the watermark only bounds state), so the
+    availableNow run must produce exactly the batch pair set."""
+    from mobilityduck_spark.streaming import interval_self_join
+
+    src_dir = str(tmp_path / "pairs_src")
+    ev = SRC.load(spark, SF, "events")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    q = (
+        interval_self_join(stream, interval_secs=600, streaming=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pairs_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("pairs_out").collect())
+    exp = sorted(
+        tuple(r)
+        for r in interval_self_join(ev, interval_secs=600, streaming=False).collect()
+    )
+    assert got == exp and len(got) > 0
+    # the ±interval bound really is two-sided: every |gap| ≤ 600 s
+    assert all(abs(r[3]) <= 600_000_000 for r in got)

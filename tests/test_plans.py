@@ -255,3 +255,22 @@ def test_segment_relational_queries_broadcast_probe_dims(spark):
     from mobilityduck_spark import berlinmod as BMQ
 
     BMQ.release_caches()
+
+
+def test_events_enrich_broadcasts_dim(spark):
+    """Stream-static enrichment: the dim side must broadcast (under
+    streaming it is re-resolved per micro-batch; the event side never
+    shuffles for the join)."""
+    df = Q.queries()["events_enrich"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, c
+    assert c["sortmerge_joins"] == 0, c
+    assert c["cartesian"] == 0, c
+
+
+def test_events_interval_pairs_no_cartesian(spark):
+    """Interval self-join must plan as a user_id-partitioned equi-join
+    with the time bound as a post-filter — never a cartesian product."""
+    df = Q.queries()["events_interval_pairs"](spark, SF)
+    c = plan_counts(df)
+    assert c["cartesian"] == 0, c
