@@ -652,3 +652,60 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means coarse clusters restrict the pairwise
+    cosine check to within-cluster pairs, cosine>=min_cos edges are
+    closed into connected components, and the minimum id of each
+    component is kept as the representative.
+
+    Returns a full manifest (id BIGINT, rep_id BIGINT, keep BOOLEAN)
+    covering EVERY input row — rows in no near-dup pair keep themselves.
+
+    Scale shape: the quantizer is fit on a bounded sample and assignment
+    is one Arrow matmul pass (build_ivf_index); the pairwise check
+    shuffles on cell and is quadratic only WITHIN a cell — at 100 TB
+    raise n_clusters so E[cluster size] stays bounded (SemDeDup runs
+    ~100k clusters over billions of docs; cost is sum of per-cell
+    squares, never corpus-squared); component closure is O(log diameter)
+    rounds of equi-joins. Cosines are rounded to 6 dp before the
+    threshold so identical vectors compare as exactly 1.0."""
+    from .components import connected_components
+
+    assigned, _ = build_ivf_index(
+        emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    a = assigned.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).cast("long").alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    edges = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id") < F.col("id_b")))
+        .select(
+            "id", "id_b", F.round(cosine(F.col("v"), F.col("v_b")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("id", "id_b")
+    )
+    comp = connected_components(edges, "id", "id_b")
+    ids = emb.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        ids.join(comp, ids["id"] == comp["node"], "left")
+        .select("id", F.coalesce("component", "id").alias("rep_id"))
+        .withColumn("keep", F.col("id") == F.col("rep_id"))
+    )

@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "doc_bpe_merges",         # new r5: BPE trainer (rows-only, ref-impl gated)
     "events_enrich",          # new r5: stream-static enrichment join
     "events_interval_pairs",  # new r5: watermarked stream-stream interval join
+    "embed_semantic_dedup",   # new r5: SemDeDup planted-manifest oracle
     # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
     # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
     "bm_q1",
@@ -1702,6 +1703,44 @@ def embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted.join(pairs, ["id_a", "id_b"])
         .select("id_a", "id_b", "cos")
         .orderBy("id_a")
+    )
+
+
+@register(
+    "embed_semantic_dedup",
+    """
+    WITH ids AS (
+      SELECT vec_id FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 4 = 0
+    )
+    SELECT CAST(vec_id AS BIGINT) AS id,
+           CAST(CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000
+                     ELSE vec_id END AS BIGINT) AS rep_id,
+           vec_id < 1000000 AS keep
+    FROM ids
+    """,
+)
+def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup manifest gate via the planted-copy scheme: every fourth
+    embedding gets an exact copy at vec_id + 1,000,000. Identical
+    vectors land in the SAME k-means cell (the argmin of identical
+    distance rows is identical), their 6-dp cosine is exactly 1.0, so
+    the component closure must pair each plant with its original and
+    elect the original (minimum id) as representative. The corpus has
+    no natural duplicate vectors and no distinct pair reaches cosine
+    0.9999995 (64-dim draws), so at min_cos=1.0 the FULL manifest —
+    every id, rep_id, keep flag — is ANSI-predictable: plants dropped
+    onto their originals, everything else keeps itself. The production
+    threshold path (min_cos≈0.95) shares every line of this plan and is
+    unit-tested in tests/test_similarity.py."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    sel = emb.filter(F.col("vec_id") % 4 == 0)
+    copies = sel.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
+    return SIM.semantic_dedup(
+        emb.unionByName(copies), n_clusters=16, min_cos=1.0
     )
 
 

@@ -207,3 +207,68 @@ def test_pq_exact_copy_shares_codes(spark):
     for vid, cs in rows.items():
         if vid < 1_000_000:
             assert rows[vid + 1_000_000] == cs
+
+
+def test_semantic_dedup_single_cluster_matches_union_find(spark):
+    """With n_clusters=1 the within-cluster check is ALL pairs, so the
+    manifest must exactly equal an independent numpy union-find over
+    every pair with round(cos, 6) >= threshold — verifies the edge
+    threshold and the component closure with no clustering
+    approximation in the way."""
+    import numpy as np
+
+    emb = SRC.load(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    thr = 0.15  # low threshold so random 64-dim draws DO form real edges
+    got = {
+        r["id"]: (r["rep_id"], r["keep"])
+        for r in SIM.semantic_dedup(emb, n_clusters=1, min_cos=thr).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    m = np.stack([v for _, v in rows])
+    nrm = np.linalg.norm(m, axis=1)
+    cos = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cos[a, b] >= thr:
+                n_edges += 1
+                ra, rb = find(ids[a]), find(ids[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    assert n_edges > 0, "threshold produced no edges — test is vacuous"
+    exp = {i: (find(i), find(i) == i) for i in ids}
+    assert got == exp
+
+
+def test_semantic_dedup_planted_copies_production_threshold(spark):
+    """The production path (n_clusters>1, min_cos=0.95): planted exact
+    copies must be dropped onto their originals; the manifest covers
+    every row exactly once; keep <=> id == rep_id."""
+    emb = SRC.load(spark, SF, "embeddings")
+    sel = emb.filter(F.col("vec_id") % 10 == 0)
+    copies = sel.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
+    man = SIM.semantic_dedup(
+        emb.unionByName(copies), n_clusters=8, min_cos=0.95
+    ).collect()
+    n_in = emb.count() + copies.count()
+    assert len(man) == n_in
+    by_id = {r["id"]: r for r in man}
+    for r in man:
+        assert r["keep"] == (r["id"] == r["rep_id"])
+        assert r["rep_id"] <= r["id"]
+    for r in sel.collect():
+        plant = by_id[r["vec_id"] + 1000000]
+        assert not plant["keep"] and plant["rep_id"] == r["vec_id"]
