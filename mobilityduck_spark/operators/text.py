@@ -570,3 +570,45 @@ def max_ngram_count_udf(n: int = 2):
         return pd.Series(out, dtype="int32")
 
     return _topc
+
+
+def linear_classifier_score(
+    docs: "DataFrame",
+    weights: dict[str, float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Fasttext-style linear text-classifier inference (the quality /
+    domain classifiers LLM pipelines run over every document): explode
+    tokens, broadcast-join the vocabulary weight table, sum matched
+    weights per doc, sigmoid.
+
+    The model is a TABLE, not a plan literal — at 100 TB a 10^6-token
+    vocabulary broadcasts in MB and the plan stays O(1) in vocab size;
+    the per-doc reduce is a partial-agg groupBy on the doc key. Weights
+    are summed in DECIMAL(12,4) so the logit is exact and
+    order-independent (bag-of-words: repeated tokens count per
+    occurrence). Returns (id, n_hits, logit, score) — `logit` is the
+    exact pre-sigmoid z incl. bias; `score` = sigmoid(z)."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(t, w) for t, w in weights.items()], "token string, wt double"
+    ).select("token", F.col("wt").cast("decimal(12,4)").alias("wt"))
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    z = F.coalesce(F.sum("wt"), F.lit(0).cast("decimal(12,4)")) + F.lit(
+        bias
+    ).cast("decimal(12,4)")
+    scored = (
+        tok.join(F.broadcast(wdf), tok["tok"] == wdf["token"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("token").cast("long").alias("n_hits"),
+            z.cast("double").alias("logit"),
+        )
+    )
+    return scored.withColumn(
+        "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    )

@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "events_enrich",          # new r5: stream-static enrichment join
     "events_interval_pairs",  # new r5: watermarked stream-stream interval join
     "embed_semantic_dedup",   # new r5: SemDeDup planted-manifest oracle
+    "doc_classifier_score",   # new r5: broadcast-vocab linear classifier
     # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
     # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
     "bm_q1",
@@ -1703,6 +1704,62 @@ def embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted.join(pairs, ["id_a", "id_b"])
         .select("id_a", "id_b", "cos")
         .orderBy("id_a")
+    )
+
+
+# fixed "trained" vocabulary for the classifier-inference query: common
+# English function words vote up, boilerplate/spam markers vote down
+_CLS_WEIGHTS = {
+    "the": 0.6, "and": 0.5, "of": 0.4, "is": 0.4, "to": 0.3,
+    "in": 0.3, "a": 0.2, "that": 0.3, "it": 0.2, "for": 0.2,
+    "lorem": -1.2, "ipsum": -1.2, "click": -0.9, "subscribe": -0.9,
+    "buy": -0.7, "free": -0.5,
+}
+_CLS_BIAS = -1.5
+
+
+@register(
+    "doc_classifier_score",
+    r"""
+    WITH w(token, wt) AS (
+      VALUES ('the', 0.6000), ('and', 0.5000), ('of', 0.4000),
+             ('is', 0.4000), ('to', 0.3000), ('in', 0.3000),
+             ('a', 0.2000), ('that', 0.3000), ('it', 0.2000),
+             ('for', 0.2000), ('lorem', -1.2000), ('ipsum', -1.2000),
+             ('click', -0.9000), ('subscribe', -0.9000),
+             ('buy', -0.7000), ('free', -0.5000)
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    s AS (
+      SELECT t.doc_id,
+             CAST(COUNT(w.token) AS BIGINT) AS n_hits,
+             CAST(COALESCE(SUM(CAST(w.wt AS DECIMAL(12,4))), 0)
+                  + CAST(-1.5 AS DECIMAL(12,4)) AS DOUBLE) AS logit
+      FROM t LEFT JOIN w ON t.tok = w.token
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_hits, logit, logit > 0 AS label FROM s
+    """,
+)
+def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier inference (the fasttext-style quality /
+    domain scorers LLM pipelines run over every document) — model as a
+    broadcast TABLE, not a plan literal, so the plan is O(1) in vocab
+    size. The DECIMAL-exact logit and the monotone decision (logit > 0
+    ⟺ sigmoid > 0.5) are what the oracle checks; the sigmoid itself is
+    exposed by the operator but excluded from the hash because exp()
+    may differ in the last ulp across engines."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.linear_classifier_score(
+        docs, _CLS_WEIGHTS, bias=_CLS_BIAS
+    ).select(
+        "doc_id", "n_hits", "logit", (F.col("logit") > 0).alias("label")
     )
 
 

@@ -305,3 +305,27 @@ def test_pack_chunks_invariants(spark):
         spark.createDataFrame([(99, "")], "doc_id long, text string")
     )
     assert TX.pack_chunks(docs2, capacity=512, shards=4).count() == 41
+
+
+def test_linear_classifier_score_semantics(spark):
+    """Bag-of-words semantics: repeated tokens count per occurrence;
+    zero-hit docs get the bias-only logit; sigmoid is monotone in z."""
+    import math
+
+    from mobilityduck_spark.operators.text import linear_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "the the and junk"), (2, "xyzzy qwerty"), (3, "lorem ipsum the")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in linear_classifier_score(
+            docs, {"the": 0.5, "lorem": -1.0, "ipsum": -1.0}, bias=0.25
+        ).collect()
+    }
+    assert out[1]["n_hits"] == 2 and abs(out[1]["logit"] - 1.25) < 1e-12
+    assert out[2]["n_hits"] == 0 and abs(out[2]["logit"] - 0.25) < 1e-12
+    assert out[3]["n_hits"] == 3 and abs(out[3]["logit"] - (-1.25)) < 1e-12
+    for r in out.values():
+        assert abs(r["score"] - 1.0 / (1.0 + math.exp(-r["logit"]))) < 1e-12

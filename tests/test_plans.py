@@ -274,3 +274,12 @@ def test_events_interval_pairs_no_cartesian(spark):
     df = Q.queries()["events_interval_pairs"](spark, SF)
     c = plan_counts(df)
     assert c["cartesian"] == 0, c
+
+
+def test_classifier_vocab_broadcasts(spark):
+    """Model inference must broadcast the vocabulary weight table —
+    the doc side never shuffles for the join (only the per-doc agg)."""
+    df = Q.queries()["doc_classifier_score"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, c
+    assert c["sortmerge_joins"] == 0, c
