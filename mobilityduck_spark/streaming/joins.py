@@ -42,6 +42,7 @@ def interval_self_join(
     id_col: str = "event_id",
     key_col: str = "user_id",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs of events from the SAME key within `interval_secs` of each
     other (a < b orders the pair; the earlier event is `a`). The
@@ -52,7 +53,15 @@ def interval_self_join(
     TWO-SIDED range predicate on the event-time columns — the
     combination Structured Streaming needs to bound the join state
     store. Pair order is by id, so gap_us is signed. Returns
-    (key, id_a, id_b, gap_us)."""
+    (key, id_a, id_b, gap_us).
+
+    `how="left_outer"` additionally emits events that found NO partner
+    (null id_b/gap_us). Under streaming, outer rows can only be emitted
+    once the watermark proves no partner can still arrive — so a left
+    row surfaces ~(watermark delay + interval) of event time after its
+    timestamp, and rows newer than that at query end are withheld, not
+    dropped incorrectly (exactly Spark's outer stream-stream join
+    contract). Batch mode emits all outer rows immediately."""
     a = events.select(
         F.col(key_col).alias("k"),
         F.col(id_col).alias("id_a"),
@@ -78,7 +87,7 @@ def interval_self_join(
             <= F.col("ts_a") + F.expr(f"INTERVAL {interval_secs} SECONDS")
         )
     )
-    return a.join(b, cond).select(
+    return a.join(b, cond, how).select(
         F.col("k").alias(key_col),
         "id_a",
         "id_b",

@@ -380,3 +380,57 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert got == exp and len(got) > 0
     # the ±interval bound really is two-sided: every |gap| ≤ 600 s
     assert all(abs(r[3]) <= 600_000_000 for r in got)
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows equal batch exactly;
+    outer (null-partner) rows are a subset of the batch outer rows —
+    and every outer row old enough that the final watermark proved no
+    partner can arrive MUST have been emitted. Rows newer than
+    (delay + interval) before the max event time may be withheld at
+    query end — that is the outer-join streaming contract, not loss."""
+    from mobilityduck_spark.streaming import interval_self_join
+
+    delay_s, interval_s = 600, 600
+    src_dir = str(tmp_path / "louter_src")
+    ev = SRC.load(spark, SF, "events")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    q = (
+        interval_self_join(
+            stream,
+            interval_secs=interval_s,
+            watermark=f"{delay_s} seconds",
+            streaming=True,
+            how="left_outer",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("louter_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("louter_out").collect()}
+    batch = {
+        tuple(r)
+        for r in interval_self_join(
+            ev, interval_secs=interval_s, streaming=False, how="left_outer"
+        ).collect()
+    }
+    got_matched = {r for r in got if r[2] is not None}
+    batch_matched = {r for r in batch if r[2] is not None}
+    assert got_matched == batch_matched and len(got_matched) > 0
+
+    got_outer = {r for r in got if r[2] is None}
+    batch_outer = {r for r in batch if r[2] is None}
+    assert got_outer <= batch_outer and len(got_outer) > 0
+    # completeness bound: outer rows older than max_ts - delay - interval
+    # must all have been emitted before the query ended
+    import datetime
+
+    ts_by_id = {r["event_id"]: r["ts"] for r in ev.collect()}
+    max_ts = max(ts_by_id.values())
+    cutoff = max_ts - datetime.timedelta(seconds=delay_s + interval_s + 1)
+    must_emit = {r for r in batch_outer if ts_by_id[r[1]] < cutoff}
+    assert must_emit <= got_outer
