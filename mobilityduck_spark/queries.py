@@ -58,6 +58,8 @@ _DRIVER_PRIORITY = [
     "events_interval_pairs",  # new r5: watermarked stream-stream interval join
     "embed_semantic_dedup",   # new r5: SemDeDup planted-manifest oracle
     "doc_classifier_score",   # new r5: broadcast-vocab linear classifier
+    "doc_rollup_stats",       # new r5: single-pass ROLLUP hierarchy
+    "events_user_reach",      # new r5: HLL sketch with exactness gate
     # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
     # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
     "bm_q1",
@@ -1704,6 +1706,79 @@ def embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted.join(pairs, ["id_a", "id_b"])
         .select("id_a", "id_b", "cos")
         .orderBy("id_a")
+    )
+
+
+@register(
+    "doc_rollup_stats",
+    """
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus profiling via ROLLUP (per (lang, source),
+    per lang, grand total in ONE pass). Catalyst plans this as a single
+    Expand + partial-agg — each input row fans out to its grouping sets
+    map-side, so the corpus is scanned once no matter how many levels
+    the hierarchy has; at 100 TB this replaces three separate
+    full-table aggregations. grouping_id disambiguates subtotal rows
+    from real 'ALL' values."""
+    docs = SRC.load(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
+    "events_user_reach",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user reach per event type, exact AND HLL++-sketched.
+    At 100 TB the exact COUNT(DISTINCT) is the expensive path (it
+    shuffles every (type, user) pair); the approx_count_distinct sketch
+    is one scan, mergeable, fixed memory — the production choice. The
+    oracle hashes the exact count plus `approx_ok`, which asserts the
+    deterministic HLL estimate landed within 10% of exact (rsd=0.05
+    guarantees ~2σ): the sketch's accuracy is driver-checked, not
+    assumed."""
+    ev = SRC.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )
 
 

@@ -283,3 +283,15 @@ def test_classifier_vocab_broadcasts(spark):
     c = plan_counts(df)
     assert c["broadcast_joins"] >= 1, c
     assert c["sortmerge_joins"] == 0, c
+
+
+def test_rollup_is_single_scan_expand(spark):
+    """ROLLUP must plan as ONE parquet scan fanned out through Expand —
+    not one aggregation per hierarchy level."""
+    from mobilityduck_spark.plans import formatted_plan
+
+    df = Q.queries()["doc_rollup_stats"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan[:500]
+    c = plan_counts(df)
+    assert c["scans"] == 1, c
