@@ -656,11 +656,12 @@ def pq_topk(
 
 def semantic_dedup(
     emb: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     min_cos: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_cell: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means coarse clusters restrict the pairwise
@@ -673,14 +674,24 @@ def semantic_dedup(
 
     Scale shape: the quantizer is fit on a bounded sample and assignment
     is one Arrow matmul pass (build_ivf_index); the pairwise check
-    shuffles on cell and is quadratic only WITHIN a cell — at 100 TB
-    raise n_clusters so E[cluster size] stays bounded (SemDeDup runs
-    ~100k clusters over billions of docs; cost is sum of per-cell
-    squares, never corpus-squared); component closure is O(log diameter)
-    rounds of equi-joins. Cosines are rounded to 6 dp before the
-    threshold so identical vectors compare as exactly 1.0."""
+    shuffles on cell and is quadratic only WITHIN a cell, so with a
+    FIXED cluster count 10× the corpus means 10× cell occupancy and
+    ~100× pairs — the same density law that made fixed-plane LSH
+    super-linear in the sf1 sweep. `n_clusters=None` (default)
+    therefore derives the cluster count from the corpus size so
+    E[cell size] stays ~`target_cell` and pair volume stays LINEAR
+    (SemDeDup runs ~100k clusters over billions of docs; at a real
+    deployment pass the known cardinality instead of the count scan).
+    Component closure is O(log diameter) rounds of equi-joins. Cosines
+    are rounded to 6 dp before the threshold so identical vectors
+    compare as exactly 1.0 — which also makes the planted-copy oracle
+    independent of the derived cluster count."""
+    import math
+
     from .components import connected_components
 
+    if n_clusters is None:
+        n_clusters = max(2, math.ceil(emb.count() / target_cell))
     assigned, _ = build_ivf_index(
         emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
     )

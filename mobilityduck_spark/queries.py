@@ -1863,7 +1863,9 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no natural duplicate vectors and no distinct pair reaches cosine
     0.9999995 (64-dim draws), so at min_cos=1.0 the FULL manifest —
     every id, rep_id, keep flag — is ANSI-predictable: plants dropped
-    onto their originals, everything else keeps itself. The production
+    onto their originals, everything else keeps itself — at ANY cluster
+    count, so the occupancy-adaptive default (bounded E[cell size] →
+    linear pair volume at scale) is oracle-safe. The production
     threshold path (min_cos≈0.95) shares every line of this plan and is
     unit-tested in tests/test_similarity.py."""
     from .operators import similarity as SIM
@@ -1871,9 +1873,7 @@ def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = SRC.load(spark, sf_dir, "embeddings")
     sel = emb.filter(F.col("vec_id") % 4 == 0)
     copies = sel.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
-    return SIM.semantic_dedup(
-        emb.unionByName(copies), n_clusters=16, min_cos=1.0
-    )
+    return SIM.semantic_dedup(emb.unionByName(copies), min_cos=1.0)
 
 
 @register(
