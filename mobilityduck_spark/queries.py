@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "doc_classifier_score",   # new r5: broadcast-vocab linear classifier
     "doc_rollup_stats",       # new r5: single-pass ROLLUP hierarchy
     "events_user_reach",      # new r5: HLL sketch with exactness gate
+    "events_gapfill_locf",    # new r5: gap-fill + LOCF via as-of
     # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
     # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
     "bm_q1",
@@ -1779,6 +1780,74 @@ def events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.1 * F.col("exact_users")
             ).alias("approx_ok"),
         )
+    )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             (epoch_us(MIN(ts)) + 14400000000 - 1) // 14400000000 AS bk0,
+             epoch_us(MAX(ts)) // 14400000000 AS bk1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(range(bk0, bk1 + 1)) * 14400000000 AS BIGINT)
+               AS grid_us
+      FROM bounds
+    )
+    SELECT g.user_id, g.grid_us,
+           (SELECT e.value FROM events e
+             WHERE e.user_id = g.user_id AND epoch_us(e.ts) <= g.grid_us
+             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value
+    FROM grid g
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling with last-observation-carried-forward (the
+    time_bucket_gapfill + locf shape of time-series engines): a 4-hour
+    grid per user from the user's first to last bucket, each grid point
+    carrying the latest value at-or-before it. The grid starts at the
+    first FULL bucket (ceil of the first event), so every grid point
+    has a prior observation and LOCF never emits NULL.
+
+    Scale shape: the grid is GENERATED from the tiny per-user bounds
+    relation (groupBy + sequence + explode), never scanned; the LOCF
+    lookup is the as-of operator — union + ONE key shuffle + running
+    last-non-null window, no range join, no row duplication. Grid rows
+    scale as users × span/step regardless of event volume. Deterministic
+    equal-ts pick via the event_id tiebreak, mirrored in the oracle's
+    ORDER BY."""
+    from .operators import range_join as RJ
+
+    W = 14_400_000_000  # 4 h in microseconds
+    e = SRC.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.expr(f"(min(ts_us) + {W} - 1) div {W}").alias("bk0"),  # ceil
+        F.expr(f"max(ts_us) div {W}").alias("bk1"),
+    )
+    grid = (
+        # Spark's sequence(hi, lo) counts DOWN; DuckDB's range() is
+        # empty there — drop span-less users before exploding
+        bounds.filter(F.col("bk0") <= F.col("bk1"))
+        .select("user_id", F.explode(F.sequence("bk0", "bk1")).alias("bk"))
+        .select("user_id", (F.col("bk") * W).cast("long").alias("grid_us"))
+    )
+    return RJ.asof_join(
+        grid,
+        e,
+        key="user_id",
+        probe_ts="grid_us",
+        event_ts="ts_us",
+        value_cols=["value"],
+        tiebreak="event_id",
     )
 
 
