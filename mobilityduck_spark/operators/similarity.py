@@ -59,15 +59,28 @@ def cosine_arrow(a, b) -> Column:
 
     @F.pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
-        mb = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        d = np.einsum("ij,ij->i", ma, mb)
-        ok = (na > 0) & (nb > 0)
-        out = np.where(ok, d / np.where(ok, na * nb, 1.0), 0.0)
+        n = len(va)
+        out = np.zeros(n, dtype=np.float64)
+        # NULL vectors score 0.0, matching the HOF's otherwise-branch
+        # (vectors must share one fixed dimension — ragged inputs are
+        # a schema error, not a supported case)
+        rows = [
+            i
+            for i in range(n)
+            if va.iat[i] is not None and vb.iat[i] is not None
+        ]
+        if rows:
+            ma = np.asarray(
+                [np.asarray(va.iat[i], dtype=np.float64) for i in rows]
+            )
+            mb = np.asarray(
+                [np.asarray(vb.iat[i], dtype=np.float64) for i in rows]
+            )
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            d = np.einsum("ij,ij->i", ma, mb)
+            ok = (na > 0) & (nb > 0)
+            out[rows] = np.where(ok, d / np.where(ok, na * nb, 1.0), 0.0)
         return pd.Series(out)
 
     return _cos(_c(a), _c(b))
@@ -205,7 +218,7 @@ def embedding_near_dup_pairs(
     pairs = cands.distinct()
     va = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    return (
+    scored = (
         pairs.join(va, "id")
         .join(vb, "id_b")
         .select(
@@ -213,8 +226,14 @@ def embedding_near_dup_pairs(
             F.col("id_b"),
             F.round(cosine_arrow(F.col("v"), F.col("v_b")), 6).alias("cos"),
         )
-        .filter(F.col("cos") >= min_cos)
+        # barrier: the min_cos filter would otherwise predicate-push
+        # through this projection and re-run the Arrow kernel in a
+        # second ArrowEvalPython node (the pushdown double-eval class,
+        # PERF.md) — candidates are bucket-bounded, so materializing
+        # them is cheap
+        .localCheckpoint(eager=False)
     )
+    return scored.filter(F.col("cos") >= min_cos)
 
 
 # persisted IVF assignment tables; long-lived sessions call
@@ -715,7 +734,7 @@ def semantic_dedup(
     independent of the derived cluster count."""
     import math
 
-    from .components import connected_components
+    from .components import assign_clusters
 
     if n_clusters is None:
         n_clusters = max(2, math.ceil(emb.count() / target_cell))
@@ -740,10 +759,11 @@ def semantic_dedup(
         .filter(F.col("cos") >= min_cos)
         .select("id", "id_b")
     )
-    comp = connected_components(edges, "id", "id_b")
-    ids = emb.select(F.col(id_col).cast("long").alias("id"))
-    return (
-        ids.join(comp, ids["id"] == comp["node"], "left")
-        .select("id", F.coalesce("component", "id").alias("rep_id"))
-        .withColumn("keep", F.col("id") == F.col("rep_id"))
+    man = assign_clusters(
+        emb.select(F.col(id_col).cast("long").alias("id")),
+        edges,
+        id_col="id",
+        src="id",
+        dst="id_b",
     )
+    return man.select("id", F.col("cluster_id").alias("rep_id"), "keep")

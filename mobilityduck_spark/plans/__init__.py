@@ -34,6 +34,9 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
         "shuffles": joined.count("Exchange"),
         "scans": joined.count("Scan parquet"),
         "cartesian": joined.count("CartesianProduct"),
+        # BNLJ is ALSO counted in broadcast_joins (historical); use this
+        # key to assert a join really is hash/equi, not nested-loop
+        "bnl_joins": joined.count("BroadcastNestedLoopJoin"),
     }
 
 

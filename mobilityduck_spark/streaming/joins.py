@@ -26,11 +26,12 @@ def enrich_with_dim(
     on: str = "user_id",
     watermark: str = "30 minutes",
     streaming: bool = True,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Stream-static equi-join: every event picks up its dimension
     attributes. The static side is broadcast; left join keeps events
     with no dim row (nulls), matching the batch semantics exactly."""
-    src = events.withWatermark("ts", watermark) if streaming else events
+    src = events.withWatermark(ts_col, watermark) if streaming else events
     return src.join(F.broadcast(dim), on, "left")
 
 
@@ -129,6 +130,10 @@ def interval_self_join(
     )
     if how == "inner":
         return inner
+    # barrier: `inner` feeds both union branches (rows + the anti-join's
+    # matched-id set) — without it the bucketed self-join DAG executes
+    # twice per action (batch-only path; checkpoint is legal here)
+    inner = inner.localCheckpoint(eager=False)
     outer = events.join(
         inner.select("id_a").distinct(),
         events[id_col] == F.col("id_a"),

@@ -269,11 +269,16 @@ def test_events_enrich_broadcasts_dim(spark):
 
 
 def test_events_interval_pairs_no_cartesian(spark):
-    """Interval self-join must plan as a user_id-partitioned equi-join
-    with the time bound as a post-filter — never a cartesian product."""
+    """Interval self-join must plan as a (key, bucket) EQUI join with
+    the time bound as a post-filter — never a cartesian product, and
+    never a nested-loop fallback (which is how the quadratic
+    key-only shape would sneak back in)."""
     df = Q.queries()["events_interval_pairs"](spark, SF)
     c = plan_counts(df)
     assert c["cartesian"] == 0, c
+    assert c["bnl_joins"] == 0, c
+    # the equi condition must survive as a hash-family join
+    assert c["sortmerge_joins"] + (c["broadcast_joins"] - c["bnl_joins"]) >= 1, c
 
 
 def test_classifier_vocab_broadcasts(spark):
