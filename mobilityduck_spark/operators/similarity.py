@@ -580,12 +580,18 @@ def pq_train(
                 + (cent * cent).sum(1)
             )
             lab = d2.argmin(1)
+            # reseed queue: farthest-first points (distinct per empty
+            # cluster — a shared argmax would collapse multiple empty
+            # clusters onto one duplicate centroid for the rest of Lloyd)
+            far = np.argsort(-d2.min(1))
+            far_i = 0
             for j in range(kk):
                 sel = lab == j
                 if sel.any():
                     cent[j] = xs[sel].mean(0)
                 else:
-                    cent[j] = xs[d2.min(1).argmax()]
+                    cent[j] = xs[far[min(far_i, len(far) - 1)]]
+                    far_i += 1
         if kk < k:  # degenerate tiny corpus: pad with the last centroid
             cent = np.vstack([cent, np.repeat(cent[-1:], k - kk, 0)])
         cents[s] = cent
@@ -708,6 +714,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     target_cell: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means coarse clusters restrict the pairwise
@@ -727,7 +734,9 @@ def semantic_dedup(
     therefore derives the cluster count from the corpus size so
     E[cell size] stays ~`target_cell` and pair volume stays LINEAR
     (SemDeDup runs ~100k clusters over billions of docs; at a real
-    deployment pass the known cardinality instead of the count scan).
+    deployment pass the known cardinality as `n_rows` — e.g. from
+    catalog statistics or parquet footers — so no count() pre-job runs;
+    an approximate cardinality is fine, it only sets E[cell size]).
     Component closure is O(log diameter) rounds of equi-joins. Cosines
     are rounded to 6 dp before the threshold so identical vectors
     compare as exactly 1.0 — which also makes the planted-copy oracle
@@ -737,7 +746,9 @@ def semantic_dedup(
     from .components import assign_clusters
 
     if n_clusters is None:
-        n_clusters = max(2, math.ceil(emb.count() / target_cell))
+        if n_rows is None:
+            n_rows = emb.count()
+        n_clusters = max(2, math.ceil(n_rows / target_cell))
     assigned, _ = build_ivf_index(
         emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
     )

@@ -590,13 +590,20 @@ def linear_classifier_score(
     are summed in DECIMAL(12,4) so the logit is exact and
     order-independent (bag-of-words: repeated tokens count per
     occurrence). Returns (id, n_hits, logit, score) — `logit` is the
-    exact pre-sigmoid z incl. bias; `score` = sigmoid(z)."""
+    exact pre-sigmoid z incl. bias; `score` = sigmoid(z).
+
+    Coverage is TOTAL: explode_outer keeps documents whose text is
+    NULL (tokens(NULL) is a NULL array, which plain explode would
+    drop), so every input id appears in the output with the bias-only
+    logit (n_hits = 0) — a downstream consumer can rely on
+    |output| == |input|."""
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         [(t, w) for t, w in weights.items()], "token string, wt double"
     ).select("token", F.col("wt").cast("decimal(12,4)").alias("wt"))
     tok = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
     )
     z = F.coalesce(F.sum("wt"), F.lit(0).cast("decimal(12,4)")) + F.lit(
         bias

@@ -109,8 +109,15 @@ def main() -> None:
         if k == 0:
             flipped = emb
         else:
+            # modulus must exceed the flip period: with % 4 both constants
+            # reduce to 1 and 3 (mod 4), so the mask collapsed to
+            # dim_index % 4 == k % 4 and copies k=1/5/9 etc. were exact
+            # byte-identical duplicates, inflating near-dup pair volume in
+            # the scaling sweep.  % 97 < 24 flips ~1/4 of dims with a
+            # distinct pattern per k (97 prime >> K), keeping inter-copy
+            # cosine ~0.5 as designed.
             flips = np.where(
-                (np.arange(dim) * 2654435761 + k * 40503) % 4 == 0, -1.0, 1.0
+                (np.arange(dim) * 2654435761 + k * 40503) % 97 < 24, -1.0, 1.0
             ).astype(np.float32)
             flipped = emb * flips[None, :]
         out_ids.append(ids + k * 100_000_000)

@@ -329,3 +329,45 @@ def test_linear_classifier_score_semantics(spark):
     assert out[3]["n_hits"] == 3 and abs(out[3]["logit"] - (-1.25)) < 1e-12
     for r in out.values():
         assert abs(r["score"] - 1.0 / (1.0 + math.exp(-r["logit"]))) < 1e-12
+
+
+def test_linear_classifier_total_coverage_null_text(spark):
+    """explode_outer keeps NULL-text documents: every input id appears
+    in the output with the bias-only logit (n_hits=0) — |out| == |in|."""
+    from mobilityduck_spark.operators.text import linear_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in linear_classifier_score(
+            docs, {"the": 0.5}, bias=0.25
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_hits"] == 0 and abs(out[2]["logit"] - 0.25) < 1e-12
+    assert out[3]["n_hits"] == 0 and abs(out[3]["logit"] - 0.25) < 1e-12
+
+
+def test_hll_reach_within_10pct_on_fixed_shape(spark):
+    """Empirical sketch-accuracy bound on the FIXED test data shape:
+    approx_count_distinct(rsd=0.05) lands within 10% of exact for every
+    event_type at sf0.001. The driver oracle asserts only the scale-safe
+    20% (4 sigma) bound; this test keeps the tighter claim where the
+    data is pinned."""
+    ev = SRC.load(spark, SF, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 0.1 * r["exact"], (
+            r["event_type"], r["exact"], r["approx"],
+        )

@@ -272,3 +272,40 @@ def test_semantic_dedup_planted_copies_production_threshold(spark):
     for r in sel.collect():
         plant = by_id[r["vec_id"] + 1000000]
         assert not plant["keep"] and plant["rep_id"] == r["vec_id"]
+
+
+def test_pq_train_reseeds_empty_clusters_distinctly():
+    """When several clusters go empty in the same Lloyd iteration, each
+    must be reseeded with a DISTINCT farthest point — a shared argmax
+    would leave duplicate centroids wasting codebook capacity. Forced
+    here: k=8 on 8 distinct points + many repeats of one point means
+    initial sampling usually empties multiple clusters."""
+    import numpy as np
+
+    from mobilityduck_spark.operators import similarity as SIM
+
+    class _FakeDF:
+        def __init__(self, x):
+            self._x = x
+
+        def select(self, *a):
+            return self
+
+        def sort(self, *a):
+            return self
+
+        def limit(self, n):
+            return self
+
+        def collect(self):
+            return [{"_id": i, "_v": v} for i, v in enumerate(self._x)]
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(8, 8) * 10.0
+    x = np.vstack([base, np.repeat(base[:1], 120, axis=0)])
+    cents = SIM.pq_train(_FakeDF(x.tolist()), m=1, k=8)
+    c = np.round(cents[0], 9)
+    uniq = np.unique(c, axis=0)
+    # all 8 distinct source points are representable: no duplicated
+    # centroid rows may remain after convergence
+    assert len(uniq) == 8, c
