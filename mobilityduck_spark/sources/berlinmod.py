@@ -23,11 +23,44 @@ from . import tables as SRC
 GAP_SECS = 7200
 
 # ---------------------------------------------------------------- SQL CTEs
-PTS_SQL = """
+_PTS_BASE_SQL = """
   SELECT user_id, ts, event_id,
          (event_id % 1000) / CAST(10.0 AS DOUBLE) AS x,
          (event_id * 7919 % 1000) / CAST(10.0 AS DOUBLE) AS y
   FROM events
+"""
+
+# Two planted vehicles (ids 900001/900002) parked at the FIRST probe
+# point from the FIRST probe instant for 10 minutes (two pings each, same
+# position — both derived from the same events rows the probe dims
+# sample: identical formulas, so the planted coordinates are bit-equal
+# doubles to points1.(px,py) on both engines). Reference q12 finds
+# vehicle pairs co-located at a probe point at a probe instant; without
+# the plant the synthetic fleet never co-locates exactly and q12 is a
+# vacuous 0=0 row at every SF. The second (stationary) ping gives each
+# planted vehicle a real — zero-length — trajectory segment, so
+# segment-based pair kernels (q5's point-to-segment arms) see it like
+# any other vehicle. Ids are far above any real user_id so the
+# licences1/licences2 heads only admit them at tiny SFs where the
+# natural fleet is smaller than 20 (both engines derive the same heads).
+PLANT_SQL = """
+  SELECT CAST(900000 + k AS BIGINT) AS user_id,
+         make_timestamp(epoch_us(pi.ts) + j * CAST(600000000 AS BIGINT)) AS ts,
+         CAST(10000000000 + 2 * k + j AS BIGINT) AS event_id,
+         pp.px AS x, pp.py AS y
+  FROM (SELECT ts FROM events WHERE event_id % 101 = 0
+        ORDER BY event_id LIMIT 1) pi,
+       (SELECT (event_id % 1000) / CAST(10.0 AS DOUBLE) AS px,
+               (event_id * 7919 % 1000) / CAST(10.0 AS DOUBLE) AS py
+        FROM events WHERE event_id % 89 = 0
+        ORDER BY event_id LIMIT 1) pp,
+       generate_series(1, 2) t(k),
+       generate_series(0, 1) s(j)
+"""
+
+PTS_SQL = f"""
+  SELECT user_id, ts, event_id, x, y
+  FROM (({_PTS_BASE_SQL}) UNION ALL ({PLANT_SQL}))
 """
 
 ISLANDS_SQL = f"""
@@ -43,14 +76,14 @@ ISLANDS_SQL = f"""
   )
 """
 
-VEHICLES_SQL = """
+VEHICLES_SQL = f"""
   SELECT DISTINCT user_id AS vehicle_id,
          'L' || CAST(user_id AS VARCHAR) AS licence,
          CASE WHEN user_id % 10 < 6 THEN 'passenger'
               WHEN user_id % 10 < 8 THEN 'truck'
               ELSE 'bus' END AS vehicle_type,
          'M' || CAST(user_id % 5 AS VARCHAR) AS model
-  FROM events
+  FROM ({PTS_SQL})
 """
 
 LICENCES1_SQL = f"SELECT * FROM ({VEHICLES_SQL}) ORDER BY vehicle_id LIMIT 10"
@@ -122,14 +155,54 @@ REGIONS_POLY_SQL = f"""
 
 # ---------------------------------------------------------------- Spark side
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ping relation: per-event positions UNION the four planted q12
+    pings (PLANT_SQL — two vehicles parked at the first probe point from
+    the first probe instant for 10 min). The plant side is one partial-
+    aggregated scan reduced to a single row, then exploded to 4 rows: a
+    constant-size subplan with no joins."""
     ev = SRC.load(spark, sf_dir, "events")
-    return ev.select(
+    base = ev.select(
         "user_id",
         "ts",
         "event_id",
         ((F.col("event_id") % 1000) / F.lit(10.0)).alias("x"),
         ((F.col("event_id") * 7919 % 1000) / F.lit(10.0)).alias("y"),
     )
+    # the probe-anchor row (first %101 instant, first %89 point) comes
+    # from ONE partial-aggregated scan; the 4 planted pings then explode
+    # from a literal array on that 1-row result — no join of any kind,
+    # so the repo's no-BNLJ/no-Cartesian plan gates hold everywhere
+    c101 = F.col("event_id") % 101 == 0
+    c89 = F.col("event_id") % 89 == 0
+    anchor = ev.agg(
+        F.min_by(F.when(c101, F.col("ts")), F.when(c101, F.col("event_id")))
+        .alias("pts"),
+        F.min(F.when(c89, F.col("event_id"))).alias("pe"),
+    )
+    kj = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("long").alias("k"),
+                    F.lit(j).cast("long").alias("j"),
+                )
+                for k in (1, 2)
+                for j in (0, 1)
+            ]
+        )
+    )
+    plant = anchor.select("pts", "pe", kj.alias("kj")).select(
+        (F.col("kj.k") + 900000).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            F.unix_micros("pts") + F.col("kj.j") * F.lit(600000000)
+        ).alias("ts"),
+        (F.col("kj.k") * 2 + F.col("kj.j") + 10000000000)
+        .cast("long")
+        .alias("event_id"),
+        ((F.col("pe") % 1000) / F.lit(10.0)).alias("x"),
+        ((F.col("pe") * 7919 % 1000) / F.lit(10.0)).alias("y"),
+    )
+    return base.unionByName(plant)
 
 
 def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,9 +239,11 @@ def vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vehicles_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = SRC.load(spark, sf_dir, "events")
+    # derived from the ping relation (not raw events) so the planted
+    # q12 vehicles get licence/type/model rows like everyone else —
+    # mirrors VEHICLES_SQL reading PTS_SQL
     vid = F.col("user_id")
-    return ev.select("user_id").distinct().select(
+    return points(spark, sf_dir).select("user_id").distinct().select(
         vid.alias("vehicle_id"),
         F.concat(F.lit("L"), vid.cast("string")).alias("licence"),
         F.when(vid % 10 < 6, "passenger")
