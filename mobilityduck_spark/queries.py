@@ -46,6 +46,14 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
+    # new / changed in round 6 — must (re-)prove green first
+    "bm_q12",                 # planted co-located vehicles: non-trivial rows
+    "embed_ivf_probe_recall", # new r6: planted-copy partial-probe gate
+    "embed_semantic_dedup",   # registry now passes footer cardinality
+    "doc_classifier_score",   # explode_outer total coverage + oracle shape
+    "events_user_reach",      # 20% (4-sigma) scale-safe sketch gate
+    "bm_q5",                  # planted vehicles enter l2 at tiny SFs
+    "bm_q11",                 # plant adds exact-at-probe rows
     # changed in round 5 — must re-prove green
     "tpch_q12",               # oracle SUMs cast to BIGINT (HUGEINT hash fix)
     "doc_stratified_sample",  # two-level rank, prefilter on in registry
@@ -2387,6 +2395,51 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = SIM.build_ivf_index(emb, n_centroids=16)
     return SIM.ivf_search(assigned, centroids, queries_df, k=5, n_probe=4).select(
         "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
+    "embed_ivf_probe_recall",
+    """
+    SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS cos, 1 AS rank
+    FROM embeddings
+    WHERE vec_id % 40 = 0 AND vec_id < 2000
+    ORDER BY query_id
+    """,
+)
+def embed_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-probe IVF recall gate (planted-copy scheme, the trick
+    that makes hash/model-dependent ANN driver-checkable): every 4th
+    embedding gets an exact copy at vec_id + 1,000,000. Identical
+    vectors are assigned the SAME k-means cell (identical distance rows
+    ⇒ identical argmin), and a query that IS the original vector has
+    that same cell as its nearest centroid — so even at the strictest
+    n_probe=1 the probed candidate set must contain the copy, whose
+    6-dp cosine is exactly 1.0 while no distinct pair on this corpus
+    reaches 0.9999995: the copy is rank 1 regardless of centroid
+    placement. The oracle is the planted list itself with (cos, rank)
+    pinned. Upgrades embed_ivf_topk's rows-only status: the same
+    ivf_search path (same probe routing, same re-rank) now has a full
+    value-checked driver row at partial probe."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    plants = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(plants)
+    assigned, centroids = SIM.build_ivf_index(corpus, n_centroids=16)
+    qdf = emb.filter(
+        (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = SIM.ivf_search(assigned, centroids, qdf, k=3, n_probe=1)
+    return (
+        res.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
+        .select("query_id", "vec_id", "cos", "rank")
+        .orderBy("query_id")
     )
 
 
