@@ -39,6 +39,13 @@ def curate_corpus(
     ngram_df_cap: int = 64,
     train: float = 0.8,
     val: float = 0.1,
+    bench_docs: DataFrame | None = None,
+    contam_ngram: int = 3,
+    contam_min_hits: int = 2,
+    mixture_fracs: dict | None = None,
+    mixture_salt: str = "mix",
+    pack_capacity: int | None = None,
+    pack_shards: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel. Returns (manifest, funnel):
 
@@ -48,7 +55,26 @@ def curate_corpus(
     plus one `split:*` row per split among the final keep set.
 
     Near-dup blocking uses (lang, length-bucket) with the same df-cap
-    as doc_ngram_jaccard; cluster representative = min doc id."""
+    as doc_ngram_jaccard; cluster representative = min doc id.
+
+    Optional production stages (each enabled by its argument, inserted
+    between near-dup dedup and the split; stage numbers shift so the
+    default funnel keeps its historical names):
+
+    - `bench_docs`: benchmark decontamination — drop any surviving doc
+      sharing >= `contam_min_hits` distinct `contam_ngram`-gram word
+      shingles with the benchmark set. The bench gram table is
+      broadcast (eval suites are tiny; the corpus side never shuffles).
+    - `mixture_fracs`: data-mix reweighting via mixture_sample (exact
+      per-stratum quotas by the salted-bucket rule). `mixture_salt`
+      MUST differ from the split salt: with a shared salt the mixture
+      keeps exactly the smallest buckets, and the split — a threshold
+      on the same bucket — would then assign nearly everything to
+      'train' (selection/assignment correlation).
+    - `pack_capacity`: GPT-style sequence packing of the final 'train'
+      split; the funnel gains a `pack_chunks` row counting the fixed-
+      capacity training chunks produced (per-shard prefix scan,
+      `pack_shards` independent partitions)."""
     base = docs.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(text_col).alias("text"),
@@ -101,27 +127,91 @@ def curate_corpus(
         F.coalesce("component", exact_keep["id"]).alias("cluster_id"),
     )
     near_keep = clustered.filter(F.col("id") == F.col("cluster_id"))
+    # near-dup survivors with text/lang back (clustered carries ids only)
+    kept = exact_keep.join(near_keep.select("id"), "id")
 
-    final = near_keep.withColumn(
+    # ------------------------- optional stage: benchmark decontamination
+    if bench_docs is not None:
+        bg = (
+            bench_docs.select(TX.tokens(F.col(text_col)).alias("bw"))
+            .filter(F.size("bw") >= contam_ngram)
+            .select(
+                F.explode(
+                    F.array_distinct(TX.word_ngrams(F.col("bw"), n=contam_ngram))
+                ).alias("gram")
+            )
+            .distinct()
+        )
+        cg = (
+            kept.select("id", TX.tokens("text").alias("w"))
+            .filter(F.size("w") >= contam_ngram)
+            .select(
+                "id",
+                F.explode(
+                    F.array_distinct(TX.word_ngrams(F.col("w"), n=contam_ngram))
+                ).alias("gram"),
+            )
+        )
+        contaminated = (
+            cg.join(F.broadcast(bg), "gram")
+            .groupBy("id")
+            .agg(F.countDistinct("gram").alias("_hits"))
+            .filter(F.col("_hits") >= contam_min_hits)
+            .select("id")
+        )
+        decon_keep = kept.join(contaminated, "id", "left_anti")
+    else:
+        decon_keep = kept
+
+    # ------------------------- optional stage: mixture reweighting
+    if mixture_fracs is not None:
+        mix_keep = TX.mixture_sample(
+            decon_keep,
+            mixture_fracs,
+            strata_col="lang",
+            key_col="id",
+            salt=mixture_salt,
+            prefilter_margin=2.0,
+        ).select("id", "lang", "text")
+    else:
+        mix_keep = decon_keep
+
+    final = mix_keep.withColumn(
         "split", TX.split_assign(F.col("id"), train=train, val=val)
     )
 
     # ------------------------------------------------------- manifest
-    manifest = (
+    m = (
         flagged.select("id", "q_ok", "l_ok")
         .join(exact.select("id", F.lit(True).alias("e_in"),
                            (F.col("id") == F.col("rep")).alias("e_keep")),
               "id", "left")
         .join(clustered.select("id", "cluster_id"), "id", "left")
-        .join(final.select("id", "split"), "id", "left")
+    )
+    drop = (
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(~F.col("l_ok"), F.lit("language"))
+        .when(~F.coalesce("e_keep", F.lit(False)), F.lit("exact_dup"))
+        .when(F.col("cluster_id") != F.col("id"), F.lit("near_dup"))
+    )
+    if bench_docs is not None:
+        m = m.join(decon_keep.select("id", F.lit(True).alias("d_ok")),
+                   "id", "left")
+        drop = drop.when(
+            F.col("cluster_id").isNotNull()
+            & ~F.coalesce("d_ok", F.lit(False)),
+            F.lit("contaminated"),
+        )
+    if mixture_fracs is not None:
+        m = m.join(mix_keep.select("id", F.lit(True).alias("m_ok")),
+                   "id", "left")
+        drop = drop.when(~F.coalesce("m_ok", F.lit(False)), F.lit("mixture"))
+    manifest = (
+        m.join(final.select("id", "split"), "id", "left")
         .select(
             "id",
             F.col("split").isNotNull().alias("keep"),
-            F.when(~F.col("q_ok"), F.lit("quality"))
-            .when(~F.col("l_ok"), F.lit("language"))
-            .when(~F.coalesce("e_keep", F.lit(False)), F.lit("exact_dup"))
-            .when(F.col("split").isNull(), F.lit("near_dup"))
-            .alias("drop_stage"),
+            drop.alias("drop_stage"),
             "cluster_id",
             "split",
         )
@@ -133,17 +223,47 @@ def curate_corpus(
             F.lit(name).alias("stage"), "n_docs"
         )
 
-    funnel = (
-        stage("0_raw", base)
-        .union(stage("1_quality", quality))
-        .union(stage("2_language", lang_ok))
-        .union(stage("3_exact_dedup", exact_keep))
-        .union(stage("4_near_dup", near_keep))
-        .union(
-            final.groupBy("split")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .select(F.concat(F.lit("5_split:"), F.col("split")).alias("stage"),
-                    "n_docs")
+    parts = [
+        stage("0_raw", base),
+        stage("1_quality", quality),
+        stage("2_language", lang_ok),
+        stage("3_exact_dedup", exact_keep),
+        stage("4_near_dup", near_keep),
+    ]
+    idx = 5
+    if bench_docs is not None:
+        parts.append(stage(f"{idx}_decontam", decon_keep))
+        idx += 1
+    if mixture_fracs is not None:
+        parts.append(stage(f"{idx}_mixture", mix_keep))
+        idx += 1
+    parts.append(
+        final.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.concat(F.lit(f"{idx}_split:"), F.col("split")).alias("stage"),
+            "n_docs",
         )
     )
+    idx += 1
+    if pack_capacity is not None:
+        # chunks per shard = max(chunk_last)+1 = ceil(shard_tokens/cap);
+        # exercises the real pack_chunks prefix-scan path
+        packed = TX.pack_chunks(
+            final.filter(F.col("split") == "train"),
+            capacity=pack_capacity,
+            id_col="id",
+            text_col="text",
+            shards=pack_shards,
+        )
+        parts.append(
+            packed.groupBy("shard")
+            .agg((F.max("chunk_last") + 1).alias("_c"))
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_docs"))
+            .select(F.lit(f"{idx}_pack_chunks").alias("stage"), "n_docs")
+        )
+
+    funnel = parts[0]
+    for p in parts[1:]:
+        funnel = funnel.union(p)
     return manifest, funnel

@@ -1585,18 +1585,69 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     compt AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
     nk AS (
-      SELECT ek.id FROM ek LEFT JOIN compt ON compt.node = ek.id
+      SELECT ek.id, ek.lang, ek.text, ek.w
+      FROM ek LEFT JOIN compt ON compt.node = ek.id
       WHERE COALESCE(compt.cluster_id, ek.id) = ek.id
     ),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, len(bw) - 2),
+               i -> concat_ws(' ', bw[i], bw[i+1], bw[i+2])))) AS gram
+      FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS bw
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE len(bw) >= 3
+    ),
+    cg AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS gram
+      FROM nk WHERE len(w) >= 3
+    ),
+    ch AS (
+      SELECT id FROM cg JOIN bg USING (gram)
+      GROUP BY id HAVING COUNT(DISTINCT gram) >= 2
+    ),
+    dk AS (SELECT * FROM nk WHERE id NOT IN (SELECT id FROM ch)),
+    mb AS (
+      SELECT id, lang, text, w,
+             CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '-mix'), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS bucket,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                       WHEN 'fr' THEN 0.2 END AS frac
+      FROM dk WHERE lang IN ('en', 'de', 'fr')
+    ),
+    mn AS (SELECT lang, COUNT(*) AS n_stratum FROM mb GROUP BY lang),
+    mr AS (
+      SELECT id, lang, text, w, frac,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY bucket ASC, id ASC) AS rk
+      FROM mb
+    ),
+    mk AS (
+      SELECT mr.id, mr.lang, mr.text, mr.w
+      FROM mr JOIN mn USING (lang)
+      WHERE rk <= CAST(ceil(mr.frac * mn.n_stratum) AS BIGINT)
+    ),
     spl AS (
-      SELECT id, CASE WHEN ub < 0.8 THEN 'train'
-                      WHEN ub < 0.9 THEN 'val' ELSE 'test' END AS split
+      SELECT id, w, CASE WHEN ub < 0.8 THEN 'train'
+                         WHEN ub < 0.9 THEN 'val' ELSE 'test' END AS split
       FROM (
-        SELECT id,
+        SELECT id, w,
                CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '-v1'), 1, 8))
                     AS UBIGINT) / 4294967296.0 AS ub
-        FROM nk
+        FROM mk
       )
+    ),
+    pk AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '-pack'),
+                                       1, 8)) AS UBIGINT) % 8 AS INT) AS shard,
+             len(w) AS tok
+      FROM spl WHERE split = 'train' AND len(w) > 0
+    ),
+    pc AS (
+      SELECT CAST(COALESCE(SUM(CAST(ceil(st / 512.0) AS BIGINT)), 0)
+                  AS BIGINT) AS n_chunks
+      FROM (SELECT shard, SUM(tok) AS st FROM pk GROUP BY shard)
     )
     SELECT stage, n_docs FROM (
       SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM u
@@ -1604,23 +1655,38 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT '2_language', COUNT(*) FROM lg
       UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM ek
       UNION ALL SELECT '4_near_dup', COUNT(*) FROM nk
-      UNION ALL SELECT '5_split:' || split, COUNT(*) FROM spl GROUP BY split
+      UNION ALL SELECT '5_decontam', COUNT(*) FROM dk
+      UNION ALL SELECT '6_mixture', COUNT(*) FROM mk
+      UNION ALL SELECT '7_split:' || split, COUNT(*) FROM spl GROUP BY split
+      UNION ALL SELECT '8_pack_chunks', n_chunks FROM pc
     ) ORDER BY stage
     """,
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end curation pipeline (operators/pipeline.py): quality
-    → language → exact dedup → near-dup cluster dedup → split, over the
-    corpus unioned with an id-shifted copy (so exact dedup has real
-    work). Output is the stage funnel; the oracle replays every stage
-    in ANSI SQL including the recursive-CTE connected components."""
+    """The end-to-end curation pipeline (operators/pipeline.py) in its
+    FULL production shape: quality → language → exact dedup → near-dup
+    cluster dedup → benchmark decontamination (docs sharing ≥2 distinct
+    3-grams with the doc_id%97 bench set) → mixture reweighting (en 50%
+    / de 30% / fr 20%, salt 'mix' ≠ split salt so selection and split
+    assignment stay independent) → split → sequence packing of the
+    train split (512-token chunks, 8 shards), over the corpus unioned
+    with an id-shifted copy (so exact dedup has real work). Output is
+    the stage funnel incl. the packed-chunk count; the oracle replays
+    every stage in ANSI SQL including the recursive-CTE connected
+    components."""
     from .operators import pipeline as PL
 
     docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     u = docs.union(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
     )
-    _manifest, funnel = PL.curate_corpus(u)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    _manifest, funnel = PL.curate_corpus(
+        u,
+        bench_docs=bench,
+        mixture_fracs={"en": 0.5, "de": 0.3, "fr": 0.2},
+        pack_capacity=512,
+    )
     return funnel.orderBy("stage")
 
 

@@ -371,3 +371,40 @@ def test_hll_reach_within_10pct_on_fixed_shape(spark):
         assert abs(r["approx"] - r["exact"]) <= 0.1 * r["exact"], (
             r["event_type"], r["exact"], r["approx"],
         )
+
+
+def test_full_funnel_stage_invariants(spark):
+    """Production-shape funnel (decontam + mixture + pack): counts are
+    monotone through the drop stages, mixture quotas are exact per
+    stratum, splits partition the mixture keeps, and the packed-chunk
+    count equals sum-over-shards ceil(shard_tokens/capacity)."""
+    import math
+
+    docs = SRC.load(spark, SF, "documents").select("doc_id", "text", "lang")
+    u = docs.union(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    manifest, funnel = PL.curate_corpus(
+        u,
+        bench_docs=bench,
+        mixture_fracs={"en": 0.5, "de": 0.3, "fr": 0.2},
+        pack_capacity=512,
+    )
+    f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    m = manifest.collect()
+    DD.release_caches()
+    CC.release_caches()
+    assert f["4_near_dup"] >= f["5_decontam"] >= f["6_mixture"]
+    # mixture quota exactness: per-lang kept == ceil(frac * decontam_n)
+    drops = {}
+    for r in m:
+        drops[r["drop_stage"]] = drops.get(r["drop_stage"], 0) + 1
+    assert drops.get("contaminated", 0) == f["4_near_dup"] - f["5_decontam"]
+    assert drops.get("mixture", 0) == f["5_decontam"] - f["6_mixture"]
+    split_total = sum(v for k, v in f.items() if k.startswith("7_split:"))
+    assert split_total == f["6_mixture"] == drops.get(None, 0)
+    assert f["8_pack_chunks"] >= 1
+    # every manifest row still keep XOR drop
+    for r in m:
+        assert r["keep"] == (r["drop_stage"] is None)
