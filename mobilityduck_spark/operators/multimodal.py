@@ -266,12 +266,354 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, frames if ch == 1 else frames.reshape(-1, ch)
 
 
+# ------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81), grayscale, pure stdlib+numpy:
+# 8x8 orthonormal DCT, Annex-K luminance quantization (DC entry set to 8
+# so block-constant content round-trips bit-exactly — see
+# plant_blocky_jpeg), canonical Huffman entropy coding with the Annex-K
+# luminance tables, 0xFF byte stuffing. The decoder reads the DQT/DHT
+# tables FROM the stream (not the encoder's constants), so the marker
+# walk, canonical-code reconstruction, entropy decode, dequantize and
+# IDCT are all load-bearing on real compressed bytes.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K luminance quantization table, with Q[0,0] lowered 16 -> 8:
+# DC = 8*(v-128) for a constant block, so Q[0,0]=8 makes the quantized
+# DC code exactly (v-128) — integer-exact for every v in 0..255.
+_JPEG_QTAB = np.array([
+    [ 8, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+# Annex K luminance Huffman specs: (BITS counts per code length 1..16,
+# symbol values in canonical order)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = np.cos((2 * x + 1) * u * np.pi / 16.0)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_encode_table(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) via canonical construction."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            self._fill()
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_code(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Baseline sequential JPEG encoder for uint8 grayscale (h, w):
+    level shift → 8×8 orthonormal DCT → quantize (_JPEG_QTAB) → zigzag
+    → DC-difference + run-length AC Huffman coding with the Annex-K
+    luminance tables. Edges pad by replication; output decodes in any
+    standards-conformant JPEG decoder."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise NotImplementedError("encode_jpeg: grayscale (h, w) only")
+    h, w = px.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]  # replicate bottom edge
+    padded[:, w:] = padded[:, w - 1 : w]  # replicate right edge
+    padded -= 128.0
+
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz_r, zz_c = _ZIGZAG // 8, _ZIGZAG % 8
+    bwr = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            fq = _DCT_C @ blk @ _DCT_C.T
+            q = np.round(fq / _JPEG_QTAB).astype(np.int64)
+            zz = q[zz_r, zz_c]
+            # DC difference
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            cat = _jpeg_category(diff)
+            code, ln = dc_tab[cat]
+            bwr.write(code, ln)
+            if cat:
+                bwr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            # AC run/size
+            run = 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bwr.write(code, ln)
+                    run -= 16
+                cat = _jpeg_category(v)
+                code, ln = ac_tab[(run << 4) | cat]
+                bwr.write(code, ln)
+                bwr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if run:
+                code, ln = ac_tab[0x00]  # EOB
+                bwr.write(code, ln)
+    bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qzz = _JPEG_QTAB[zz_r, zz_c].astype(np.uint8).tobytes()
+    dqt = seg(0xFFDB, b"\x00" + qzz)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bwr.buf) + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder, grayscale single-scan: marker
+    walk (DQT/SOF0/DHT/SOS), canonical-Huffman entropy decode with the
+    tables READ FROM THE STREAM, dequantize, IDCT, level shift, crop.
+    Multi-component (color), progressive (SOF2), 12-bit, and restart
+    intervals raise NotImplementedError — the documented boundary of the
+    pure-stdlib codec. Returns (h, w) uint8."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, dict] = {}
+    h = w = None
+    comp_q = 0
+    scan_pos = None
+    dc_id = ac_id = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(
+                    body, np.uint8, 64, b + 1
+                ).astype(np.int64)
+                qtabs[tq] = tab.reshape(8, 8)
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "only 8-bit grayscale baseline JPEG supported"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_pos is None or h is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    qt = qtabs[comp_q]
+    dct, act = htabs[(0, dc_id)], htabs[(1, ac_id)]
+    br = _BitReader(data, scan_pos)
+    bh, bw = -(-h // 8), -(-w // 8)
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    zz_r, zz_c = _ZIGZAG // 8, _ZIGZAG % 8
+    pred = 0
+
+    def extend(v: int, cat: int) -> int:
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = br.read_code(dct)
+            diff = extend(br.read(cat), cat) if cat else 0
+            pred += diff
+            zz[0] = pred
+            i = 1
+            while i < 64:
+                sym = br.read_code(act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 0xF
+                i += run
+                if i > 63:
+                    raise ValueError("AC index overflow")
+                zz[i] = extend(br.read(cat), cat)
+                i += 1
+            blk = np.zeros((8, 8), dtype=np.float64)
+            blk[zz_r, zz_c] = zz
+            blk *= qt
+            spat = _DCT_C.T @ blk @ _DCT_C
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spat
+    px = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+    return px[:h, :w]
+
+
 def decode_real(content: bytes, kind: str):
-    """Real codec dispatch by magic bytes: PNG, uncompressed BMP, and
-    PCM WAV decode fully in pure stdlib+numpy (above). Compressed
-    codecs (JPEG/MP3/H.264) need entropy/DCT libraries absent from this
-    container and still raise — callers fall back to the deterministic
-    fake-decode path for those."""
+    """Real codec dispatch by magic bytes: PNG, uncompressed BMP,
+    PCM WAV, and baseline grayscale JPEG decode fully in pure
+    stdlib+numpy (above). MP3/H.264 need full entropy/psychoacoustic
+    codec stacks absent from this container and still raise — callers
+    fall back to the deterministic fake-decode path for those."""
     content = bytes(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
@@ -279,9 +621,12 @@ def decode_real(content: bytes, kind: str):
         return decode_bmp(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "unsupported media container (PNG/BMP/PCM-WAV decode natively; "
-        "JPEG/MP3/H.264 need codec libs not in this environment)"
+        "unsupported media container (PNG/BMP/PCM-WAV/baseline-JPEG "
+        "decode natively; MP3/H.264 need codec libs not in this "
+        "environment)"
     )
 
 
@@ -313,6 +658,64 @@ def plant_gradient_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
     return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def plant_blocky_jpeg(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL baseline JPEG per id with analytically-known
+    content: dims 8·(2+id%3) × 8·(2+id%2), and every 8×8 block constant
+    at value(bx, by) = (5·bx + 11·by + 3·id) % 256. A constant block's
+    DCT is DC-only with DC = 8·(v−128); the quant table's DC entry is 8,
+    so the quantized code is exactly v−128 and the decode reconstructs v
+    bit-exactly — the lossy pipeline becomes lossless on this content
+    BY CONSTRUCTION, which lets an ANSI-SQL oracle recompute every
+    decode statistic from the block formula while the engine runs the
+    full marker-walk → canonical-Huffman → dequantize → IDCT path on
+    genuine entropy-coded bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nbx, nby = 2 + mid % 3, 2 + mid % 2
+                bx = np.arange(nbx, dtype=np.int64)[None, :]
+                by = np.arange(nby, dtype=np.int64)[:, None]
+                vals = (5 * bx + 11 * by + 3 * mid) % 256
+                px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                out.append((mid, encode_jpeg(px)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+REAL_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, hist array<long>"
+)
+
+
+def extract_features_real(media: DataFrame, feat_dim: int = 16) -> DataFrame:
+    """Feature extraction over REAL decoded pixels (decode_real): per
+    image, an integer `feat_dim`-bin histogram of the reconstructed
+    pixel values — integer-exact, so an oracle that knows the expected
+    pixels can recompute the features bin by bin. (The production
+    embedding model is a stand-in histogram here; the contract —
+    Arrow-batched decode → fixed-width feature vector — is the same.)"""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_real(bytes(content), "image")
+                hist, _ = np.histogram(px, bins=feat_dim, range=(0, 256))
+                rows.append(
+                    (int(mid), px.shape[1], px.shape[0],
+                     hist.astype(np.int64).tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "hist"]
+            )
+
+    return media.mapInPandas(op, schema=REAL_FEATURE_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = (

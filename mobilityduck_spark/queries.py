@@ -52,6 +52,9 @@ _DRIVER_PRIORITY = [
     "embed_semantic_dedup",   # registry now passes footer cardinality
     "doc_classifier_score",   # explode_outer total coverage + oracle shape
     "events_user_reach",      # 20% (4-sigma) scale-safe sketch gate
+    "media_jpeg_stats",       # new r6: real baseline-JPEG round-trip oracle
+    "media_features",         # upgraded r6: real-decode histogram oracle
+    "corpus_curation_funnel", # extended r6: decontam+mixture+pack stages
     "bm_q5",                  # planted vehicles enter l2 at tiny SFs
     "bm_q11",                 # plant adds exact-at-probe rows
     # changed in round 5 — must re-prove green
@@ -2258,26 +2261,117 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features", None)  # fake-decode features: rows-only
+@register(
+    "media_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 16
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(2 + media_id % 3 AS INT) AS nbx,
+             CAST(2 + media_id % 2 AS INT) AS nby
+      FROM ids
+    ),
+    bxs AS (SELECT unnest(range(0, 5)) AS x),
+    bys AS (SELECT unnest(range(0, 4)) AS y),
+    blk AS (
+      SELECT d.media_id,
+             (5 * bxs.x + 11 * bys.y + 3 * d.media_id) % 256 AS v
+      FROM dims d, bxs, bys
+      WHERE bxs.x < d.nbx AND bys.y < d.nby
+    ),
+    hist AS (
+      SELECT media_id, CAST(v // 16 AS INT) AS bin,
+             CAST(COUNT(*) * 64 AS BIGINT) AS cnt
+      FROM blk GROUP BY media_id, bin
+    ),
+    bins AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin)
+    SELECT i.media_id, b.bin, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+    FROM ids i CROSS JOIN bins b
+    LEFT JOIN hist h ON h.media_id = i.media_id AND h.bin = b.bin
+    ORDER BY i.media_id, b.bin
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over the synthesized media table
-    (deterministic fake decode — container has no codecs), rolled up per
-    media kind. Exercises the Arrow-batched decode→feature path the
-    driver can smoke-run; features are not ANSI-expressible."""
+    """REAL-decode feature extraction (upgraded from the fake-decode
+    rows-only path in r5): 16 planted baseline JPEGs (block-constant
+    content that round-trips the lossy pipeline bit-exactly — see
+    plant_blocky_jpeg) are entropy-decoded with the pure-stdlib JPEG
+    decoder and reduced to 16-bin pixel histograms; DuckDB recomputes
+    each bin count from the block-value formula. Any Huffman, DQT,
+    zigzag, or IDCT bug shifts pixels across bin boundaries and breaks
+    the counts. The fake-decode path for codecs with no in-container
+    decoder (MP3/H.264) remains available in extract_features."""
     from .operators import multimodal as MM
 
     docs = SRC.load(spark, sf_dir, "documents")
-    media = MM.synthesize_media(docs, "doc_id", "text")
-    feats = MM.extract_features(media, feat_dim=16)
-    return (
-        feats.groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("feat_dim").alias("feat_dim"),
-            F.round(F.avg(F.element_at(F.col("feat"), 1)), 6).alias("avg_f0"),
-        )
-        .orderBy("kind")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(16)
+        .select(F.col("doc_id").alias("media_id"))
     )
+    feats = MM.extract_features_real(MM.plant_blocky_jpeg(ids), feat_dim=16)
+    return (
+        feats.select(
+            "media_id", F.posexplode("hist").alias("bin", "cnt")
+        )
+        .select("media_id", F.col("bin").cast("int").alias("bin"), "cnt")
+        .orderBy("media_id", "bin")
+    )
+
+
+@register(
+    "media_jpeg_stats",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 16
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(2 + media_id % 3 AS INT) AS nbx,
+             CAST(2 + media_id % 2 AS INT) AS nby
+      FROM ids
+    ),
+    bxs AS (SELECT unnest(range(0, 5)) AS x),
+    bys AS (SELECT unnest(range(0, 4)) AS y),
+    blk AS (
+      SELECT d.media_id, d.nbx, d.nby,
+             (5 * bxs.x + 11 * bys.y + 3 * d.media_id) % 256 AS v
+      FROM dims d, bxs, bys
+      WHERE bxs.x < d.nbx AND bys.y < d.nby
+    )
+    SELECT media_id,
+           CAST(nbx * 8 AS INT) AS width,
+           CAST(nby * 8 AS INT) AS height,
+           CAST(COUNT(*) * 64 AS BIGINT) AS n_px,
+           CAST(SUM(v) * 64 AS BIGINT) AS sum_px,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_px
+    FROM blk GROUP BY media_id, nbx, nby ORDER BY media_id
+    """,
+)
+def media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG round-trip with a first-principles oracle (the
+    JPEG sibling of media_decode_stats): the engine encodes genuine
+    entropy-coded JPEG bytes, ships them through a binary media column,
+    and decodes with the pure-stdlib baseline decoder — marker walk,
+    canonical Huffman tables read from the stream, dequantize, IDCT.
+    The planted block-constant content survives quantization exactly
+    (DC-only blocks, Q[0,0]=8), so DuckDB recomputes every statistic
+    relationally from the block formula. Scale shape: narrow
+    TakeOrdered over ids, then embarrassingly parallel mapInPandas."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(16)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    stats = MM.decode_stats(MM.plant_blocky_jpeg(ids))
+    return stats.select(
+        "media_id", "width", "height", "n_px", "sum_px",
+        F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
+        .alias("mean_px"),
+    ).orderBy("media_id")
 
 
 @register(

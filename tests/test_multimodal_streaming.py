@@ -434,3 +434,79 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     cutoff = max_ts - datetime.timedelta(seconds=delay_s + interval_s + 1)
     must_emit = {r for r in batch_outer if ts_by_id[r[1]] < cutoff}
     assert must_emit <= got_outer
+
+
+# ------------------------------------------------------------- JPEG codec
+def test_jpeg_block_constant_exact_round_trip():
+    """Block-constant content is DC-only; with Q[0,0]=8 the quantized DC
+    is exactly v-128, so decode(encode(px)) == px bit-for-bit — the
+    property the media_jpeg_stats / media_features oracles rely on."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    for _ in range(6):
+        nbx, nby = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        vals = rng.integers(0, 256, size=(nby, nbx))
+        px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+        got = MM.decode_jpeg(MM.encode_jpeg(px))
+        assert np.array_equal(got, px)
+
+
+def test_jpeg_smooth_content_error_bound():
+    """General (non-block-constant) content is lossy but bounded: smooth
+    gradients reconstruct within a small quantization error."""
+    import numpy as np
+
+    x = np.arange(48)[None, :]
+    y = np.arange(40)[:, None]
+    px = ((np.sin(x / 5.0) + np.cos(y / 7.0)) * 60 + 128).clip(0, 255)
+    px = px.astype(np.uint8)
+    got = MM.decode_jpeg(MM.encode_jpeg(px))
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert got.shape == px.shape
+    assert err.max() <= 12 and err.mean() < 3.0
+
+
+def test_jpeg_odd_dims_and_byte_stuffing():
+    """Non-multiple-of-8 dims pad by replication and crop back; at least
+    one fixture must produce an 0xFF entropy byte so the stuffing /
+    unstuffing path is exercised."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    stuffed = False
+    for _ in range(40):
+        h, w = int(rng.integers(5, 30)), int(rng.integers(5, 30))
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        data = MM.encode_jpeg(px)
+        scan = data[data.index(b"\xff\xda") + 2 :]
+        if b"\xff\x00" in scan:
+            stuffed = True
+        got = MM.decode_jpeg(data)
+        assert got.shape == (h, w)
+    assert stuffed, "no fixture exercised 0xFF byte stuffing"
+
+
+def test_jpeg_decoder_boundaries():
+    """Unsupported variants fail loudly, not wrongly."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    px = np.zeros((8, 8), np.uint8)
+    data = bytearray(MM.encode_jpeg(px))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        MM.decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError):
+        MM.decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_dispatch_in_decode_real():
+    import numpy as np
+
+    px = (np.ones((16, 16)) * 77).astype(np.uint8)
+    got = MM.decode_real(MM.encode_jpeg(px), "image")
+    assert np.array_equal(got, px)
