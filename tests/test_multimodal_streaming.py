@@ -56,9 +56,11 @@ def test_sample_frames(spark, media):
 
 
 def test_decode_real_unsupported_container_raises():
-    """Compressed codecs (JPEG etc.) remain unsupported; anything that
-    isn't PNG/BMP/WAV magic must raise, not mis-decode."""
+    """Codecs with no in-container decoder (MP3 etc.) must raise, not
+    mis-decode; a truncated-but-magic-matching JPEG fails loudly too."""
     with pytest.raises(NotImplementedError):
+        MM.decode_real(b"\xff\xfb\x90\x44 mp3-ish", "audio")
+    with pytest.raises(ValueError):
         MM.decode_real(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
 
 
