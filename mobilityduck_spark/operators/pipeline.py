@@ -26,6 +26,30 @@ from . import components as CC
 from . import dedup as DD
 from . import text as TX
 
+# stage-boundary persists (released via release_caches, same contract
+# as dedup/components): the funnel output is a UNION of one aggregate
+# per stage, so without a cache each stage re-derives every upstream
+# stage's subtree — the n-gram join + CC closure would run ~5× for the
+# 9-stage production funnel. At 100 TB these are the natural
+# materialization points a real pipeline would write to storage anyway.
+_PERSISTED: list = []
+
+
+def release_caches() -> int:
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    return n
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -101,8 +125,8 @@ def curate_corpus(
     exact = fp.withColumn(
         "rep", F.min("id").over(Window.partitionBy("fp"))
     )
-    exact_keep = exact.filter(F.col("id") == F.col("rep")).select(
-        "id", "lang", "text"
+    exact_keep = _pin(
+        exact.filter(F.col("id") == F.col("rep")).select("id", "lang", "text")
     )
 
     # near-dup clusters over exact survivors: n-gram Jaccard pairs →
@@ -127,8 +151,9 @@ def curate_corpus(
         F.coalesce("component", exact_keep["id"]).alias("cluster_id"),
     )
     near_keep = clustered.filter(F.col("id") == F.col("cluster_id"))
-    # near-dup survivors with text/lang back (clustered carries ids only)
-    kept = exact_keep.join(near_keep.select("id"), "id")
+    # near-dup survivors with text/lang back (clustered carries ids
+    # only); pinned — every later stage and funnel row reads from here
+    kept = _pin(exact_keep.join(near_keep.select("id"), "id"))
 
     # ------------------------- optional stage: benchmark decontamination
     if bench_docs is not None:
@@ -159,20 +184,22 @@ def curate_corpus(
             .filter(F.col("_hits") >= contam_min_hits)
             .select("id")
         )
-        decon_keep = kept.join(contaminated, "id", "left_anti")
+        decon_keep = _pin(kept.join(contaminated, "id", "left_anti"))
     else:
         decon_keep = kept
 
     # ------------------------- optional stage: mixture reweighting
     if mixture_fracs is not None:
-        mix_keep = TX.mixture_sample(
-            decon_keep,
-            mixture_fracs,
-            strata_col="lang",
-            key_col="id",
-            salt=mixture_salt,
-            prefilter_margin=2.0,
-        ).select("id", "lang", "text")
+        mix_keep = _pin(
+            TX.mixture_sample(
+                decon_keep,
+                mixture_fracs,
+                strata_col="lang",
+                key_col="id",
+                salt=mixture_salt,
+                prefilter_margin=2.0,
+            ).select("id", "lang", "text")
+        )
     else:
         mix_keep = decon_keep
 

@@ -46,72 +46,38 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
-    # new / changed in round 6 — must (re-)prove green first
+    # ---- new / changed in round 6 — must (re-)prove green first
     "bm_q12",                 # planted co-located vehicles: non-trivial rows
     "embed_ivf_probe_recall", # new r6: planted-copy partial-probe gate
-    "embed_semantic_dedup",   # registry now passes footer cardinality
-    "doc_classifier_score",   # explode_outer total coverage + oracle shape
-    "events_user_reach",      # 20% (4-sigma) scale-safe sketch gate
     "media_jpeg_stats",       # new r6: real baseline-JPEG round-trip oracle
     "media_features",         # upgraded r6: real-decode histogram oracle
     "corpus_curation_funnel", # extended r6: decontam+mixture+pack stages
-    "bm_q5",                  # planted vehicles enter l2 at tiny SFs
+    "embed_semantic_dedup",   # registry now passes footer cardinality
+    "doc_classifier_score",   # explode_outer total coverage + oracle shape
+    "events_user_reach",      # 20% (4-sigma) scale-safe sketch gate
+    "bm_q5",                  # planted vehicles enter licences2 at tiny SFs
     "bm_q11",                 # plant adds exact-at-probe rows
-    # changed in round 5 — must re-prove green
-    "tpch_q12",               # oracle SUMs cast to BIGINT (HUGEINT hash fix)
-    "doc_stratified_sample",  # two-level rank, prefilter on in registry
-    "doc_mixture_sample",     # two-level rank + per-stratum prefilter
-    "media_decode_stats",     # new r5: real PNG codec round-trip oracle
-    "media_audio_stats",      # new r5: real WAV codec round-trip oracle
-    "embed_pq_recall",        # new r5: PQ/ADC planted-copy recall oracle
-    "doc_bpe_merges",         # new r5: BPE trainer (rows-only, ref-impl gated)
-    "events_enrich",          # new r5: stream-static enrichment join
-    "events_interval_pairs",  # new r5: watermarked stream-stream interval join
-    "embed_semantic_dedup",   # new r5: SemDeDup planted-manifest oracle
-    "doc_classifier_score",   # new r5: broadcast-vocab linear classifier
-    "doc_rollup_stats",       # new r5: single-pass ROLLUP hierarchy
-    "events_user_reach",      # new r5: HLL sketch with exactness gate
-    "events_gapfill_locf",    # new r5: gap-fill + LOCF via as-of
-    # consumers of the r5-rebuilt probe-dim builders (instants1/points1/
-    # licences2 TakeOrdered re-plan) and the bm_q17 max-join re-plan
+    # ---- rest of the bm pack: the shared ping/vehicle sources gained
+    # the q12 plant this round, so every consumer re-proves
     "bm_q1",
+    "bm_q2",
     "bm_q3",
     "bm_q4",
-    "bm_q5",
+    "bm_q6",
     "bm_q7",
-    "bm_q11",
-    "bm_q12",
+    "bm_q8",
+    "bm_q9",
+    "bm_q10",
+    "bm_q13",
+    "bm_q13_poly",
     "bm_q14",
     "bm_q14_poly",
     "bm_q15",
     "bm_q16",
     "bm_q17",
-    # changed/new round 4 — keep inside the window one more round
-    "bm_q13_poly",
-    "bm_q13",
-    "media_stats",
-    "doc_pii_redaction",
-    "at_polygon_duration",
-    "doc_minhash_recall",
-    "doc_simhash_recall",
-    "doc_pack_chunks",
-    "events_sliding",
-    "embed_ivf_full_probe",
-    "doc_gopher_flags",
-    "embed_near_dup_recall",
-    "doc_url_filter",
-    "at_stbox_duration",
-    "at_line_duration",
-    "doc_dup_windows",
-    "embed_sq8_topk",
-    "events_asof_value",
-    "embed_ivf_topk",
-    # TPC-H pack (q12 already listed first)
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
+    # ---- stalest rotation (no driver row since r3/r4; sources
+    # untouched since — pytest replays their oracles each round too)
+    "tpch_q1",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
@@ -127,6 +93,14 @@ _DRIVER_PRIORITY = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "doc_exact_dups",
+    "doc_ngram_jaccard",
+    "doc_dup_clusters",
+    "doc_contamination",
+    "doc_top_ngrams",
+    "embed_topk",
+    "embed_near_dups",
+    "doc_length_quantiles",
 ]
 
 

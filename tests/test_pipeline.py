@@ -20,6 +20,7 @@ def _curated(spark):
     manifest, funnel = PL.curate_corpus(u)
     m = manifest.collect()
     f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    PL.release_caches()
     DD.release_caches()
     CC.release_caches()
     return m, f
@@ -393,6 +394,7 @@ def test_full_funnel_stage_invariants(spark):
     )
     f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
     m = manifest.collect()
+    PL.release_caches()
     DD.release_caches()
     CC.release_caches()
     assert f["4_near_dup"] >= f["5_decontam"] >= f["6_mixture"]
