@@ -360,6 +360,97 @@ def token_windows(toks, w: int = 20) -> Column:
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
+def duplicated_span_stats(
+    docs,
+    k: int = 20,
+    min_occ: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact-substring duplicated-SPAN detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    operator, re-expressed relationally): every k-token window that
+    occurs >= min_occ times anywhere in the corpus marks its token
+    range [pos, pos+k) as duplicated; overlapping/adjacent marked
+    ranges within a document merge into maximal spans (gaps-and-
+    islands), and the output is each document's duplicated-token
+    accounting — exactly what a span-removal pass would cut.
+
+    Returns (id, total_tokens, n_spans, dup_tokens, dup_frac), one row
+    per input document (zero spans for clean or short docs).
+
+    Scale shape: stride-1 rolling k-gram hashes are the relational
+    equivalent of the suffix-array scan — O(total tokens) rows, but
+    each only (id, pos, hash8). The groupBy on the 64-bit hash has
+    map-side partial aggregation (boilerplate grams pre-combine per
+    task); the join-back carries hashes, never gram text. The island
+    merge is a per-document window — bounded by document length, never
+    by corpus size. Matching a duplicated substring of ANY length
+    >= k is guaranteed (it contains a stride-1 window); shorter
+    repeats are intentionally below the resolution, as in the paper."""
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).select(id_col, "_t", F.size("_t").alias("total_tokens"))
+    grams = (
+        toks.filter(F.col("total_tokens") >= k)
+        .select(
+            id_col,
+            F.posexplode(rolling_hash_shingles_from_tokens("_t", k)).alias(
+                "pos", "gh"
+            ),
+        )
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
+    flagged = grams.join(
+        counts.filter(F.col("n_occ") >= min_occ).select("gh"), "gh"
+    ).select(id_col, "pos")
+    wl = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        flagged.withColumn("_prev", F.lag("pos").over(wl))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("_new").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        (F.max("pos") + k - F.min("pos")).alias("_len")
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_len").alias("dup_tokens"),
+    )
+    return (
+        toks.drop("_t")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            # greatest(coalesce(total,0),1): NULL-text docs divide by 1
+            # in BOTH engines (engines disagree on greatest(NULL, 1))
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(
+                    F.coalesce(F.col("total_tokens"), F.lit(0)), F.lit(1)
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def _two_level_rank(base, strata_col: str, key_col: str):
     """Exact within-stratum rank by (bucket, key) WITHOUT a full-stratum
     sort — the scale-safe replacement for row_number() over

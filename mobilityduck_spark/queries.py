@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None):
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
     "bm_q12",                 # planted co-located vehicles: non-trivial rows
+    "doc_dup_spans",          # new r6: Lee-et-al duplicated-span removal
     "embed_ivf_probe_recall", # new r6: planted-copy partial-probe gate
     "media_jpeg_stats",       # new r6: real baseline-JPEG round-trip oracle
     "media_features",         # upgraded r6: real-decode histogram oracle
@@ -2650,6 +2651,69 @@ def doc_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_dup_spans",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(w, i, i + 19), ' ') AS gram
+      FROM d, UNNEST(generate_series(1, len(w) - 19)) AS t(i)
+      WHERE len(w) >= 20
+    ),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    f AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+    l AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM f
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > 20
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM l
+    ),
+    sp AS (
+      SELECT doc_id, island, MAX(pos) + 20 - MIN(pos) AS len
+      FROM isl GROUP BY doc_id, island
+    ),
+    a AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(len) AS dup_tokens
+      FROM sp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)
+                 / GREATEST(COALESCE(len(d.w), 0), 1), 6) AS dup_frac
+    FROM d LEFT JOIN a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated-span accounting (Lee et al. 2022,
+    arXiv:2107.06499, re-expressed relationally): stride-1 20-token
+    rolling hashes mark every window occurring >= 2 times corpus-wide;
+    marked ranges merge into maximal spans per document (gaps-and-
+    islands); one row per doc with the token mass a span-removal pass
+    would cut. The oracle recomputes the same spans from the gram
+    STRINGS while the engine shuffles only 8-byte xxhash64 keys —
+    value-identical barring 64-bit hash collisions."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.duplicated_span_stats(docs, k=20, min_occ=2).orderBy(
+        "doc_id"
     )
 
 

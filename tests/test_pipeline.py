@@ -159,6 +159,34 @@ def test_token_windows_edges(spark):
     assert got[2] == []
 
 
+def test_duplicated_span_stats_planted(spark):
+    from mobilityduck_spark.operators import text as TX
+
+    rows = [
+        # shares "v w x y z" and "a b c" with doc 2, separated by a
+        # >k gap of unique fillers -> two maximal spans
+        (1, "v w x y z T1 T2 T3 T4 a b c"),
+        (2, "a b c q1 q2 q3 q4 v w x y z"),
+        # within-doc repeat: the k-gram "m n o" occurs twice (gap == k
+        # merges), so the whole doc is one duplicated span
+        (3, "m n o m n o"),
+        (4, "g h i j"),          # clean
+        (5, "zz yy"),            # shorter than k -> no windows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["total_tokens"], r["n_spans"], r["dup_tokens"], r["dup_frac"]
+        )
+        for r in TX.duplicated_span_stats(df, k=3, min_occ=2).collect()
+    }
+    assert got[1] == (12, 2, 8, round(8 / 12, 6))
+    assert got[2] == (12, 2, 8, round(8 / 12, 6))
+    assert got[3] == (6, 1, 6, 1.0)
+    assert got[4] == (4, 0, 0, 0.0)
+    assert got[5] == (2, 0, 0, 0.0)
+
+
 def test_stratified_sample_quota_property(spark):
     """Randomized property: for random strata sizes and fractions, every
     stratum keeps EXACTLY ceil(frac*n) rows, the kept set is identical
