@@ -633,6 +633,102 @@ def mixture_sample(
     )
 
 
+def _mg_trim(counts: dict, cap: int) -> dict:
+    """One Misra-Gries decrement round: subtract the (cap+1)-th largest
+    counter value from every counter and drop the non-positive ones —
+    at most `cap` survive. Each round removes >= (cap+1)*m of total
+    counted mass while undercounting any single item by <= m, so the
+    cumulative undercount within a partition is <= n_p / (cap + 1)."""
+    vals = sorted(counts.values(), reverse=True)
+    m = vals[cap]
+    return {g: c - m for g, c in counts.items() if c > m}
+
+
+def heavy_ngrams_exact(
+    docs,
+    n: int = 2,
+    threshold_frac: float = 0.001,
+    capacity: int | None = None,
+    text_col: str = "text",
+):
+    """EXACT corpus-wide heavy n-grams (every gram with >=
+    ceil(threshold_frac * total_grams) occurrences, with its exact
+    count) computed WITHOUT shuffling the full gram-frequency table.
+
+    Two passes over one cached scan shape:
+      1. A per-partition Misra-Gries summary (mergeable-sketch
+         guarantee: any gram with global frequency > N/(cap+1) survives
+         in at least one partition's summary — pigeonhole over the
+         per-partition bounds) emits a bounded candidate set:
+         <= capacity rows per partition, vs the full distinct-gram
+         domain a groupBy would shuffle.
+      2. One relational pass recounts ONLY candidates exactly: grams
+         left-join the broadcast candidate set, non-candidates collapse
+         into a single NULL group (map-side partial agg folds them to
+         one row per task before the shuffle), so the shuffle carries
+         |candidates| + 1 keys. The exact total N for the threshold
+         comes from a separate cheap aggregate of per-doc token counts
+         (sum of size-n+1) — a text-column-only scan with no explode
+         and no Python, deliberately NOT a second reference to the
+         counting subtree: plan-identical subtrees do not reliably get
+         ReusedExchange through mapInPandas, and a second reference
+         would run the sketch pass twice.
+
+    With capacity >= ceil(1.2/threshold_frac) (the default) the sketch
+    superset is guaranteed, and the recount makes the final set and
+    counts EXACT — equal to GROUP BY ... HAVING, which is the oracle.
+    Arrow-side work is per-batch value_counts + a bounded dict merge,
+    never per-occurrence Python."""
+    import math
+
+    import pandas as pd
+
+    cap = capacity if capacity is not None else int(math.ceil(1.2 / threshold_frac))
+    toks = docs.select(tokens(text_col).alias("_t"))
+    grams = toks.select(F.explode(word_ngrams("_t", n)).alias("gram"))
+
+    def mg_op(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for g, c in pdf["gram"].value_counts().items():
+                counts[g] = counts.get(g, 0) + int(c)
+            if len(counts) > 2 * cap:
+                counts = _mg_trim(counts, cap)
+        if len(counts) > cap:
+            counts = _mg_trim(counts, cap)
+        yield pd.DataFrame({"gram": list(counts.keys())})
+
+    cand = grams.mapInPandas(mg_op, schema="gram string").distinct()
+    marked = grams.join(
+        F.broadcast(cand.withColumn("_hh", F.lit(1))), "gram", "left"
+    )
+    counts2 = (
+        marked.select(
+            F.when(F.col("_hh") == 1, F.col("gram")).alias("g2")
+        )
+        .groupBy("g2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = toks.agg(
+        F.sum(
+            F.when(
+                F.size("_t") >= n, F.size("_t") - (n - 1)
+            ).otherwise(0)
+        ).alias("N")
+    )
+    return (
+        counts2.filter(F.col("g2").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cnt") >= F.ceil(F.lit(threshold_frac) * F.col("N"))
+        )
+        .select(
+            F.col("g2").alias("gram"), F.col("cnt").cast("long").alias("cnt")
+        )
+        .orderBy(F.col("cnt").desc(), "gram")
+    )
+
+
 def max_ngram_count_udf(n: int = 2):
     """Highest occurrence count of any single word n-gram within ONE
     document — an Arrow-batched kernel over the materialized token

@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
     "bm_q12",                 # planted co-located vehicles: non-trivial rows
     "doc_dup_spans",          # new r6: Lee-et-al duplicated-span removal
+    "doc_heavy_ngrams",       # new r6: Misra-Gries exact heavy hitters
     "embed_ivf_probe_recall", # new r6: planted-copy partial-probe gate
     "media_jpeg_stats",       # new r6: real baseline-JPEG round-trip oracle
     "media_features",         # upgraded r6: real-decode histogram oracle
@@ -1283,6 +1284,40 @@ def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(50)
     )
+
+
+@register(
+    "doc_heavy_ngrams",
+    r"""
+    WITH d AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM d WHERE len(w) >= 2
+    ),
+    n AS (SELECT COUNT(*) AS total FROM g)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM g GROUP BY gram
+    HAVING COUNT(*) >= CEIL(0.001 * (SELECT total FROM n))
+    ORDER BY cnt DESC, gram ASC
+    """,
+)
+def doc_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter bigrams (>= 0.1% of all gram occurrences,
+    exact counts) via a two-pass Misra-Gries plan: per-partition
+    mergeable MG summaries bound the candidate set (guaranteed
+    superset of the heavy set), then one relational pass recounts only
+    candidates — non-candidates fold into a single NULL group
+    map-side, so the shuffle carries |candidates|+1 keys instead of
+    the full distinct-gram domain a plain GROUP BY ... HAVING (the
+    oracle) would move. Same result, exactly."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.heavy_ngrams_exact(docs, n=2, threshold_frac=0.001)
 
 
 @register(

@@ -187,6 +187,61 @@ def test_duplicated_span_stats_planted(spark):
     assert got[5] == (2, 0, 0, 0.0)
 
 
+def test_heavy_ngrams_exact_with_forced_trims(spark):
+    """A tiny Misra-Gries capacity forces real decrement rounds across
+    several partitions; the recount pass must still produce exactly the
+    GROUP BY / HAVING answer (sketch superset + exact recount)."""
+    import random
+
+    from mobilityduck_spark.operators import text as TX
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    # skewed corpus: grams led by "hot hot" dominate
+    rows = []
+    for d in range(40):
+        toks = ["hot", "hot"] * rng.randint(1, 6) + [
+            rng.choice(vocab) for _ in range(rng.randint(5, 30))
+        ]
+        rng.shuffle(toks)
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+
+    frac = 0.02
+    got = [
+        (r["gram"], r["cnt"])
+        for r in TX.heavy_ngrams_exact(
+            df, n=2, threshold_frac=frac, capacity=51  # > 1/frac, tiny
+        ).collect()
+    ]
+    # exact reference via plain relational groupBy
+    toks = df.select(TX.tokens("text").alias("_t"))
+    grams = toks.select(F.explode(TX.word_ngrams("_t", 2)).alias("gram"))
+    n_total = grams.count()
+    import math
+
+    thr = math.ceil(frac * n_total)
+    want = [
+        (r["gram"], r["count"])
+        for r in grams.groupBy("gram")
+        .count()
+        .filter(F.col("count") >= thr)
+        .orderBy(F.col("count").desc(), "gram")
+        .collect()
+    ]
+    assert got == want and len(want) > 0
+
+
+def test_mg_trim_bounds(spark):
+    from mobilityduck_spark.operators.text import _mg_trim
+
+    counts = {f"g{i}": i + 1 for i in range(10)}  # 1..10
+    out = _mg_trim(dict(counts), cap=3)
+    # (cap+1)-th largest = 7 subtracted; only 8,9,10 survive
+    assert out == {"g7": 1, "g8": 2, "g9": 3}
+    assert len(out) <= 3
+
+
 def test_stratified_sample_quota_property(spark):
     """Randomized property: for random strata sizes and fractions, every
     stratum keeps EXACTLY ceil(frac*n) rows, the kept set is identical
