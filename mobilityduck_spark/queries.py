@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "bm_q12",                 # planted co-located vehicles: non-trivial rows
     "doc_dup_spans",          # new r6: Lee-et-al duplicated-span removal
     "doc_heavy_ngrams",       # new r6: Misra-Gries exact heavy hitters
+    "events_cube_stats",      # new r6: single-pass CUBE grouping sets
     "embed_ivf_probe_recall", # new r6: planted-copy partial-probe gate
     "media_jpeg_stats",       # new r6: real baseline-JPEG round-trip oracle
     "media_features",         # upgraded r6: real-decode histogram oracle
@@ -1831,6 +1832,49 @@ def doc_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "total_chars",
         )
+    )
+
+
+@register(
+    "events_cube_stats",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(EXTRACT(hour FROM ts) AS BIGINT), -1) AS hr,
+           CAST(GROUPING(event_type, EXTRACT(hour FROM ts)) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, EXTRACT(hour FROM ts))
+    ORDER BY gid, event_type, hr
+    """,
+)
+def events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, hour-of-day) — all four grouping
+    sets (detail, per-type, per-hour, grand total) in ONE scan: the
+    CUBE sibling of doc_rollup_stats. Catalyst's Expand fans each row
+    to its 4 grouping sets BEFORE partial aggregation, so map-side
+    combine still applies per set and the shuffle carries only group
+    keys — at 100 TB this replaces four separate aggregations without
+    reading the table four times. grouping_id separates subtotal rows
+    from literal values."""
+    ev = SRC.load(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    return (
+        ev.cube("event_type", hr.alias("h"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("h").cast("long"), F.lit(-1)).alias("hr"),
+            "gid",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("gid", "event_type", "hr")
     )
 
 
