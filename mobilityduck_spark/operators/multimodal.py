@@ -243,6 +243,210 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return px[::-1] if h > 0 else px  # bottom-up -> top-down
 
 
+# ------------------------------------------------------------- GIF
+# GIF87a with a 256-entry grayscale global color table and standard
+# variable-width LZW (9->12 bits, LSB-first packing, CLEAR/EOI codes,
+# dictionary reset at 4096, no early-change) — a REAL dictionary
+# compression round-trip in pure stdlib, complementing PNG's zlib
+# (Huffman+LZ77) and JPEG's entropy coding.
+
+
+def _lzw_compress(data: bytes, min_code: int = 8) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, w: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += w
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear, width)
+    w_seq = b""
+    for b in data:
+        wk = w_seq + bytes([b])
+        if wk in table:
+            w_seq = wk
+            continue
+        emit(table[w_seq], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            # dictionary full: reset (decoder mirrors on CLEAR)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code + 1
+        w_seq = bytes([b])
+    if w_seq:
+        emit(table[w_seq], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code: int = 8) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = acc = n_bits = 0
+
+    def read(w: int) -> int:
+        nonlocal pos, acc, n_bits
+        while n_bits < w:
+            if pos >= len(data):
+                return eoi
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        v = acc & ((1 << w) - 1)
+        acc >>= w
+        n_bits -= w
+        return v
+
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # the decoder assigns each entry one code LATER than the
+            # encoder did (it needs the next code's first byte), so it
+            # must widen one entry early to read the first wider code
+            # at the encoder's width
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """GIF87a encoder for uint8 grayscale (h, w): identity 256-gray
+    global color table, one image, standard GIF LZW with 255-byte
+    sub-block chunking."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_compress(px.reshape(-1).tobytes())
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + b"\x08"  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF decoder: header walk -> global color table -> de-chunk the
+    image sub-blocks -> LZW decompress -> palette lookup. Supports
+    87a/89a single-image grayscale-palette files (the planted class);
+    interlace and local color tables raise — the documented boundary."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension block: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _l, _t, w, h, ipk = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            if ipk & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if ipk & 0x80:
+                raise NotImplementedError("local color table unsupported")
+            min_code = data[pos + 10]
+            pos += 11
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(lzw), min_code), np.uint8
+            )[: w * h].reshape(h, w)
+            if gct is None:
+                raise NotImplementedError("GIF without global color table")
+            return gct[idx, 0]  # grayscale palette: r == g == b
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image")
+
+
+# ----------------------------------------------------------- mu-law
+# G.711-style mu-law companding (2:1 logarithmic audio compression):
+# 8-bit codes <-> 14-bit-magnitude int16 samples. Stateless per-sample
+# transform, so the decode expansion has a closed integer form an
+# ANSI-SQL oracle can recompute (unlike adaptive codecs such as ADPCM,
+# whose per-sample state machine is not relationally expressible).
+
+_MULAW_BIAS = 0x84  # 132
+
+
+def mulaw_decode_np(codes: np.ndarray) -> np.ndarray:
+    c = (~codes.astype(np.int64)) & 0xFF
+    exp = (c >> 4) & 0x07
+    man = c & 0x0F
+    mag = (((man << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(c & 0x80, -mag, mag).astype(np.int16)
+
+
+def mulaw_encode_np(samples: np.ndarray) -> np.ndarray:
+    s = np.clip(samples.astype(np.int64), -32635, 32635)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.abs(s) + _MULAW_BIAS
+    exp = (np.floor(np.log2(mag)).astype(np.int64) - 7).clip(0, 7)
+    man = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | man)) & 0xFF).astype(np.uint8)
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """PCM WAV (RIFF) decoder: returns (sample_rate, samples) with
     samples int16 (n,) mono or (n, ch)."""
@@ -250,17 +454,25 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, rate, ch, bits, frames = 12, None, None, None, None
+    pos, rate, ch, fmt, frames = 12, None, None, None, None
+    raw = None
     while pos + 8 <= len(data):
         tag, ln = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
             fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if fmt != 1 or bits != 16:
-                raise NotImplementedError("only 16-bit PCM WAV supported")
+            if (fmt, bits) not in ((1, 16), (7, 8)):
+                raise NotImplementedError(
+                    "only 16-bit PCM or 8-bit mu-law WAV supported"
+                )
         elif tag == b"data":
-            frames = np.frombuffer(body, dtype="<i2")
+            raw = body
         pos += 8 + ln + (ln & 1)
+    if raw is not None and fmt is not None:
+        if fmt == 7:  # mu-law: expand codes to int16 PCM
+            frames = mulaw_decode_np(np.frombuffer(raw, dtype=np.uint8))
+        else:
+            frames = np.frombuffer(raw, dtype="<i2")
     if rate is None or frames is None:
         raise ValueError("WAV missing fmt/data chunk")
     return rate, frames if ch == 1 else frames.reshape(-1, ch)
@@ -610,10 +822,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def decode_real(content: bytes, kind: str):
     """Real codec dispatch by magic bytes: PNG, uncompressed BMP,
-    PCM WAV, and baseline grayscale JPEG decode fully in pure
-    stdlib+numpy (above). MP3/H.264 need full entropy/psychoacoustic
-    codec stacks absent from this container and still raise — callers
-    fall back to the deterministic fake-decode path for those."""
+    GIF (LZW), PCM and mu-law WAV, and baseline grayscale JPEG decode
+    fully in pure stdlib+numpy (above). MP3/H.264 need full
+    entropy/psychoacoustic codec stacks absent from this container and
+    still raise — callers fall back to the deterministic fake-decode
+    path for those."""
     content = bytes(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
@@ -623,10 +836,12 @@ def decode_real(content: bytes, kind: str):
         return decode_wav(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     raise NotImplementedError(
-        "unsupported media container (PNG/BMP/PCM-WAV/baseline-JPEG "
-        "decode natively; MP3/H.264 need codec libs not in this "
-        "environment)"
+        "unsupported media container (PNG/BMP/GIF/PCM+mu-law-WAV/"
+        "baseline-JPEG decode natively; MP3/H.264 need codec libs not "
+        "in this environment)"
     )
 
 
@@ -683,6 +898,61 @@ def plant_blocky_jpeg(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 vals = (5 * bx + 11 * by + 3 * mid) % 256
                 px = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
                 out.append((mid, encode_jpeg(px)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def plant_gradient_gif(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL GIF87a per id with analytically-known content:
+    dims (14 + id%18) x (10 + id%14), pixel(x, y) = (5x + 11y + 7·id)
+    % 256. Same oracle contract as plant_gradient_png, but the decode
+    path is dictionary (LZW) decompression + palette lookup instead of
+    inflate + defilter — the third distinct compression family under
+    real-codec test (zlib, DCT-entropy, LZW)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 14 + mid % 18, 10 + mid % 14
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((5 * x + 11 * y + 7 * mid) % 256).astype(np.uint8)
+                out.append((mid, encode_gif(px)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def plant_mulaw_wav(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL mu-law (G.711-style, fmt tag 7) WAV per id:
+    rate 8000, n = 3000 + (id%7)*300, code byte(i) = (5i + 7·id) % 256.
+    Because mu-law expansion is a STATELESS closed integer form, an
+    ANSI oracle can recompute the expanded int16 samples directly from
+    the code formula — the engine meanwhile parses a genuine RIFF
+    container whose fmt chunk selects the companded decode path."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 3000 + (mid % 7) * 300
+                i = np.arange(n, dtype=np.int64)
+                codes = ((5 * i + 7 * mid) % 256).astype(np.uint8)
+                data = codes.tobytes()
+                fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                out.append((mid, wav))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
     return ids.mapInPandas(op, schema="media_id long, content binary")

@@ -51,6 +51,8 @@ _DRIVER_PRIORITY = [
     "doc_dup_spans",          # new r6: Lee-et-al duplicated-span removal
     "doc_heavy_ngrams",       # new r6: Misra-Gries exact heavy hitters
     "events_cube_stats",      # new r6: single-pass CUBE grouping sets
+    "media_gif_stats",        # new r6: real GIF/LZW round-trip oracle
+    "media_mulaw_stats",      # new r6: real mu-law companding oracle
     "embed_ivf_probe_recall", # new r6: planted-copy partial-probe gate
     "media_jpeg_stats",       # new r6: real baseline-JPEG round-trip oracle
     "media_features",         # upgraded r6: real-decode histogram oracle
@@ -2426,6 +2428,110 @@ def media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
         .alias("mean_px"),
     ).orderBy("media_id")
+
+
+@register(
+    "media_gif_stats",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 18
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(14 + media_id % 18 AS INT) AS width,
+             CAST(10 + media_id % 14 AS INT) AS height
+      FROM ids
+    ),
+    xs AS (SELECT unnest(range(0, 32)) AS x),
+    ys AS (SELECT unnest(range(0, 24)) AS y),
+    px AS (
+      SELECT d.media_id, d.width, d.height,
+             (5 * xs.x + 11 * ys.y + 7 * d.media_id) % 256 AS v
+      FROM dims d, xs, ys
+      WHERE xs.x < d.width AND ys.y < d.height
+    )
+    SELECT media_id, width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_px
+    FROM px GROUP BY media_id, width, height ORDER BY media_id
+    """,
+)
+def media_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF/LZW round-trip with a first-principles oracle (the third
+    compression family under real-codec test, after PNG's zlib and
+    JPEG's DCT+Huffman): the engine encodes genuine GIF87a bytes —
+    variable-width LZW, sub-block chunking, grayscale color table —
+    ships them through a binary column, and decodes with the
+    pure-stdlib LZW decoder; DuckDB recomputes every statistic from
+    the planted pixel formula. Any bit-packing, width-bump, or
+    dictionary-reset bug in the LZW pair breaks the sums."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(18)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    stats = MM.decode_stats(MM.plant_gradient_gif(ids))
+    return stats.select(
+        "media_id", "width", "height", "n_px", "sum_px",
+        F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
+        .alias("mean_px"),
+    ).orderBy("media_id")
+
+
+@register(
+    "media_mulaw_stats",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 14
+    ),
+    dims AS (
+      SELECT media_id, 3000 + (media_id % 7) * 300 AS n FROM ids
+    ),
+    idx AS (SELECT unnest(range(0, 4800)) AS i),
+    c AS (
+      SELECT d.media_id, d.n,
+             255 - ((5 * idx.i + 7 * d.media_id) % 256) AS c2
+      FROM dims d, idx
+      WHERE idx.i < d.n
+    ),
+    s AS (
+      SELECT media_id, n,
+             CASE WHEN c2 >= 128 THEN
+               -(((c2 % 16) * 8 + 132) * (1 << ((c2 // 16) % 8)) - 132)
+             ELSE
+               (((c2 % 16) * 8 + 132) * (1 << ((c2 // 16) % 8)) - 132)
+             END AS v
+      FROM c
+    )
+    SELECT media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_samples
+    FROM s GROUP BY media_id, n ORDER BY media_id
+    """,
+)
+def media_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio round-trip: 14 planted G.711-style mu-law WAVs
+    (fmt tag 7, 8-bit companded codes). The engine parses the RIFF
+    container, selects the companded decode path from the fmt chunk,
+    and expands codes to int16 PCM; because mu-law expansion is a
+    stateless closed integer form, DuckDB recomputes the expanded
+    samples directly from the planted code formula — sign, exponent
+    segment, and mantissa arithmetic all load-bearing."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(14)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return (
+        MM.audio_stats(MM.plant_mulaw_wav(ids))
+        .orderBy("media_id")
+    )
 
 
 @register(

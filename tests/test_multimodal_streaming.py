@@ -512,3 +512,90 @@ def test_jpeg_dispatch_in_decode_real():
     px = (np.ones((16, 16)) * 77).astype(np.uint8)
     got = MM.decode_real(MM.encode_jpeg(px), "image")
     assert np.array_equal(got, px)
+
+
+def test_lzw_round_trip_stress():
+    """GIF LZW pair: width bumps (9->12), KwKwK case, dictionary reset
+    past 4096 entries, empty and single-byte streams."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),
+        bytes(2000),                       # constant -> KwKwK chains
+        b"abababab" * 100,
+        rng.integers(0, 8, 120_000, dtype=np.uint8).tobytes(),  # resets
+        b"", b"\x42",
+    ]
+    for data in cases:
+        assert MM._lzw_decompress(MM._lzw_compress(data)) == data
+
+
+def test_gif_round_trip_and_dispatch():
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    for shape in [(10, 14), (33, 27), (300, 400)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = MM.decode_real(MM.encode_gif(px), "image")
+        assert out.shape == shape and (out == px).all()
+
+
+def test_gif_decoder_boundaries():
+    import numpy as np
+
+    import pytest as _pytest
+
+    px = np.zeros((4, 4), np.uint8)
+    data = bytearray(MM.encode_gif(px))
+    # image descriptor starts after header(13) + GCT(768); set the
+    # interlace flag in its packed byte
+    i = 13 + 768
+    assert data[i] == 0x2C
+    data[i + 9] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        MM.decode_gif(bytes(data))
+    with _pytest.raises(ValueError):
+        MM.decode_gif(b"NOTAGIF!")
+
+
+def test_mulaw_codec_properties():
+    """All 256 codes round-trip canonically (except code 127, the
+    standard negative-zero alias of 255), and encode->decode of
+    arbitrary samples stays within the segment quantization step."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    re = MM.mulaw_encode_np(MM.mulaw_decode_np(codes))
+    mism = np.nonzero(re != codes)[0]
+    assert list(mism) == [127]  # -0 encodes as +0 (0xFF)
+    assert MM.mulaw_decode_np(np.array([127], np.uint8))[0] == 0
+
+    rng = np.random.default_rng(2)
+    s = rng.integers(-32000, 32000, 20000).astype(np.int16)
+    d = MM.mulaw_decode_np(MM.mulaw_encode_np(s)).astype(np.int64)
+    err = np.abs(d - s.astype(np.int64))
+    bound = (np.abs(s.astype(np.int64)) + 132) / 16 + 4
+    assert (err <= bound).all()
+
+
+def test_mulaw_wav_container_round_trip():
+    """A planted fmt-7 RIFF container decodes through decode_real to
+    the closed-form expansion of its code bytes."""
+    import struct
+
+    import numpy as np
+
+    codes = ((5 * np.arange(900, dtype=np.int64) + 21) % 256).astype(
+        np.uint8
+    )
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = codes.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, samples = MM.decode_real(wav, "audio")
+    assert rate == 8000
+    assert np.array_equal(samples, MM.mulaw_decode_np(codes))
