@@ -26,10 +26,15 @@ def main() -> None:
             qs[name](spark, sf_dir).explain("formatted")
         # timer covers the BUILD too: queries with eager construction
         # work (sample collects, k-means fits, CC checkpoint rounds)
-        # would otherwise escape the measurement
+        # would otherwise escape the measurement. Force with the noop
+        # SINK, matching bench.py — count() lets Catalyst ELIMINATE
+        # left joins against unique-key aggregates, so count-timings
+        # of such plans (e.g. doc_dup_spans) are fiction.
         t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        print(f"{name}: {time.perf_counter() - t0:.3f}s rows={n}")
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(f"{name}: {dt:.3f}s rows={df.count()}")
 
 
 if __name__ == "__main__":

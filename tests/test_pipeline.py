@@ -233,12 +233,14 @@ def test_heavy_ngrams_exact_with_forced_trims(spark):
 
 
 def test_mg_trim_bounds(spark):
+    import pandas as pd
+
     from mobilityduck_spark.operators.text import _mg_trim
 
-    counts = {f"g{i}": i + 1 for i in range(10)}  # 1..10
-    out = _mg_trim(dict(counts), cap=3)
+    counts = pd.Series({f"g{i}": i + 1 for i in range(10)})  # 1..10
+    out = _mg_trim(counts, cap=3)
     # (cap+1)-th largest = 7 subtracted; only 8,9,10 survive
-    assert out == {"g7": 1, "g8": 2, "g9": 3}
+    assert out.to_dict() == {"g7": 1, "g8": 2, "g9": 3}
     assert len(out) <= 3
 
 
