@@ -1,0 +1,267 @@
+"""Corpus retrieval and language-model scoring operators.
+
+Training-data pipelines need lightweight retrieval and LM-based quality
+signals next to dedup/filtering: BM25 lookup of corpus documents against
+probe queries (contamination auditing, eval-set mining), a smoothed
+n-gram language model scored over every document (perplexity-style
+quality filtering, the classic KenLM gate), PMI collocation mining
+(boilerplate/template discovery), and weighted sampling (quality-
+weighted corpus mixing). None of these exist in the reference engine
+(it is a spatiotemporal engine); they extend the LLM-pipeline operator
+set the brief requires, with full cross-engine oracles.
+
+Cross-engine float determinism contract (same trick throughout this
+repo): every per-row transcendental result is quantized to an exact
+BIGINT micro-unit (round(x * 1e6)) BEFORE any aggregation, so sums are
+exact integer arithmetic and independent of aggregation order. The only
+residual engine dependence is a 1-ulp difference in ln() landing a
+value exactly on a .5 micro-unit boundary (P ~ 1e-10 per value; inputs
+are fixed per scale factor, so a green oracle stays green).
+
+Scale shape (100 TB):
+- bm25_topk: postings are semi-joined against the (broadcast) query
+  term set BEFORE the tf shuffle, so the corpus-scale explode never
+  shuffles — only query-term postings do. df/idf tables are O(|query
+  terms|) and broadcast. Top-k per query is a window over the scored
+  (query, doc) pairs, partitioned by query.
+- bigram_lm_scores: two corpus-histogram shuffles (bigram counts,
+  unigram counts) sized by the gram DOMAIN (vocab^2 bounded), then the
+  per-occurrence score join is an equi-join on the gram key.
+- pmi_bigrams: one bigram histogram; margins derive from the histogram
+  itself (vocab-sized), never from a second corpus pass.
+- weighted_sample: Efraimidis-Spirakis exponential race with
+  engine-portable md5 uniforms; TakeOrderedAndProject (per-partition
+  top-k, no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as TX
+
+
+def _md5_uniform(key: Column, salt: str) -> Column:
+    """Deterministic u in (0, 1): (md5_32bit + 0.5) / 2^32. The +0.5
+    keeps u strictly positive so ln(u) is finite. Engine-portable
+    (identical in DuckDB via CAST('0x'||substr(md5(..)) AS UBIGINT))."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit("-" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", TX.tokens("text").alias("w")
+    ).where(F.col("w").isNotNull())
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval of corpus docs for a literal query set.
+
+    Lucene idf form: ln(1 + (N - df + 0.5) / (df + 0.5)), tf norm
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Each (term, doc)
+    contribution is quantized to micro-units; the doc score is the
+    exact BIGINT sum. Returns (query_id, rnk, doc_id, score_micro),
+    row_number-ranked per query (score desc, doc_id asc tiebreak).
+
+    Plan: corpus explode -> broadcast semi-join on query terms (the
+    corpus-volume reduction happens BEFORE any shuffle) -> tf groupBy
+    on the surviving postings -> broadcast df/query/stat dims ->
+    per-query window top-k.
+    """
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    toks = _doc_tokens(docs).select("doc_id", "w", F.size("w").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+    qterms = qdf.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    ).distinct()
+    terms = qterms.select("term").distinct()
+
+    post = toks.select(
+        "doc_id", "dl", F.explode("w").alias("term")
+    ).join(F.broadcast(terms), "term")
+    tf = post.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    tfd, dfd = F.col("tf").cast("double"), F.col("df").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (dfd + F.lit(0.5))
+    )
+    tfn = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl))
+    )
+    term_micro = F.round(idf * tfn * F.lit(1000000.0)).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", term_micro.alias("term_micro"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_micro").alias("score_micro"))
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_micro")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Add-one-smoothed bigram LM trained on the corpus and scored over
+    every document (the KenLM-style quality gate, exact-arithmetic
+    form): lp(w1 w2) = ln((C(w1w2) + 1) / (C(w1) + V)), quantized to
+    micro-units per bigram occurrence and summed exactly per doc.
+
+    Returns (doc_id, n_bigrams, sum_lp_micro, avg_lp); docs with fewer
+    than 2 tokens (incl. NULL text) have no bigrams and are absent, on
+    both engines.
+
+    Plan: one corpus pass builds the bigram histogram, whose LEFT margin
+    (vocab-sized, derived from the histogram) would undercount final
+    tokens — so unigram counts get their own corpus histogram; both are
+    domain-sized (vocab, vocab^2). Scoring is an equi-join of exploded
+    doc bigrams against the broadcast-or-shuffled count tables keyed by
+    gram, then an exact integer groupBy per doc.
+    """
+    toks = _doc_tokens(docs)
+    uni = toks.select(F.explode("w").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("vocab"))
+
+    bg = toks.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("w"), n=2)).alias("gram")
+    )
+    c12 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+
+    lp = F.log(
+        (F.col("c12").cast("double") + F.lit(1.0))
+        / (F.col("c1") + F.col("vocab")).cast("double")
+    )
+    lp_micro = F.round(lp * F.lit(1000000.0)).cast("long")
+
+    sc = (
+        bg.join(c12, "gram")
+        .withColumn("w1", F.split("gram", " ").getItem(0))
+        .join(c1, F.col("w1") == F.col("tok"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp_micro.alias("lp_micro"))
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_micro",
+            F.round(
+                F.col("sum_lp_micro").cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_bigrams"),
+                6,
+            ).alias("avg_lp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame, min_count: int = 5, k: int = 40
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over corpus
+    bigram positions. PMI = ln(p(w1,w2) / (p_l(w1) * p_r(w2))) with all
+    probabilities over the B bigram positions; since ln is monotone the
+    ranking uses the EXACT rational ratio c12*B / (cl*cr) (margins cl,
+    cr = bigram positions with that left/right word), avoiding the
+    transcendental entirely. Returns (gram, cnt, pmi_ratio) with the
+    ratio rounded to 6 places (one fixed-order IEEE mult/div chain —
+    bit-deterministic across engines).
+
+    Plan: one bigram histogram shuffle; margins and the total are
+    GROUPed from the vocab^2-bounded histogram itself, broadcast back.
+    """
+    toks = _doc_tokens(docs)
+    bg = toks.select(F.explode(TX.word_ngrams(F.col("w"), n=2)).alias("gram"))
+    c12 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    c12 = c12.withColumn("w1", F.split("gram", " ").getItem(0)).withColumn(
+        "w2", F.split("gram", " ").getItem(1)
+    )
+    cl = c12.groupBy("w1").agg(F.sum("cnt").alias("cl"))
+    cr = c12.groupBy("w2").agg(F.sum("cnt").alias("cr"))
+    tot = c12.agg(F.sum("cnt").alias("b_total"))
+
+    ratio = (F.col("cnt").cast("double") * F.col("b_total").cast("double")) / (
+        F.col("cl").cast("double") * F.col("cr").cast("double")
+    )
+    return (
+        c12.where(F.col("cnt") >= min_count)
+        .join(F.broadcast(cl), "w1")
+        .join(F.broadcast(cr), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("gram", "cnt", F.round(ratio, 6).alias("pmi_ratio"))
+        .orderBy(F.col("pmi_ratio").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 25,
+    weight_col: str = "n_chars",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race): key = -ln(u) / w with u an md5-derived
+    uniform; the k smallest keys are the sample, with inclusion
+    probability proportional to weight. Deterministic, engine-portable,
+    and stable under repartitioning — the quality-weighted corpus-mix
+    primitive a 100 TB pipeline bakes into its manifest.
+
+    Returns the chosen (doc_id, {weight_col}) ordered by doc_id. The
+    top-k is TakeOrderedAndProject (per-partition heads, no global
+    sort); two candidate keys land within an ulp of each other with
+    probability ~k*ulp/gap ~ 1e-13, so the selected SET is engine-stable
+    even though ln differs by up to 1 ulp.
+    """
+    u = _md5_uniform(F.col("doc_id"), salt)
+    w = F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    key = -F.log(u) / w
+    return (
+        docs.select("doc_id", weight_col, key.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", weight_col)
+        .orderBy("doc_id")
+    )

@@ -47,6 +47,10 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "doc_bm25_topk",          # new r6: BM25 retrieval, micro-unit exact
+    "doc_lm_score",           # new r6: bigram LM quality scoring
+    "doc_pmi_bigrams",        # new r6: PMI collocations, rational rank
+    "doc_weighted_sample",    # new r6: Efraimidis-Spirakis weighted pick
     "bm_q12",                 # planted co-located vehicles: non-trivial rows
     "doc_dup_spans",          # new r6: Lee-et-al duplicated-span removal
     "doc_heavy_ngrams",       # new r6: Misra-Gries exact heavy hitters
@@ -3058,3 +3062,194 @@ def events_asof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("asof_value"),
         F.col("event_type").alias("asof_type"),
     ).orderBy("user_id", "probe_id")
+
+
+# =====================================================================
+# Retrieval / LM scoring over documents (operators/retrieval.py)
+# =====================================================================
+_BM25_QUERIES = [
+    ("q1", "hash join merge"),
+    ("q2", "window sort order"),
+    ("q3", "spark stream query"),
+    ("q4", "dup table"),
+]
+
+
+@register(
+    "doc_bm25_topk",
+    r"""
+    WITH q(query_id, qtext) AS (VALUES
+      ('q1', 'hash join merge'), ('q2', 'window sort order'),
+      ('q3', 'spark stream query'), ('q4', 'dup table')),
+    qt AS (
+      SELECT DISTINCT query_id, unnest(regexp_split_to_array(qtext, ' ')) AS term
+      FROM q
+    ),
+    qterms AS (SELECT DISTINCT term FROM qt),
+    d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS sum_dl FROM d),
+    t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    tf AS (
+      SELECT t.doc_id, t.dl, t.term, COUNT(*) AS tf
+      FROM t JOIN qterms USING (term) GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+               * 1000000.0) AS BIGINT) AS term_micro
+      FROM tf
+      JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN s
+    ),
+    agg AS (
+      SELECT query_id, doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM sc GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT query_id, doc_id, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id ASC) AS rnk
+      FROM agg
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score_micro
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval against 4 literal probe queries
+    (contamination auditing / eval mining over the corpus). Per-term
+    contributions quantized to exact BIGINT micro-units before the sum
+    (see operators/retrieval.py for the determinism + scale contract:
+    corpus postings are broadcast-semi-joined on query terms before any
+    shuffle)."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return RT.bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
+@register(
+    "doc_lm_score",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT unnest(w) AS tok FROM d),
+    c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+    v AS (SELECT COUNT(*) AS vocab FROM c1),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM d WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT gram, COUNT(*) AS c12 FROM bg GROUP BY gram),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(
+               ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+                  / CAST(c1.c1 + v.vocab AS DOUBLE)) * 1000000.0)
+             AS BIGINT) AS lp_micro
+      FROM bg
+      JOIN c12 USING (gram)
+      JOIN c1 ON c1.tok = split_part(bg.gram, ' ', 1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+           ROUND(CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS avg_lp
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one bigram LM trained on the corpus, scored over every doc
+    (KenLM-style perplexity quality gate, exact-integer form — each
+    bigram log-prob is quantized to micro-units so the per-doc sum is
+    order-free BIGINT arithmetic). Count tables are gram-domain-sized
+    histograms; scoring is an equi-join on the gram key."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return RT.bigram_lm_scores(docs)
+
+
+@register(
+    "doc_pmi_bigrams",
+    r"""
+    WITH d AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM d WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY gram),
+    m AS (SELECT gram, cnt, split_part(gram, ' ', 1) AS w1,
+                 split_part(gram, ' ', 2) AS w2 FROM c12),
+    cl AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cl FROM m GROUP BY w1),
+    cr AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS cr FROM m GROUP BY w2),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS b_total FROM c12)
+    SELECT m.gram, m.cnt,
+           ROUND((CAST(m.cnt AS DOUBLE) * CAST(tot.b_total AS DOUBLE))
+                 / (CAST(cl.cl AS DOUBLE) * CAST(cr.cr AS DOUBLE)), 6)
+             AS pmi_ratio
+    FROM m JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+    WHERE m.cnt >= 5
+    ORDER BY pmi_ratio DESC, gram ASC LIMIT 40
+    """,
+)
+def doc_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 collocations by PMI over corpus bigram positions
+    (boilerplate/template discovery). Ranking uses the exact rational
+    ratio c12*B/(cl*cr) — ln is monotone, so no transcendental enters
+    the hashed output; one fixed-order IEEE mult/div chain is
+    bit-identical across engines. Margins derive from the vocab^2-
+    bounded histogram, not a second corpus pass."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return RT.pmi_bigrams(docs, min_count=5, k=40)
+
+
+@register(
+    "doc_weighted_sample",
+    r"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-ws1'),
+                    1, 8)) AS UBIGINT) + 0.5) / 4294967296.0 AS u
+      FROM documents
+    ),
+    pick AS (
+      SELECT doc_id, n_chars FROM h
+      ORDER BY (-ln(u)) / CAST(GREATEST(n_chars, 1) AS DOUBLE) ASC,
+               doc_id ASC
+      LIMIT 25
+    )
+    SELECT doc_id, n_chars FROM pick ORDER BY doc_id
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race on md5-derived uniforms), weight =
+    n_chars — the quality-weighted corpus-mix primitive. Selection is
+    TakeOrderedAndProject (per-partition top-k, no global sort
+    shuffle); the chosen set is engine-stable (see
+    operators/retrieval.py)."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return RT.weighted_sample(docs, k=25, weight_col="n_chars", salt="ws1")

@@ -1,0 +1,66 @@
+"""Unit invariants for operators/retrieval.py (oracle parity is covered
+by test_queries_oracle.py; these check operator-level semantics)."""
+
+import pyspark.sql.functions as F
+
+from mobilityduck_spark.operators import retrieval as RT
+from mobilityduck_spark.sources import tables as SRC
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bm25_rare_term_ranks_first(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    out = RT.bm25_topk(docs, [("qr", "dup"), ("qc", "the")], k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # ranks are 1..k, contiguous, scores non-increasing within a query
+    for rows in by_q.values():
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score_micro for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # the rare term carries a much higher idf than the stopword
+    if by_q.get("qr") and by_q.get("qc"):
+        assert by_q["qr"][0].score_micro > by_q["qc"][0].score_micro
+    # every hit for the 'dup' query actually contains the term
+    hit_ids = [r.doc_id for r in by_q.get("qr", [])]
+    if hit_ids:
+        txts = {
+            r.doc_id: r.text
+            for r in docs.where(F.col("doc_id").isin(hit_ids)).collect()
+        }
+        assert all("dup" in txts[i].lower().split() for i in hit_ids)
+
+
+def test_bigram_lm_scores_are_log_probs(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    out = RT.bigram_lm_scores(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_bigrams >= 1
+        assert r.avg_lp < 0.0  # log of a probability < 1
+        # exact-integer contract: avg derives from the BIGINT sum
+        assert abs(r.sum_lp_micro / 1e6 / r.n_bigrams - r.avg_lp) < 1e-6
+
+
+def test_pmi_bigrams_ranked_and_positive_counts(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    rows = RT.pmi_bigrams(docs, min_count=2, k=20).collect()
+    assert 0 < len(rows) <= 20
+    ratios = [r.pmi_ratio for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    assert all(r.cnt >= 2 and r.pmi_ratio > 0 for r in rows)
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    a = [r.doc_id for r in RT.weighted_sample(docs, k=10).collect()]
+    b = [r.doc_id for r in RT.weighted_sample(docs, k=10).collect()]
+    assert a == b and len(a) == 10 == len(set(a))
+    # repartitioning must not change the chosen set
+    c = [
+        r.doc_id
+        for r in RT.weighted_sample(docs.repartition(7), k=10).collect()
+    ]
+    assert sorted(c) == sorted(a)
