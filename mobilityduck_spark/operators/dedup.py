@@ -589,3 +589,51 @@ def simhash128_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------- edit distance
+def fuzzy_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_len: int = 16,
+    cmp_len: int = 64,
+    max_dist: int = 10,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs under prefix blocking.
+
+    Candidate pairs share their first `block_len` normalized chars (the
+    blocking key — an equi-join, never all-pairs); a pair survives if
+    the Levenshtein distance between the first `cmp_len` chars is at
+    most `max_dist`. Returns (id_a, id_b, dist) with id_a < id_b.
+
+    levenshtein() is a JVM built-in on both engines (identical standard
+    definition), so the distances hash exactly. Blocks larger than
+    `max_block` docs are dropped BEFORE the self-join — the prefix
+    analog of the n-gram df-cap: a boilerplate prefix shared by 1M docs
+    would otherwise create a 10^12-pair bucket at 100 TB. cmp_len bounds
+    the O(n*m) distance kernel per pair.
+    """
+    dd = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("t"),
+    )
+    dd = dd.withColumn("bkey", F.substring("t", 1, block_len)).withColumn(
+        "head", F.substring("t", 1, cmp_len)
+    )
+    sizes = dd.groupBy("bkey").agg(F.count(F.lit(1)).alias("bn"))
+    dd = dd.join(sizes, "bkey").where(F.col("bn") <= max_block)
+    a = dd.select("bkey", F.col("id").alias("id_a"), F.col("head").alias("ha"))
+    b = dd.select("bkey", F.col("id").alias("id_b"), F.col("head").alias("hb"))
+    return (
+        a.join(b, "bkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ha", "hb").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy("id_a", "id_b")
+    )

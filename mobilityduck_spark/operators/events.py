@@ -1,0 +1,186 @@
+"""Event-analytics operators: sessionization, ordered funnels, cohort
+retention.
+
+These are the classic product-analytics shapes a general engine is
+expected to cover (the reference covers the spatiotemporal analogue —
+its trip segmentation in `src/temporal/tsequence.cpp` is gap-splitting
+over GPS pings; these apply the same gap/order semantics to a generic
+event stream, plus the funnel/retention shapes the reference has no
+analogue for).
+
+Scale shape (100 TB):
+- sessionize: ONE shuffle partitions events by user; the break-flag
+  lag() and running session index are windows over that partitioning
+  (no unpartitioned WindowExec anywhere), and the per-session rollup
+  groups by (user, session_idx) — a refinement of the same key, so the
+  second exchange is small and skew follows users, not time.
+- funnel: events are scan-speed prefiltered to the step types BEFORE
+  any shuffle; each step is min-aggregated per user and equi-joined to
+  the previous step's per-user time (all step tables are |users|-sized,
+  shrinking monotonically down the funnel).
+- retention: first-touch is a per-user min (one shuffle), activity is a
+  (user, week) distinct (same key), and the cohort matrix is a
+  |cohorts|x|weeks| aggregate — output is tiny regardless of input.
+
+All timestamps compare exactly in epoch microseconds; every output
+measure is exact integer arithmetic (counts, micro-second sums), so the
+oracle hash is aggregation-order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "12 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session assignment + per-session rollup.
+
+    A new session starts at a user's first event and whenever the gap
+    since the previous event exceeds `gap` (strict >, matching
+    session_window's closed-open semantics on the batch side). Returns
+    one row per session: (user_id, session_idx, start_us, end_us,
+    n_events, n_types, dur_us), session_idx 1-based in time order.
+
+    Ordering inside a user is (ts, tiebreak_col) so simultaneous events
+    assign deterministically on every engine.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    prev = F.lag(ts_col).over(w)
+    brk = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = events.select(
+        user_col, ts_col, tiebreak_col, "event_type", brk.alias("brk")
+    ).withColumn("session_idx", F.sum("brk").over(run))
+    return (
+        tagged.groupBy(user_col, "session_idx")
+        .agg(
+            F.unix_micros(F.min(ts_col)).alias("start_us"),
+            F.unix_micros(F.max(ts_col)).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .withColumn("dur_us", F.col("end_us") - F.col("start_us"))
+        .orderBy(user_col, "session_idx")
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    horizon: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered multi-step conversion funnel.
+
+    A user reaches step i at the EARLIEST event of type steps[i] that is
+    strictly after their step-(i-1) time and within `horizon` of it
+    (step 0 is the user's first steps[0] event, unconditioned). Returns
+    one row per step: (step_idx, step, n_users, sum_lag_us) where
+    sum_lag_us is the exact total microseconds users spent converting
+    from the previous step (0 for step 1).
+
+    The per-user step times are the textbook iterated min-aggregation;
+    each iteration shrinks the user set, and the step tables join on
+    user_id only.
+    """
+    f = events.where(F.col(type_col).isin(steps)).select(
+        user_col, type_col, F.unix_micros(F.col(ts_col)).alias("t_us")
+    )
+    # parse "7 days"-style horizons to exact microseconds via an
+    # interval literal evaluated once (engine-independent arithmetic)
+    horizon_expr = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {horizon}")
+    )
+
+    prev = (
+        f.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("t_us").alias("t_prev"))
+    )
+    out_rows = [
+        prev.agg(
+            F.lit(1).alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(0).cast("long").alias("sum_lag_us"),
+        )
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        cur = (
+            f.where(F.col(type_col) == step)
+            .join(prev, user_col)
+            .where(
+                (F.col("t_us") > F.col("t_prev"))
+                & (F.col("t_us") <= F.col("t_prev") + horizon_expr)
+            )
+            .groupBy(user_col, "t_prev")
+            .agg(F.min("t_us").alias("t_cur"))
+        )
+        out_rows.append(
+            cur.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+                F.coalesce(
+                    F.sum(F.col("t_cur") - F.col("t_prev")), F.lit(0)
+                )
+                .cast("long")
+                .alias("sum_lag_us"),
+            )
+        )
+        prev = cur.select(user_col, F.col("t_cur").alias("t_prev"))
+
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step_idx")
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    Cohort = Monday-truncated week of a user's first event; a user is
+    active in week w if they have any event in it. Returns
+    (cohort_week_us, week_offset, n_active) ordered by both keys —
+    n_active at offset 0 is the cohort size.
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cw")
+    )
+    act = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("aw")
+    ).distinct()
+    return (
+        act.join(first, user_col)
+        .select(
+            F.unix_micros(F.col("cw")).alias("cohort_week_us"),
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week_us", "week_offset")
+    )

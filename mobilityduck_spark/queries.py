@@ -47,6 +47,10 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_sessionize",      # new r6: gap sessionization, exact rollup
+    "events_funnel",          # new r6: ordered 3-step conversion funnel
+    "events_retention",       # new r6: weekly cohort retention matrix
+    "doc_fuzzy_pairs",        # new r6: Levenshtein prefix-blocked pairs
     "doc_bm25_topk",          # new r6: BM25 retrieval, micro-unit exact
     "doc_lm_score",           # new r6: bigram LM quality scoring
     "doc_pmi_bigrams",        # new r6: PMI collocations, rational rank
@@ -3253,3 +3257,134 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return RT.weighted_sample(docs, k=25, weight_col="n_chars", salt="ws1")
+
+
+# =====================================================================
+# Event analytics: sessionization / funnel / retention (operators/events.py)
+# =====================================================================
+@register(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(CASE WHEN pts IS NULL OR ts > pts + INTERVAL 12 HOUR
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) AS end_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (12 h inactivity gap): break-flag
+    lag + running sum inside ONE user-partitioned window, then a
+    per-session rollup. The batch twin of streaming/windows.py's
+    session_window path; all measures are exact integers."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.sessionize(ev, gap="12 hours")
+
+
+@register(
+    "events_funnel",
+    """
+    WITH f AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, MIN(t_us) AS t1 FROM f
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT f.user_id, t1, MIN(t_us) AS t2 FROM f JOIN s1 USING (user_id)
+           WHERE event_type = 'click'
+             AND t_us > t1 AND t_us <= t1 + 604800000000 GROUP BY 1, 2),
+    s3 AS (SELECT f.user_id, t2, MIN(t_us) AS t3 FROM f JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase'
+             AND t_us > t2 AND t_us <= t2 + 604800000000 GROUP BY 1, 2)
+    SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n_users,
+           CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+    UNION ALL
+    SELECT 2, 'click', COUNT(*),
+           CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*),
+           CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM s3
+    ORDER BY step_idx
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel (view -> click -> purchase,
+    7-day per-step horizon): iterated earliest-qualifying-event min
+    aggregation; events scan-speed prefiltered to the step types before
+    any shuffle. sum_lag_us is the exact integer total conversion time
+    per step."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.funnel(ev, ["view", "click", "purchase"], horizon="7 days")
+
+
+@register(
+    "events_retention",
+    """
+    WITH fu AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+    SELECT epoch_us(CAST(cw AS TIMESTAMP)) AS cohort_week_us,
+           CAST(datediff('day', cw, aw) // 7 AS INTEGER) AS week_offset,
+           COUNT(*) AS n_active
+    FROM act JOIN fu USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort = Monday week of first
+    event; active = any event in the week). Two per-user aggregations
+    plus a tiny |cohorts| x |weeks| rollup — output volume independent
+    of event count."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.retention(ev)
+
+
+@register(
+    "doc_fuzzy_pairs",
+    """
+    WITH dd AS (
+      SELECT doc_id AS id, lower(text) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    k AS (SELECT id, substr(t, 1, 16) AS bkey, substr(t, 1, 64) AS head FROM dd),
+    sz AS (SELECT bkey, COUNT(*) AS bn FROM k GROUP BY 1),
+    kk AS (SELECT k.id, k.bkey, k.head FROM k JOIN sz USING (bkey) WHERE bn <= 1000)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+    FROM kk a JOIN kk b ON a.bkey = b.bkey AND a.id < b.id
+    WHERE levenshtein(a.head, b.head) <= 10
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs under 16-char prefix blocking
+    (levenshtein is a JVM built-in on both engines — exact integer
+    distances). Oversized blocks are dropped before the self-join; the
+    comparison window is capped at 64 chars to bound the O(n*m) kernel.
+    The fifth dedup tier next to exact/jaccard/minhash/simhash."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return DD.fuzzy_pairs(docs, block_len=16, cmp_len=64, max_dist=10)

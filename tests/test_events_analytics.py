@@ -1,0 +1,94 @@
+"""Unit invariants for operators/events.py and dedup.fuzzy_pairs
+(oracle parity is covered by test_queries_oracle.py)."""
+
+import pyspark.sql.functions as F
+
+from mobilityduck_spark.operators import dedup as DD
+from mobilityduck_spark.operators import events as EV
+from mobilityduck_spark.sources import tables as SRC
+
+SF_DIR = "/root/testdata/sf0.001"
+
+GAP_US = 12 * 3600 * 1_000_000
+
+
+def test_sessionize_partition_invariants(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    out = EV.sessionize(ev, gap="12 hours").collect()
+    # sessions cover every event exactly once
+    assert sum(r.n_events for r in out) == ev.count()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.session_idx)
+        # contiguous 1-based indices, non-negative durations
+        assert [r.session_idx for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r.dur_us == r.end_us - r.start_us >= 0 for r in rows)
+        # consecutive sessions are separated by MORE than the gap
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_us > a.end_us + GAP_US
+
+
+def test_sessionize_single_exchange_for_windows(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    plan = EV.sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    # the lag + running-sum windows share ONE user_id hash exchange;
+    # only the final per-session groupBy adds a second
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0]
+
+
+def test_funnel_monotone_and_lagged(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    rows = EV.funnel(
+        ev, ["view", "click", "purchase"], horizon="7 days"
+    ).collect()
+    assert [r.step_idx for r in rows] == [1, 2, 3]
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].sum_lag_us == 0
+    for r in rows[1:]:
+        # converting users took strictly positive time per step
+        assert (r.sum_lag_us > 0) == (r.n_users > 0)
+
+
+def test_funnel_empty_step_yields_zero_row(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    rows = EV.funnel(ev, ["view", "no_such_type"], horizon="7 days").collect()
+    assert rows[1].n_users == 0 and rows[1].sum_lag_us == 0
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    out = EV.retention(ev).collect()
+    assert all(r.week_offset >= 0 and r.n_active > 0 for r in out)
+    cohort0 = {r.cohort_week_us: r.n_active for r in out if r.week_offset == 0}
+    # every user is active in their own first week, and later weeks
+    # never exceed the cohort size
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(cohort0.values()) == n_users
+    for r in out:
+        assert r.n_active <= cohort0[r.cohort_week_us]
+
+
+def test_fuzzy_pairs_block_and_distance_contract(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    out = DD.fuzzy_pairs(docs, block_len=16, cmp_len=64, max_dist=10)
+    rows = out.collect()
+    assert len(rows) > 0
+    txt = {
+        r.doc_id: (r.text or "").lower()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert r.id_a < r.id_b and 0 <= r.dist <= 10
+        assert txt[r.id_a][:16] == txt[r.id_b][:16]
+    # exact duplicates appear at distance 0
+    assert any(r.dist == 0 for r in rows)
+
+
+def test_fuzzy_pairs_block_cap_drops_oversized(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    # with a 1-doc cap every block is oversized -> no pairs at all
+    assert DD.fuzzy_pairs(docs, max_block=1).count() == 0
