@@ -169,13 +169,18 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
     )
     lp_micro = F.round(lp * F.lit(1000000.0)).cast("long")
 
-    sc = (
-        bg.join(c12, "gram")
-        .withColumn("w1", F.split("gram", " ").getItem(0))
+    # score each DISTINCT gram once on the histogram (domain-sized
+    # work: |bigram types|, not |occurrences|), so corpus occurrences
+    # shuffle exactly once — on the gram key. Joining c1 against the
+    # occurrence stream instead would re-shuffle the whole corpus by w1
+    # (measured 5.2x at 10x data; 3.4x with the gram-side score table).
+    gram_lp = (
+        c12.withColumn("w1", F.split("gram", " ").getItem(0))
         .join(c1, F.col("w1") == F.col("tok"))
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", lp_micro.alias("lp_micro"))
+        .select("gram", lp_micro.alias("lp_micro"))
     )
+    sc = bg.join(gram_lp, "gram").select("doc_id", "lp_micro")
     return (
         sc.groupBy("doc_id")
         .agg(
