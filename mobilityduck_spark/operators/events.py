@@ -184,3 +184,57 @@ def retention(
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week_us", "week_offset")
     )
+
+
+def value_outliers(
+    events: DataFrame,
+    z: float = 3.0,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group z-score outlier rows, exact-statistics form.
+
+    A row is an outlier when (x - mean)^2 > z^2 * var (population
+    variance per event_type). The moments are EXACT: x is quantized to
+    BIGINT micro-units and S = sum(x), Q = sum(x^2) accumulate in
+    DECIMAL(38,0), so mean/var carry no float accumulation error and
+    the decision z^2 = (n*x - S)^2 / (n*Q - S^2) is computed from
+    exact integers. The final compare maps both sides through one
+    fixed-shape IEEE double product — deterministic across engines
+    because the inputs are identical exact decimals.
+
+    Returns (event_id, event_type, value_micro, z2) for flagged rows,
+    z2 rounded to 6 places. One scan for moments (5-group aggregate,
+    broadcast back), one scan for the filter — no per-row shuffle.
+
+    DECIMAL(38,0) bounds the exact path to ~1e12 rows/group at 1e8
+    micro-units; beyond that a production deployment drops to double
+    moments (the flag tolerance then dominates the 1-ulp risk anyway).
+    """
+    x = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    m = events.where(F.col(value_col).isNotNull()).select(
+        id_col, type_col, x.alias("x")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = m.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("s"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("q"),
+    )
+    num = (dec(F.col("n")) * dec(F.col("x")) - F.col("s")).cast("double")
+    den = (
+        dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double")
+    z2 = (num * num) / den
+    return (
+        m.join(F.broadcast(stats), type_col)
+        .where(num * num > F.lit(float(z * z)) * den)
+        .select(
+            id_col,
+            type_col,
+            F.col("x").alias("value_micro"),
+            F.round(z2, 6).alias("z2"),
+        )
+        .orderBy(id_col)
+    )

@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_value_outliers",  # new r6: exact-moment z-score anomalies
     "events_sessionize",      # new r6: gap sessionization, exact rollup
     "events_funnel",          # new r6: ordered 3-step conversion funnel
     "events_retention",       # new r6: weekly cohort retention matrix
@@ -3388,3 +3389,42 @@ def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return DD.fuzzy_pairs(docs, block_len=16, cmp_len=64, max_dist=10)
+
+
+@register(
+    "events_value_outliers",
+    """
+    WITH m AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS s,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS q
+      FROM m GROUP BY 1
+    ),
+    j AS (
+      SELECT m.event_id, m.event_type, m.x,
+             CAST(CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) - s
+                  AS DOUBLE) AS num,
+             CAST(CAST(n AS DECIMAL(38,0)) * q - s * s AS DOUBLE) AS den
+      FROM m JOIN s USING (event_type)
+    )
+    SELECT event_id, event_type, x AS value_micro,
+           ROUND(num * num / den, 6) AS z2
+    FROM j WHERE num * num > 9.0 * den
+    ORDER BY event_id
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type z-score anomaly detection (|x - mean| > 3 sigma,
+    population variance) with EXACT moments: micro-unit BIGINT values,
+    DECIMAL(38,0) S/Q sums, and a fixed-shape double compare on the
+    exact integers — no float accumulation anywhere. One moments scan
+    (5-row broadcast back) + one filter scan."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.value_outliers(ev, z=3.0)

@@ -92,3 +92,27 @@ def test_fuzzy_pairs_block_cap_drops_oversized(spark):
     docs = SRC.load(spark, SF_DIR, "documents")
     # with a 1-doc cap every block is oversized -> no pairs at all
     assert DD.fuzzy_pairs(docs, max_block=1).count() == 0
+
+
+def test_value_outliers_match_numpy(spark):
+    import numpy as np
+
+    ev = SRC.load(spark, SF_DIR, "events")
+    out = EV.value_outliers(ev, z=3.0).collect()
+    rows = ev.select("event_id", "event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(
+                (r.event_id, round(r.value * 1e6))
+            )
+    expect = set()
+    for t, vals in by_type.items():
+        xs = np.array([v for _, v in vals], dtype=np.float64)
+        mu, var = xs.mean(), xs.var()
+        for eid, x in vals:
+            if (x - mu) ** 2 > 9.0 * var:
+                expect.add(eid)
+    got = {r.event_id for r in out}
+    assert got == expect
+    assert all(r.z2 > 9.0 for r in out)
