@@ -270,3 +270,88 @@ def weighted_sample(
         .select("doc_id", weight_col)
         .orderBy("doc_id")
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iterations: int = 3,
+    k: int = 20,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the symmetrized word
+    co-occurrence (bigram) graph, exact-integer form.
+
+    Ranks live in micro-units (r0 = 1_000_000 per node). One iteration:
+        contrib(u->v) = (r(u) * w(u,v)) div W(u)      -- exact int div
+        r'(v) = (den-num)*1e6/den + num * sum(contrib) div den
+    with num/den = 85/100 (d = 0.85). Every step is BIGINT arithmetic
+    (floor division on non-negative operands is identical on both
+    engines), so an unrolled SQL oracle reproduces the ranks bit-for-
+    bit — the standard trick this repo uses to make iterative
+    algorithms hash-checkable.
+
+    Scale: nodes and edges are HISTOGRAM-domain tables (vocab,
+    vocab^2-bounded); each iteration is one rank-to-edge equi-join +
+    groupBy — the classic distributed PageRank shape, linear in edges
+    per iteration and independent of corpus row count after the one
+    histogram pass. Returns the top-k (term, rank_micro), rank desc,
+    term asc tiebreak.
+
+    Magnitude bound: r*w fits BIGINT while max_rank * max_edge_weight
+    < 2^63 — ranks stay ~1e6-1e8 and corpus-scale edge weights ~1e9,
+    comfortably inside.
+    """
+    toks = _doc_tokens(docs)
+    bg = toks.select(F.explode(TX.word_ngrams(F.col("w"), n=2)).alias("gram"))
+    c12 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    half = c12.select(
+        F.split("gram", " ").getItem(0).alias("src"),
+        F.split("gram", " ").getItem(1).alias("dst"),
+        "cnt",
+    ).where(F.col("src") != F.col("dst"))
+    # symmetrize, merging parallel edges (a b + b a) into one weight
+    edges = (
+        half.unionByName(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").alias("wt"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("wt").alias("tot"))
+    # the edge table is loop-invariant: without the lazy checkpoint
+    # every iteration's lineage re-derives tokenize -> histogram ->
+    # symmetrize from the corpus (measured 3x plan blowup at 3
+    # iterations); with it each round joins a materialized vocab^2-
+    # bounded table — the shape a cluster PageRank must have
+    edges = edges.join(outw, "src").localCheckpoint(eager=False)
+
+    base = F.lit(((damping_den - damping_num) * 1_000_000) // damping_den)
+    ranks = edges.select(F.col("src").alias("term")).distinct().withColumn(
+        "r", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(iterations):
+        contrib = edges.join(
+            ranks, edges["src"] == ranks["term"]
+        ).select(
+            F.col("dst"),
+            F.expr("(r * wt) div tot").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .select(
+                F.col("dst").alias("term"),
+                (
+                    base
+                    + F.expr(f"({damping_num} * sc) div {damping_den}")
+                ).cast("long").alias("r"),
+            )
+        )
+    return (
+        ranks.select("term", F.col("r").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), F.col("term").asc())
+        .limit(k)
+    )

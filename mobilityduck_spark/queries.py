@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "doc_textrank_keywords",  # new r6: exact-integer PageRank keywords
     "events_value_outliers",  # new r6: exact-moment z-score anomalies
     "events_sessionize",      # new r6: gap sessionization, exact rollup
     "events_funnel",          # new r6: ordered 3-step conversion funnel
@@ -3428,3 +3429,64 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.value_outliers(ev, z=3.0)
+
+
+@register(
+    "doc_textrank_keywords",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM d WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY gram),
+    half AS (
+      SELECT split_part(gram, ' ', 1) AS src,
+             split_part(gram, ' ', 2) AS dst, cnt
+      FROM c12 WHERE split_part(gram, ' ', 1) <> split_part(gram, ' ', 2)
+    ),
+    edges AS (
+      SELECT src, dst, CAST(SUM(cnt) AS BIGINT) AS wt
+      FROM (SELECT src, dst, cnt FROM half
+            UNION ALL SELECT dst, src, cnt FROM half)
+      GROUP BY 1, 2
+    ),
+    ew AS (
+      SELECT e.src, e.dst, e.wt, o.tot
+      FROM edges e
+      JOIN (SELECT src, CAST(SUM(wt) AS BIGINT) AS tot
+            FROM edges GROUP BY 1) o USING (src)
+    ),
+    r0 AS (SELECT DISTINCT src AS term, CAST(1000000 AS BIGINT) AS r
+           FROM edges),
+    r1 AS (SELECT e.dst AS term,
+                  CAST(150000 + (85 * SUM((r.r * e.wt) // e.tot)) // 100
+                       AS BIGINT) AS r
+           FROM ew e JOIN r0 r ON e.src = r.term GROUP BY 1),
+    r2 AS (SELECT e.dst AS term,
+                  CAST(150000 + (85 * SUM((r.r * e.wt) // e.tot)) // 100
+                       AS BIGINT) AS r
+           FROM ew e JOIN r1 r ON e.src = r.term GROUP BY 1),
+    r3 AS (SELECT e.dst AS term,
+                  CAST(150000 + (85 * SUM((r.r * e.wt) // e.tot)) // 100
+                       AS BIGINT) AS r
+           FROM ew e JOIN r2 r ON e.src = r.term GROUP BY 1)
+    SELECT term, r AS rank_micro FROM r3
+    ORDER BY rank_micro DESC, term ASC LIMIT 20
+    """,
+)
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: 3 PageRank iterations over the
+    symmetrized word co-occurrence graph in EXACT integer arithmetic
+    (micro-unit ranks, floor-division contributions), so the unrolled
+    SQL oracle reproduces every rank bit-for-bit. Each iteration is one
+    vocab-scale equi-join + groupBy — the classic distributed PageRank
+    plan; corpus rows are touched once, building the histogram."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return RT.textrank_keywords(docs, iterations=3, k=20)

@@ -64,3 +64,34 @@ def test_weighted_sample_deterministic_and_sized(spark):
         for r in RT.weighted_sample(docs.repartition(7), k=10).collect()
     ]
     assert sorted(c) == sorted(a)
+
+
+def test_textrank_matches_pure_python(spark):
+    from collections import Counter, defaultdict
+
+    docs = SRC.load(spark, SF_DIR, "documents")
+    got = {
+        r.term: r.rank_micro
+        for r in RT.textrank_keywords(docs, iterations=2, k=10).collect()
+    }
+    # independent recomputation with plain dicts and int arithmetic
+    cnt = Counter()
+    for r in docs.select("text").collect():
+        if r.text is None:
+            continue
+        w = r.text.strip().lower().split()
+        for a, b in zip(w, w[1:]):
+            if a != b:
+                cnt[(a, b)] += 1
+                cnt[(b, a)] += 1
+    tot = defaultdict(int)
+    for (a, b), c in cnt.items():
+        tot[a] += c
+    ranks = {a: 1_000_000 for a in tot}
+    for _ in range(2):
+        inc = defaultdict(int)
+        for (a, b), c in cnt.items():
+            inc[b] += (ranks[a] * c) // tot[a]
+        ranks = {t: 150_000 + (85 * s) // 100 for t, s in inc.items()}
+    top = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == dict(top)
