@@ -238,3 +238,46 @@ def value_outliers(
         )
         .orderBy(id_col)
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (the next-action model a product-analytics engine ships).
+
+    Transitions pair each event with the user's NEXT event in (ts,
+    tiebreak) order; a user's last event emits none. Returns
+    (src_type, dst_type, cnt, p) where p = cnt/row_total rounded to 6
+    places — one fixed-shape IEEE division of exact integers, so the
+    hash is engine-stable.
+
+    Plan: one user-partitioned window (lead), then a |types|^2-sized
+    aggregate; the margin derives from the matrix itself (window over
+    the tiny aggregate), never a second corpus pass.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = events.select(
+        F.col(type_col).alias("src_type"),
+        F.lead(type_col).over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    mat = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    row_tot = Window.partitionBy("src_type")
+    return mat.select(
+        "src_type",
+        "dst_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(row_tot).cast("double"),
+            6,
+        ).alias("p"),
+    ).orderBy("src_type", "dst_type")

@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_markov_transitions",  # new r6: next-action transition matrix
     "doc_textrank_keywords",  # new r6: exact-integer PageRank keywords
     "events_value_outliers",  # new r6: exact-moment z-score anomalies
     "events_sessionize",      # new r6: gap sessionization, exact rollup
@@ -3490,3 +3491,35 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return RT.textrank_keywords(docs, iterations=3, k=20)
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events
+    ),
+    m AS (
+      SELECT src_type, dst_type, COUNT(*) AS cnt
+      FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (PARTITION BY src_type) AS DOUBLE), 6)
+             AS p
+    FROM m ORDER BY src_type, dst_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: one user-partitioned lead() window + a |types|^2
+    aggregate; row margins come from a window over the tiny matrix, not
+    a second scan. Probabilities are one fixed-shape division of exact
+    counts."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.markov_transitions(ev)

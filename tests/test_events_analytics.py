@@ -116,3 +116,17 @@ def test_value_outliers_match_numpy(spark):
     got = {r.event_id for r in out}
     assert got == expect
     assert all(r.z2 > 9.0 for r in out)
+
+
+def test_markov_transitions_are_row_stochastic(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    rows = EV.markov_transitions(ev).collect()
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every non-final event emits exactly one transition
+    assert sum(r.cnt for r in rows) == n_events - n_users
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src_type, []).append(r)
+    for src_rows in by_src.values():
+        assert abs(sum(r.p for r in src_rows) - 1.0) < 1e-4
