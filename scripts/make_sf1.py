@@ -24,7 +24,11 @@ blowup:
   region/nation fixed).
 - region/nation/customer/supplier/part: verbatim.
 
-Usage: python scripts/make_sf1.py [out_dir]
+Usage: python scripts/make_sf1.py [out_dir] [K]
+
+K (default 10) is the copy multiplier; K=30 builds the sf3 (30×) point
+used by the three-point scaling curve in PERF.md. All offset/tagging
+schemes are K-safe up to 96 (the embedding flip-mask modulus).
 """
 
 import os
@@ -37,7 +41,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.benchdata/sf1"
-K = 10
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
 def main() -> None:
