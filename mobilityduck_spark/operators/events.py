@@ -281,3 +281,46 @@ def markov_transitions(
             6,
         ).alias("p"),
     ).orderBy("src_type", "dst_type")
+
+
+def decay_scores(
+    events: DataFrame,
+    half_life_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user exponential time-decay score (the feature-store
+    recency-weighted engagement primitive): each event contributes
+    value * 2^(-age_days / half_life), age measured in WHOLE days back
+    from the dataset's max event day.
+
+    Exactness contract: ages are integer days, so the decay factor is
+    pow(2, -age/h) evaluated once per distinct (age mod h residue ...)
+    — more precisely per row as one IEEE pow of an exact rational; the
+    per-event contribution value_micro * decay is rounded to a BIGINT
+    micro-unit BEFORE summation, making the per-user total exact
+    integer arithmetic (aggregation-order-free on both engines).
+
+    The anchor (max event date) comes from a 1-row aggregate broadcast
+    back — one extra tiny job, no second corpus shuffle. Returns
+    (user_id, n_events, score_micro) ordered by user.
+    """
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("d_max"))
+    age = F.datediff(F.col("d_max"), F.to_date(ts_col))
+    contrib = F.round(
+        F.col(value_col)
+        * F.lit(1e6)
+        * F.pow(F.lit(2.0), -age.cast("double") / F.lit(float(half_life_days)))
+    ).cast("long")
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(anchor))
+        .select(user_col, contrib.alias("c"))
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("score_micro"),
+        )
+        .orderBy(user_col)
+    )

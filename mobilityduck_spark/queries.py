@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_decay_scores",    # new r6: exponential time-decay features
     "events_markov_transitions",  # new r6: next-action transition matrix
     "doc_textrank_keywords",  # new r6: exact-integer PageRank keywords
     "events_value_outliers",  # new r6: exact-moment z-score anomalies
@@ -3523,3 +3524,32 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.markov_transitions(ev)
+
+
+@register(
+    "events_decay_scores",
+    """
+    WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM events),
+    c AS (
+      SELECT user_id,
+             CAST(ROUND(value * 1e6
+                        * POW(2.0, -CAST(datediff('day', CAST(ts AS DATE),
+                                                  d_max) AS DOUBLE) / 7.0))
+                  AS BIGINT) AS c
+      FROM events CROSS JOIN a
+      WHERE value IS NOT NULL
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS score_micro
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay engagement score (7-day
+    half-life): whole-day ages off a broadcast 1-row anchor, per-event
+    contributions quantized to micro-units before the exact integer
+    sum. One corpus scan + one user-key shuffle."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.decay_scores(ev, half_life_days=7)

@@ -130,3 +130,30 @@ def test_markov_transitions_are_row_stochastic(spark):
         by_src.setdefault(r.src_type, []).append(r)
     for src_rows in by_src.values():
         assert abs(sum(r.p for r in src_rows) - 1.0) < 1e-4
+
+
+def test_fuzzy_pairs_plan_is_equi_join(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    plan = (
+        DD.fuzzy_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_decay_scores_exact_vs_python(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    out = {r.user_id: (r.n_events, r.score_micro) for r in EV.decay_scores(ev).collect()}
+    rows = ev.select("user_id", "ts", "value").collect()
+    d_max = max(r.ts.date() for r in rows)
+    agg = {}
+    for r in rows:
+        if r.value is None:
+            continue
+        age = (d_max - r.ts.date()).days
+        c = round(r.value * 1e6 * 2.0 ** (-age / 7.0))
+        n, s = agg.get(r.user_id, (0, 0))
+        agg[r.user_id] = (n + 1, s + c)
+    assert out == agg

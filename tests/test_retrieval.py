@@ -95,3 +95,19 @@ def test_textrank_matches_pure_python(spark):
         ranks = {t: 150_000 + (85 * s) // 100 for t, s in inc.items()}
     top = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == dict(top)
+
+
+def test_bm25_plan_broadcasts_dims_no_cartesian(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    plan = (
+        RT.bm25_topk(docs, [("q1", "hash join")], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # query terms, df table, query map, and the 1-row stats dim are all
+    # broadcast — the corpus side never builds a hash table
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 4
