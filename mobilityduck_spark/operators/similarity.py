@@ -706,6 +706,125 @@ def pq_topk(
     )
 
 
+def _lloyd_fit(
+    x: np.ndarray, k: int, seed: int, max_iter: int = 8
+) -> np.ndarray:
+    """Deterministic driver-side Lloyd k-means (numpy). Empty cells are
+    reseeded on DISTINCT farthest points (argsort, not a shared argmax —
+    the pq_train duplicate-centroid fix applied from the start here)."""
+    k = min(k, len(x))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = (x * x).sum(1)[:, None] - 2.0 * x @ cent.T + (cent * cent).sum(1)
+        lab = d2.argmin(1)
+        far = np.argsort(-d2.min(1))
+        fi = 0
+        for j in range(k):
+            m = lab == j
+            if m.any():
+                cent[j] = x[m].mean(0)
+            else:
+                cent[j] = x[far[fi]]
+                fi += 1
+    return cent
+
+
+def build_twolevel_cells(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Two-level nearest-cell assignment for LARGE derived cell counts.
+
+    build_ivf_index assigns each vector by brute force against all k
+    centroids — n*k flops. semantic_dedup derives k ∝ n (E[cell]~64),
+    so flat assignment is O(n²/64): the sf3 sweep measured 4.2× wall at
+    3× data. Here the sample is quantized hierarchically — k1 = ceil(√k)
+    coarse centroids, then per-coarse-cell fine sub-quantizers whose
+    counts are proportional to the coarse cell's sample share (Σ≈k) —
+    and each vector routes coarse-then-fine: n*(√k + E[k/√k]) ≈ n*2√k
+    flops, the standard faiss-style IVF-in-IVF shape.
+
+    Routing is a deterministic function of the vector alone, so
+    identical vectors always share a cell (the planted-copy oracle's
+    only requirement). Cells are approximate nearest — fine for dedup
+    blocking, NOT for query routing; build_ivf_index remains the path
+    that returns a centroid table for probes.
+
+    Returns the persisted (id_col, vec_col, cell) assignment, cell =
+    global fine-centroid index.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    train_cap = 100_000
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .sort("_id")
+        .limit(train_cap)
+        .collect()
+    )
+    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("build_twolevel_cells: empty embedding input")
+    k = max(1, min(n_cells, len(x)))
+    k1 = max(1, int(math.ceil(math.sqrt(k))))
+    coarse = _lloyd_fit(x, k1, seed)
+    k1 = len(coarse)
+    d2 = (x * x).sum(1)[:, None] - 2.0 * x @ coarse.T + (coarse * coarse).sum(1)
+    lab = d2.argmin(1)
+
+    fine_parts, offsets, counts = [], np.zeros(k1, np.int64), np.zeros(k1, np.int64)
+    gid = 0
+    for j in range(k1):
+        xs = x[lab == j]
+        offsets[j] = gid
+        if len(xs) == 0:
+            continue
+        kj = max(1, int(round(k * len(xs) / len(x))))
+        cj = _lloyd_fit(xs, kj, seed + 1 + j)
+        fine_parts.append(cj)
+        counts[j] = len(cj)
+        gid += len(cj)
+    fmat = np.concatenate(fine_parts)
+
+    @F.pandas_udf("int")
+    def cell2(v: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(a, dtype=np.float64) for a in v])
+        if m.size == 0:
+            return pd.Series([], dtype="int32")
+        dc = (m * m).sum(1)[:, None] - 2.0 * m @ coarse.T + (coarse * coarse).sum(1)
+        cj = dc.argmin(1)
+        out = np.empty(len(m), dtype=np.int64)
+        for j in np.unique(cj):
+            sel = cj == j
+            if counts[j] == 0:
+                # a coarse cell with no sample members (possible after
+                # reseeding): fall back to the global fine argmin
+                sub, fm, off = m[sel], fmat, 0
+            else:
+                sub = m[sel]
+                fm = fmat[offsets[j]: offsets[j] + counts[j]]
+                off = offsets[j]
+            df_ = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ fm.T
+                + (fm * fm).sum(1)
+            )
+            out[sel] = df_.argmin(1) + off
+        return pd.Series(out.astype("int32"))
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), cell2(F.col(vec_col)).alias("cell")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(assigned)
+    return assigned
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_clusters: int | None = None,
@@ -749,9 +868,18 @@ def semantic_dedup(
         if n_rows is None:
             n_rows = emb.count()
         n_clusters = max(2, math.ceil(n_rows / target_cell))
-    assigned, _ = build_ivf_index(
-        emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
-    )
+    if n_clusters > 128:
+        # derived k grows ∝ corpus size: flat nearest-of-k assignment is
+        # n*k = O(n²/target_cell) flops (measured 4.2× wall at 3× data
+        # in the sf3 sweep) — route coarse-then-fine at n*2√k instead
+        assigned = build_twolevel_cells(
+            emb, n_cells=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    else:
+        assigned, _ = build_ivf_index(
+            emb, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        )
     a = assigned.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("v"),

@@ -309,3 +309,28 @@ def test_pq_train_reseeds_empty_clusters_distinctly():
     # all 8 distinct source points are representable: no duplicated
     # centroid rows may remain after convergence
     assert len(uniq) == 8, c
+
+
+def test_semantic_dedup_twolevel_planted_copies(spark):
+    """Force the two-level (coarse->fine) assignment branch (derived
+    k > 128) and require every planted exact copy to resolve to its
+    original: routing is a deterministic function of the vector, so
+    identical vectors must share a cell regardless of the hierarchy."""
+    import pyspark.sql.functions as F
+
+    from mobilityduck_spark.operators import similarity as SIM
+    from mobilityduck_spark.sources import tables as SRC
+
+    emb = SRC.load(spark, "/root/testdata/sf0.01", "embeddings")
+    copies = emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    man = SIM.semantic_dedup(emb.unionByName(copies), n_clusters=200)
+    planted = {
+        r.id: (r.rep_id, r.keep)
+        for r in man.collect()
+        if r.id >= 1_000_000
+    }
+    assert len(planted) == emb.count()
+    assert all(
+        rep == pid - 1_000_000 and not keep
+        for pid, (rep, keep) in planted.items()
+    )
