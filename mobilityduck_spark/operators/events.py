@@ -324,3 +324,34 @@ def decay_scores(
         )
         .orderBy(user_col)
     )
+
+
+def rolling_stats(
+    events: DataFrame,
+    window_rows: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user trailing-window features (last `window_rows` events
+    including the current one): exact micro-unit sum and window size —
+    the rolling-aggregate feature-engineering primitive.
+
+    Values are quantized to BIGINT micro-units before the window sum,
+    so results are exact integers; ordering is (ts, id) for a
+    deterministic frame on every engine. One user-partitioned window =
+    one shuffle.
+    """
+    x = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return events.select(
+        id_col,
+        user_col,
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(x).over(w).alias("sum_micro"),
+    ).orderBy(id_col)

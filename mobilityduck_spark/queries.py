@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_rolling_stats",   # new r6: trailing-window exact features
     "graph_triangle_stats",   # new r6: exact triangle census, hub cap
     "graph_node_triangles",   # new r6: local clustering numerators
     "events_decay_scores",    # new r6: exponential time-decay features
@@ -3650,3 +3651,26 @@ def graph_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as G
 
     return G.node_triangle_counts(_word_graph_edges(spark, sf_dir), k=20)
+
+
+@register(
+    "events_rolling_stats",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_win,
+           CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_micro
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-5-event rolling features per user: micro-unit-exact
+    window sums over one user-partitioned window (one shuffle), with a
+    deterministic (ts, event_id) frame order."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.rolling_stats(ev, window_rows=5)

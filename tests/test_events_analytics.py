@@ -157,3 +157,20 @@ def test_decay_scores_exact_vs_python(spark):
         n, s = agg.get(r.user_id, (0, 0))
         agg[r.user_id] = (n + 1, s + c)
     assert out == agg
+
+
+def test_rolling_stats_window_semantics(spark):
+    ev = SRC.load(spark, SF_DIR, "events")
+    out = EV.rolling_stats(ev, window_rows=5).collect()
+    rows = sorted(
+        ev.select("event_id", "user_id", "ts", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = {}
+    expect = {}
+    for r in rows:
+        hist = by_user.setdefault(r.user_id, [])
+        hist.append(round(r.value * 1e6))
+        expect[r.event_id] = (min(5, len(hist)), sum(hist[-5:]))
+    got = {r.event_id: (r.n_win, r.sum_micro) for r in out}
+    assert got == expect
