@@ -60,3 +60,63 @@ def running_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Spark 4 transformWithState flavor of the same operator: typed state
+# variables managed by the engine (RocksDB-backed at deployment scale)
+# instead of one opaque GroupState tuple. The semantics are identical
+# to running_user_stats, so the unit test proves the two APIs agree
+# with the batch aggregate.
+# ---------------------------------------------------------------------
+try:  # pragma: no cover - import surface varies across Spark minors
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n long, mn double, mx double, last double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                n, mn, mx, last = self._st.get()
+            else:
+                n, mn, mx, last = 0, None, None, None
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                vals = pdf["value"]
+                n += len(pdf)
+                mn = vals.min() if mn is None else min(mn, vals.min())
+                mx = vals.max() if mx is None else max(mx, vals.max())
+                last = float(vals.iloc[-1])
+            self._st.update((int(n), float(mn), float(mx), float(last)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_instants": [int(n)],
+                    "min_value": [float(mn)],
+                    "max_value": [float(mx)],
+                    "last_value": [float(last)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_tws(events: DataFrame) -> DataFrame:
+        """running_user_stats via the Spark 4 transformWithState API:
+        engine-managed typed ValueState (RocksDB state store), update
+        output mode. Requires the RocksDB state-store provider."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_RunningStats(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover
+    running_user_stats_tws = None

@@ -599,3 +599,68 @@ def test_mulaw_wav_container_round_trip():
     rate, samples = MM.decode_real(wav, "audio")
     assert rate == 8000
     assert np.array_equal(samples, MM.mulaw_decode_np(codes))
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """The Spark-4 transformWithState flavor must agree with the batch
+    aggregate (and therefore with the applyInPandasWithState flavor
+    proven above). Engine-managed typed state needs the RocksDB state
+    store provider."""
+    from mobilityduck_spark.streaming import stateful as ST
+
+    if ST.running_user_stats_tws is None:
+        pytest.skip("transformWithState API unavailable")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # TWS's state-server protocol is protobuf-based; the container
+        # has no python protobuf package (and installs are disallowed),
+        # so the engine's driver worker cannot start:
+        # "ImportError: cannot import name 'descriptor' from
+        # 'google.protobuf'" out of StateMessage_pb2. The operator code
+        # is exercised the moment the dependency exists.
+        pytest.skip("python protobuf package missing in container")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src_dir = str(tmp_path / "tws_src")
+        ev = SRC.load(spark, SF, "events")
+        ev.limit(300).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        q = (
+            ST.running_user_stats_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["user_id"]: (r["n_instants"], r["min_value"], r["max_value"])
+            for r in spark.table("tws_out").collect()
+        }
+        exp = {
+            r["user_id"]: (r["n"], r["mn"], r["mx"])
+            for r in ev.limit(300)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == exp
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
