@@ -866,3 +866,50 @@ def linear_classifier_score(
     return scored.withColumn(
         "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
     )
+
+
+def token_entropy(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document Shannon token entropy — the vocabulary-diversity
+    quality signal (low entropy = repetitive/template text, the same
+    family as the Gopher repetition rules but distribution-aware):
+
+        H = ln(n) - (sum_t c_t * ln(c_t)) / n
+
+    Exactness contract: each distinct count's ln(c) is quantized to a
+    BIGINT micro-unit BEFORE the c-weighted sum, so sum_clnc_micro is
+    exact integer arithmetic and the only float in the hashed output is
+    one fixed-shape final expression. Returns (doc_id, n_tokens,
+    n_distinct, sum_clnc_micro, entropy).
+
+    Plan: one explode + one (doc, token) groupBy + one per-doc rollup —
+    shuffle keys are (doc, token) then doc, both well-distributed.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    cnt = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    clnc = (
+        F.col("c").cast("double")
+        * F.round(F.log(F.col("c").cast("double")) * F.lit(1e6))
+    ).cast("long")
+    per_doc = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(clnc).alias("sum_clnc_micro"),
+    )
+    ent = F.round(
+        F.log(F.col("n_tokens").cast("double"))
+        - (F.col("sum_clnc_micro").cast("double") / F.lit(1e6))
+        / F.col("n_tokens").cast("double"),
+        6,
+    )
+    return per_doc.select(
+        id_col, "n_tokens", "n_distinct", "sum_clnc_micro",
+        ent.alias("entropy"),
+    ).orderBy(id_col)

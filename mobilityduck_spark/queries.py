@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "doc_token_entropy",      # new r6: Shannon-entropy quality signal
     "events_rolling_stats",   # new r6: trailing-window exact features
     "graph_triangle_stats",   # new r6: exact triangle census, hub cap
     "graph_node_triangles",   # new r6: local clustering numerators
@@ -3674,3 +3675,39 @@ def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.rolling_stats(ev, window_rows=5)
+
+
+@register(
+    "doc_token_entropy",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(CAST(c AS DOUBLE)
+                      * ROUND(ln(CAST(c AS DOUBLE)) * 1e6)) AS BIGINT)
+               AS sum_clnc_micro
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct, sum_clnc_micro,
+           ROUND(ln(CAST(n_tokens AS DOUBLE))
+                 - (CAST(sum_clnc_micro AS DOUBLE) / 1e6)
+                   / CAST(n_tokens AS DOUBLE), 6) AS entropy
+    FROM d ORDER BY doc_id
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy (vocabulary-diversity quality
+    signal): per-count ln quantized to micro-units before the weighted
+    sum, so the hashed output has exactly one fixed-shape float
+    expression. One explode + two well-keyed groupBys."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.token_entropy(docs)

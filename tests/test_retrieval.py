@@ -111,3 +111,24 @@ def test_bm25_plan_broadcasts_dims_no_cartesian(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 4
+
+
+def test_token_entropy_bounds_and_python_parity(spark):
+    import math
+    from collections import Counter
+
+    from mobilityduck_spark.operators import text as TX
+
+    docs = SRC.load(spark, SF_DIR, "documents")
+    out = {r.doc_id: r for r in TX.token_entropy(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        if r.text is None:
+            continue
+        toks = r.text.strip().lower().split()
+        c = Counter(toks)
+        got = out[r.doc_id]
+        assert got.n_tokens == len(toks) and got.n_distinct == len(c)
+        s = sum(n * round(math.log(n) * 1e6) for n in c.values())
+        assert got.sum_clnc_micro == s
+        # entropy in [0, ln(n_distinct)] up to quantization
+        assert -1e-5 <= got.entropy <= math.log(max(2, len(c))) + 1e-5
