@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_robust_outliers", # new r6: median/MAD histogram outliers
     "doc_token_entropy",      # new r6: Shannon-entropy quality signal
     "events_rolling_stats",   # new r6: trailing-window exact features
     "graph_triangle_stats",   # new r6: exact triangle census, hub cap
@@ -3711,3 +3712,55 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return TX.token_entropy(docs)
+
+
+@register(
+    "events_robust_outliers",
+    """
+    WITH m AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    h1 AS (SELECT event_type, x, COUNT(*) AS c FROM m GROUP BY 1, 2),
+    c1 AS (
+      SELECT event_type, x,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h1
+    ),
+    med AS (
+      SELECT event_type, MIN(x) AS med FROM c1
+      WHERE cum >= (n + 1) // 2 GROUP BY 1
+    ),
+    d AS (
+      SELECT m.event_id, m.event_type, m.x, ABS(m.x - med.med) AS dev
+      FROM m JOIN med USING (event_type)
+    ),
+    h2 AS (SELECT event_type, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+    c2 AS (
+      SELECT event_type, dev,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h2
+    ),
+    mad AS (
+      SELECT event_type, MIN(dev) AS mad FROM c2
+      WHERE cum >= (n + 1) // 2 GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.x AS value_micro,
+           d.dev AS dev_micro
+    FROM d JOIN mad USING (event_type)
+    WHERE d.dev > 5 * mad.mad
+    ORDER BY event_id
+    """,
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers (|x - med| > 5*MAD) — the heavy-tail-
+    safe twin of the z-score detector. Both exact lower medians come
+    from VALUE HISTOGRAMS (domain-sized cumulative windows, never a
+    per-key row sort), and the output is pure BIGINT."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.robust_outliers(ev, k=5)

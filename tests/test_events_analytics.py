@@ -174,3 +174,27 @@ def test_rolling_stats_window_semantics(spark):
         expect[r.event_id] = (min(5, len(hist)), sum(hist[-5:]))
     got = {r.event_id: (r.n_win, r.sum_micro) for r in out}
     assert got == expect
+
+
+def test_robust_outliers_match_numpy(spark):
+    import numpy as np
+
+    ev = SRC.load(spark, SF_DIR, "events")
+    got = {r.event_id for r in EV.robust_outliers(ev, k=5).collect()}
+    rows = ev.select("event_id", "event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(
+                (r.event_id, round(r.value * 1e6))
+            )
+    expect = set()
+    for vals in by_type.values():
+        xs = sorted(x for _, x in vals)
+        med = xs[(len(xs) + 1) // 2 - 1]  # exact lower median
+        devs = sorted(abs(x - med) for x in xs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        for eid, x in vals:
+            if abs(x - med) > 5 * mad:
+                expect.add(eid)
+    assert got == expect and len(got) > 0
