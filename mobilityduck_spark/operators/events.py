@@ -415,3 +415,41 @@ def robust_outliers(
         )
         .orderBy(id_col)
     )
+
+
+def user_features(
+    events: DataFrame,
+    gap: str = "12 hours",
+    half_life_days: int = 7,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user training-feature assembly — the feature-store join that
+    a ranking/propensity pipeline materializes nightly: base activity
+    counts, session structure (gap sessionization), and the
+    recency-decayed engagement score, one row per user.
+
+    Every input is an already-proven operator (sessionize,
+    decay_scores); this composes them with |users|-sized equi-joins, so
+    the whole assembly adds no corpus-scale shuffle beyond what each
+    signal already needs. All features are exact integers.
+    """
+    base = events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    sess = (
+        sessionize(events, gap=gap)
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("dur_us").alias("session_dur_us"),
+        )
+    )
+    decay = decay_scores(events, half_life_days=half_life_days).select(
+        user_col, F.col("score_micro").alias("decay_micro")
+    )
+    return (
+        base.join(sess, user_col)
+        .join(decay, user_col)
+        .orderBy(user_col)
+    )

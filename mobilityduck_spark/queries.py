@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_user_features",   # new r6: feature-store assembly join
     "events_robust_outliers", # new r6: median/MAD histogram outliers
     "doc_token_entropy",      # new r6: Shannon-entropy quality signal
     "events_rolling_stats",   # new r6: trailing-window exact features
@@ -3764,3 +3765,61 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.robust_outliers(ev, k=5)
+
+
+@register(
+    "events_user_features",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN pts IS NULL OR ts > pts + INTERVAL 12 HOUR
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, session_idx,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM t GROUP BY 1, 2
+    ),
+    sess AS (
+      SELECT user_id, COUNT(*) AS n_sessions,
+             CAST(SUM(dur_us) AS BIGINT) AS session_dur_us
+      FROM s GROUP BY 1
+    ),
+    a AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM events),
+    dc AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 1e6
+                    * POW(2.0, -CAST(datediff('day', CAST(ts AS DATE), d_max)
+                                     AS DOUBLE) / 7.0)) AS BIGINT))
+                  AS BIGINT) AS decay_micro
+      FROM events CROSS JOIN a WHERE value IS NOT NULL GROUP BY 1
+    ),
+    base AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY 1
+    )
+    SELECT base.user_id, n_events, n_types, n_sessions, session_dur_us,
+           decay_micro
+    FROM base JOIN sess USING (user_id) JOIN dc USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-store assembly: base activity counts + session
+    structure + recency-decayed engagement, composed from the proven
+    sessionize/decay operators with |users|-sized equi-joins — the
+    nightly feature-materialization pattern. All features exact
+    integers."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.user_features(ev)
