@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "embed_filtered_topk",    # new r6: RAG-style filtered vector search
     "events_user_features",   # new r6: feature-store assembly join
     "events_robust_outliers", # new r6: median/MAD histogram outliers
     "doc_token_entropy",      # new r6: Shannon-entropy quality signal
@@ -3823,3 +3824,73 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.user_features(ev)
+
+
+@register(
+    "embed_filtered_topk",
+    """
+    WITH keep AS (SELECT doc_id FROM documents WHERE n_chars >= 100),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    e AS (
+      SELECT em.vec_id, em.embedding
+      FROM embeddings em JOIN keep ON keep.doc_id = em.vec_id
+    ),
+    ne AS (
+      SELECT vec_id,
+             sqrt((SELECT SUM(v::DOUBLE * v::DOUBLE)
+                   FROM (SELECT unnest(embedding) v))) AS nrm
+      FROM e
+    ),
+    nq AS (
+      SELECT query_id,
+             sqrt((SELECT SUM(v::DOUBLE * v::DOUBLE)
+                   FROM (SELECT unnest(qv) v))) AS nrm
+      FROM q
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(
+               (SELECT SUM(av::DOUBLE * bv::DOUBLE)
+                FROM (SELECT unnest(e.embedding) av, unnest(q.qv) bv))
+               / (ne.nrm * nq.nrm), 6) AS cos
+      FROM e
+      CROSS JOIN q
+      JOIN ne ON ne.vec_id = e.vec_id
+      JOIN nq ON nq.query_id = q.query_id
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embed_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact vector search (the RAG pattern: vector
+    similarity restricted to rows passing a relational predicate) —
+    embeddings are SEMI-JOINED on the qualifying document ids BEFORE
+    any scoring, so filters prune the similarity work instead of
+    post-filtering its output (post-filtering top-k under-returns when
+    the filter is selective). Exact top-5 per probe over the surviving
+    corpus."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    docs = SRC.load(spark, sf_dir, "documents")
+    keep = docs.where(F.col("n_chars") >= 100).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    filtered = emb.join(keep, "vec_id", "left_semi")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return SIM.brute_force_topk(filtered, probes, k=5).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
