@@ -47,6 +47,8 @@ def register(name: str, oracle: str | None):
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
     # ---- new / changed in round 6 — must (re-)prove green first
+    "events_value_histogram", # new r6: width-bucket distribution profile
+    "doc_ngram_novelty",      # new r6: df==1 trigram memorization signal
     "embed_filtered_topk",    # new r6: RAG-style filtered vector search
     "events_user_features",   # new r6: feature-store assembly join
     "events_robust_outliers", # new r6: median/MAD histogram outliers
@@ -3893,4 +3895,100 @@ def embed_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return SIM.brute_force_topk(filtered, probes, k=5).select(
         "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS INTEGER) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (width_bucket-style
+    distribution profiling): bin = floor(value/25), exact counts and
+    micro-unit sums per bin — one scan, one domain-sized groupBy."""
+    ev = SRC.load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * F.lit(1e6)).cast("long")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(25.0)).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sum_micro"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@register(
+    "doc_ngram_novelty",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS gram
+      FROM d WHERE len(w) >= 3
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    df AS (SELECT gram, COUNT(*) AS df FROM dg GROUP BY gram)
+    SELECT dg.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM dg JOIN df USING (gram)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the fraction of a doc's DISTINCT
+    trigrams appearing in no other document (df == 1) — the
+    memorization/boilerplate-risk signal complementing dup_windows.
+    One gram histogram (domain-sized) + an equi-join of distinct
+    (doc, gram) pairs against it; the novelty ratio is one fixed-shape
+    division of exact counts."""
+    from .operators import retrieval as RT
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    toks = RT._doc_tokens(docs)
+    g = toks.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("w"), n=3)).alias("gram")
+    )
+    dg = g.distinct()
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(
+        F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        dg.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )
