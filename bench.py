@@ -84,9 +84,23 @@ def main() -> None:
         "reps": reps,
         "setup_sec": setup_sec,
     }
-    with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+    # Every run writes the un-gated record to BENCH_last_run.json (never
+    # committed); BENCH_full.json — the committed round-over-round record —
+    # is only overwritten when this run qualifies as a quiet-host headline
+    # run: sf==0.1, reps>=2, setup_sec within the quiet-host norm (17-21 s
+    # on this box; a loaded host shows 60+ s and would poison tracking —
+    # round 6's driver ran at setup 63.4 s and overwrote the committed
+    # record, which this gate prevents recurring).
+    with open(os.path.join(here, "BENCH_last_run.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
+    promoted = (
+        sf_val == 0.1 and reps >= 2 and setup_sec <= 25.0
+    ) or os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1"
+    if promoted:
+        with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
 
     # stdout priority: BASELINE.md comparables (bm/at pack) first, then
     # the expensive LLM-pipeline heavies the judge tracks, then TPC-H,
@@ -119,7 +133,8 @@ def main() -> None:
                 "reps": reps,
                 "setup_sec": setup_sec,
                 "nq": len(timings),
-                "full": "BENCH_full.json",
+                "full": "BENCH_full.json" if promoted else "BENCH_last_run.json",
+                "promoted": promoted,
             },
             separators=(",", ":"),
         )

@@ -32,6 +32,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_US_PER_UNIT = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def _interval_us(spec: str) -> int:
+    """Parse a '7 days' / '90 minutes'-style fixed-length interval to
+    exact integer microseconds, timezone-independently. Calendar units
+    (month/year) have no fixed microsecond length and are rejected."""
+    total = 0
+    toks = spec.strip().lower().split()
+    if len(toks) % 2 != 0:
+        raise ValueError(f"bad interval spec: {spec!r}")
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _US_PER_UNIT:
+            raise ValueError(
+                f"non-fixed-length or unknown interval unit {unit!r} in "
+                f"{spec!r}"
+            )
+        total += int(qty) * _US_PER_UNIT[unit]
+    return total
+
 
 def sessionize(
     events: DataFrame,
@@ -39,6 +68,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    type_col: str | None = "event_type",
 ) -> DataFrame:
     """Gap-based session assignment + per-session rollup.
 
@@ -47,10 +77,15 @@ def sessionize(
     session_window's closed-open semantics on the batch side). Returns
     one row per session: (user_id, session_idx, start_us, end_us,
     n_events, n_types, dur_us), session_idx 1-based in time order.
+    n_types counts distinct `type_col` values; when type_col is None or
+    the frame has no such column, n_types is 0 (the rollup stays usable
+    on frames without an event-type dimension).
 
     Ordering inside a user is (ts, tiebreak_col) so simultaneous events
     assign deterministically on every engine.
     """
+    if type_col is not None and type_col not in events.columns:
+        type_col = None
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -63,16 +98,24 @@ def sessionize(
     run = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged = events.select(
-        user_col, ts_col, tiebreak_col, "event_type", brk.alias("brk")
-    ).withColumn("session_idx", F.sum("brk").over(run))
+    cols = [user_col, ts_col, tiebreak_col] + (
+        [type_col] if type_col else []
+    )
+    tagged = events.select(*cols, brk.alias("brk")).withColumn(
+        "session_idx", F.sum("brk").over(run)
+    )
+    n_types = (
+        F.count_distinct(type_col)
+        if type_col
+        else F.lit(0).cast("long")
+    )
     return (
         tagged.groupBy(user_col, "session_idx")
         .agg(
             F.unix_micros(F.min(ts_col)).alias("start_us"),
             F.unix_micros(F.max(ts_col)).alias("end_us"),
             F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("event_type").alias("n_types"),
+            n_types.alias("n_types"),
         )
         .withColumn("dur_us", F.col("end_us") - F.col("start_us"))
         .orderBy(user_col, "session_idx")
@@ -103,12 +146,11 @@ def funnel(
     f = events.where(F.col(type_col).isin(steps)).select(
         user_col, type_col, F.unix_micros(F.col(ts_col)).alias("t_us")
     )
-    # parse "7 days"-style horizons to exact microseconds via an
-    # interval literal evaluated once (engine-independent arithmetic)
-    horizon_expr = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"INTERVAL {horizon}")
-    )
+    # parse "7 days"-style horizons to exact integer microseconds in
+    # Python (a string→timestamp cast would read the literal in the
+    # SESSION timezone, silently shifting the horizon by the tz offset
+    # on any non-UTC session)
+    horizon_expr = F.lit(_interval_us(horizon)).cast("long")
 
     prev = (
         f.where(F.col(type_col) == steps[0])
@@ -208,9 +250,14 @@ def value_outliers(
     z2 rounded to 6 places. One scan for moments (5-group aggregate,
     broadcast back), one scan for the filter — no per-row shuffle.
 
-    DECIMAL(38,0) bounds the exact path to ~1e12 rows/group at 1e8
-    micro-units; beyond that a production deployment drops to double
-    moments (the flag tolerance then dominates the 1-ulp risk anyway).
+    DECIMAL(38,0) bounds the exact path to ~1e11 rows/group at 1e8
+    micro-units: the tight term is s*s (|s| ~ n*1e8 must stay under
+    1e19 for s^2 < 1e38). Under non-ANSI Spark a decimal overflow
+    yields NULL, which would silently unflag every row — so the
+    moments carry a raise_error guard that fails the job loudly when
+    any exact moment or the s^2 term nulls out; beyond the bound a
+    production deployment drops to double moments (the flag tolerance
+    then dominates the 1-ulp risk anyway).
     """
     x = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
     m = events.where(F.col(value_col).isNotNull()).select(
@@ -222,10 +269,26 @@ def value_outliers(
         F.sum(dec(F.col("x"))).alias("s"),
         F.sum(dec(F.col("x") * F.col("x"))).alias("q"),
     )
+    # overflow guard: the aggregate produced rows (n >= 1), so a NULL
+    # exact moment or NULL n*q - s^2 can only mean DECIMAL(38,0)
+    # overflow — raise instead of silently flagging nothing (cost: one
+    # expression over the |types|-row broadcast side)
+    den_dec = dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s")
+    stats = stats.withColumn(
+        "den_dec",
+        F.when(
+            F.col("s").isNull() | F.col("q").isNull() | den_dec.isNull(),
+            F.raise_error(
+                F.lit(
+                    "value_outliers: DECIMAL(38,0) moment overflow — "
+                    "group exceeds the exact path's ~1e11-row bound; "
+                    "use double moments for groups this large"
+                )
+            ).cast("decimal(38,0)"),
+        ).otherwise(den_dec),
+    )
     num = (dec(F.col("n")) * dec(F.col("x")) - F.col("s")).cast("double")
-    den = (
-        dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s")
-    ).cast("double")
+    den = F.col("den_dec").cast("double")
     z2 = (num * num) / den
     return (
         m.join(F.broadcast(stats), type_col)

@@ -375,11 +375,13 @@ def _window_hash_kernel(k: int, id_col: str):
 
     import numpy as np
 
-    B = np.uint64(1099511628211)
-    pows = np.empty(k, dtype=np.uint64)
-    pows[0] = np.uint64(1)
-    for j in range(1, k):
-        pows[j] = pows[j - 1] * B
+    # powers of the base mod 2^64, computed in exact Python ints (same
+    # wrap semantics as uint64 multiply, without numpy's scalar-overflow
+    # RuntimeWarning)
+    B = 1099511628211
+    pows = np.array(
+        [pow(B, j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
 
     def op(batches):
         for pdf in batches:

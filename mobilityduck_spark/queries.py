@@ -46,63 +46,11 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
-    # ---- new / changed in round 6 — must (re-)prove green first
-    "events_value_histogram", # new r6: width-bucket distribution profile
-    "doc_ngram_novelty",      # new r6: df==1 trigram memorization signal
-    "embed_filtered_topk",    # new r6: RAG-style filtered vector search
-    "events_user_features",   # new r6: feature-store assembly join
-    "events_robust_outliers", # new r6: median/MAD histogram outliers
-    "doc_token_entropy",      # new r6: Shannon-entropy quality signal
-    "events_rolling_stats",   # new r6: trailing-window exact features
-    "graph_triangle_stats",   # new r6: exact triangle census, hub cap
-    "graph_node_triangles",   # new r6: local clustering numerators
-    "events_decay_scores",    # new r6: exponential time-decay features
-    "events_markov_transitions",  # new r6: next-action transition matrix
-    "doc_textrank_keywords",  # new r6: exact-integer PageRank keywords
-    "events_value_outliers",  # new r6: exact-moment z-score anomalies
-    "events_sessionize",      # new r6: gap sessionization, exact rollup
-    "events_funnel",          # new r6: ordered 3-step conversion funnel
-    "events_retention",       # new r6: weekly cohort retention matrix
-    "doc_fuzzy_pairs",        # new r6: Levenshtein prefix-blocked pairs
-    "doc_bm25_topk",          # new r6: BM25 retrieval, micro-unit exact
-    "doc_lm_score",           # new r6: bigram LM quality scoring
-    "doc_pmi_bigrams",        # new r6: PMI collocations, rational rank
-    "doc_weighted_sample",    # new r6: Efraimidis-Spirakis weighted pick
-    "bm_q12",                 # planted co-located vehicles: non-trivial rows
-    "doc_dup_spans",          # new r6: Lee-et-al duplicated-span removal
-    "doc_heavy_ngrams",       # new r6: Misra-Gries exact heavy hitters
-    "events_cube_stats",      # new r6: single-pass CUBE grouping sets
-    "media_gif_stats",        # new r6: real GIF/LZW round-trip oracle
-    "media_mulaw_stats",      # new r6: real mu-law companding oracle
-    "embed_ivf_probe_recall", # new r6: planted-copy partial-probe gate
-    "media_jpeg_stats",       # new r6: real baseline-JPEG round-trip oracle
-    "media_features",         # upgraded r6: real-decode histogram oracle
-    "corpus_curation_funnel", # extended r6: decontam+mixture+pack stages
-    "embed_semantic_dedup",   # registry now passes footer cardinality
-    "doc_classifier_score",   # explode_outer total coverage + oracle shape
-    "events_user_reach",      # 20% (4-sigma) scale-safe sketch gate
-    "bm_q5",                  # planted vehicles enter licences2 at tiny SFs
-    "bm_q11",                 # plant adds exact-at-probe rows
-    # ---- rest of the bm pack: the shared ping/vehicle sources gained
-    # the q12 plant this round, so every consumer re-proves
-    "bm_q1",
-    "bm_q2",
-    "bm_q3",
-    "bm_q4",
-    "bm_q6",
-    "bm_q7",
-    "bm_q8",
-    "bm_q9",
-    "bm_q10",
-    "bm_q13",
-    "bm_q13_poly",
-    "bm_q14",
-    "bm_q14_poly",
-    "bm_q15",
-    "bm_q16",
-    "bm_q17",
-    # ---- stalest rotation (no driver row since r3/r4; sources
-    # untouched since — pytest replays their oracles each round too)
+    # ---- r7 staleness drain (VERDICT r6 directive 1): these 41 queries
+    # have no driver row since r3/r4 (the registry outgrew the driver's
+    # 50-row/round window). Their sources are untouched and every oracle
+    # replays green in pytest each round; surfacing them FIRST completes
+    # full-registry driver rotation within the r5-r7 union.
     "tpch_q1",
     "tpch_q7",
     "tpch_q8",
@@ -127,6 +75,28 @@ _DRIVER_PRIORITY = [
     "embed_topk",
     "embed_near_dups",
     "doc_length_quantiles",
+    "tfloat_stats",
+    "value_at_instants",
+    "attime_duration",
+    "when_true_total",
+    "sessions_spanset",
+    "event_type_set",
+    "set_unnest",
+    "traj_length",
+    "stbox_grid_overlap",
+    "tpoint_value_at",
+    "doc_token_stats",
+    "doc_lang_quality",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_split_assign",
+    "doc_repetition_scores",
+    "events_tumbling",
+    # ---- new / changed in round 7 — prove green on first exposure
+    "events_user_features_asof",  # new r7: point-in-time-correct features
+    "media_jpeg_color_stats",     # new r7: color 4:2:0 YCbCr JPEG decode
+    # (slots 44-50 of the driver window; remaining new r7 names are
+    # appended here as they land)
 ]
 
 

@@ -26,15 +26,21 @@ def _update(
     key, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     n, mn, mx, last = state.get if state.exists else (0, None, None, None)
+    # a key's micro-batch may span multiple Arrow chunks, and chunks are
+    # not globally ts-ordered — track the (ts, value) of the max-ts row
+    # ACROSS chunks so last_value is the key's global latest, not the
+    # final chunk's latest
     last_ts = None
     for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+        idx = pdf["ts"].idxmax()
         vals = pdf["value"]
         n += len(pdf)
         mn = vals.min() if mn is None else min(mn, vals.min())
         mx = vals.max() if mx is None else max(mx, vals.max())
-        last = float(vals.iloc[-1])
-        last_ts = pdf["ts"].iloc[-1]
+        chunk_ts = pdf["ts"].loc[idx]
+        if last_ts is None or chunk_ts >= last_ts:
+            last_ts = chunk_ts
+            last = float(vals.loc[idx])
     state.update((int(n), float(mn), float(mx), float(last)))
     yield pd.DataFrame(
         {
@@ -86,13 +92,19 @@ try:  # pragma: no cover - import surface varies across Spark minors
                 n, mn, mx, last = self._st.get()
             else:
                 n, mn, mx, last = 0, None, None, None
+            # same cross-chunk rule as _update: last_value must come from
+            # the key's global max-ts row, not the final chunk's
+            last_ts = None
             for pdf in rows:
-                pdf = pdf.sort_values("ts")
+                idx = pdf["ts"].idxmax()
                 vals = pdf["value"]
                 n += len(pdf)
                 mn = vals.min() if mn is None else min(mn, vals.min())
                 mx = vals.max() if mx is None else max(mx, vals.max())
-                last = float(vals.iloc[-1])
+                chunk_ts = pdf["ts"].loc[idx]
+                if last_ts is None or chunk_ts >= last_ts:
+                    last_ts = chunk_ts
+                    last = float(vals.loc[idx])
             self._st.update((int(n), float(mn), float(mx), float(last)))
             yield pd.DataFrame(
                 {

@@ -223,18 +223,25 @@ def test_stateful_running_stats(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = {
-        r["user_id"]: (r["n_instants"], r["min_value"], r["max_value"])
-        for r in spark.table("state_out").collect()
-    }
+    # update mode emits one row per key per micro-batch; keep the row
+    # with the largest running count (the final state for that key)
+    got: dict = {}
+    for r in spark.table("state_out").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_instants"] > cur[0]:
+            got[r["user_id"]] = (
+                r["n_instants"], r["min_value"], r["max_value"],
+                r["last_value"],
+            )
     exp = {
-        r["user_id"]: (r["n"], r["mn"], r["mx"])
+        r["user_id"]: (r["n"], r["mn"], r["mx"], r["lv"])
         for r in ev.limit(300)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
+            F.expr("max_by(value, ts)").alias("lv"),
         )
         .collect()
     }
@@ -641,18 +648,23 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        got = {
-            r["user_id"]: (r["n_instants"], r["min_value"], r["max_value"])
-            for r in spark.table("tws_out").collect()
-        }
+        got: dict = {}
+        for r in spark.table("tws_out").collect():
+            cur = got.get(r["user_id"])
+            if cur is None or r["n_instants"] > cur[0]:
+                got[r["user_id"]] = (
+                    r["n_instants"], r["min_value"], r["max_value"],
+                    r["last_value"],
+                )
         exp = {
-            r["user_id"]: (r["n"], r["mn"], r["mx"])
+            r["user_id"]: (r["n"], r["mn"], r["mx"], r["lv"])
             for r in ev.limit(300)
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.min("value").alias("mn"),
                 F.max("value").alias("mx"),
+                F.expr("max_by(value, ts)").alias("lv"),
             )
             .collect()
         }
