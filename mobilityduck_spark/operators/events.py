@@ -516,3 +516,82 @@ def user_features(
         .join(decay, user_col)
         .orderBy(user_col)
     )
+
+
+def user_features_asof(
+    events: DataFrame,
+    labels: DataFrame,
+    gap: str = "12 hours",
+    half_life_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    label_ts_col: str = "label_ts",
+) -> DataFrame:
+    """Point-in-time-correct feature assembly: the same features as
+    user_features, but computed AS OF each user's label timestamp —
+    only events STRICTLY BEFORE label_ts contribute, so a training set
+    built from this join is leakage-free (the label event itself and
+    anything after it never bleed into its own features).
+
+    `labels` carries one (user_col, label_ts_col) row per user (the
+    training-label anchor — e.g. the conversion event being predicted).
+    The recency decay is anchored at the LABEL date, not the dataset
+    max — recency means "recent relative to prediction time".
+
+    Plan shape: one equi-join of events to labels on user_col (the same
+    key every downstream groupBy/window shuffles on, so the partitioning
+    is reused end-to-end; AQE broadcasts the |users|-sized label side
+    when it fits), then the proven sessionize/decay compositions over
+    the filtered prefix. Users with no pre-label history drop out (no
+    features exist for them); users whose pre-label events all carry
+    NULL values get decay_micro = 0. Returns (user_id, label_us,
+    n_events, n_types, n_sessions, session_dur_us, decay_micro), all
+    exact integers, ordered by user.
+    """
+    lbl = labels.select(user_col, label_ts_col)
+    pre = events.join(lbl, user_col).where(
+        F.col(ts_col) < F.col(label_ts_col)
+    )
+    # base counts and the label-anchored decay share the grouping key,
+    # so they fold into ONE pass over pre (conditional sum instead of a
+    # separate filtered branch + left join — one less corpus scan)
+    age = F.datediff(F.to_date(label_ts_col), F.to_date(ts_col))
+    contrib = F.round(
+        F.col("value")
+        * F.lit(1e6)
+        * F.pow(
+            F.lit(2.0), -age.cast("double") / F.lit(float(half_life_days))
+        )
+    ).cast("long")
+    base = pre.groupBy(user_col).agg(
+        F.unix_micros(F.first(label_ts_col)).alias("label_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNotNull(), contrib)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("decay_micro"),
+    )
+    sess = (
+        sessionize(pre, gap=gap, user_col=user_col, ts_col=ts_col)
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("dur_us").alias("session_dur_us"),
+        )
+    )
+    return (
+        base.join(sess, user_col)
+        .select(
+            user_col,
+            "label_us",
+            "n_events",
+            "n_types",
+            "n_sessions",
+            "session_dur_us",
+            "decay_micro",
+        )
+        .orderBy(user_col)
+    )

@@ -3799,6 +3799,82 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_features_asof",
+    """
+    WITH labels AS (
+      SELECT user_id, MAX(ts) AS label_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pre AS (
+      SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value,
+             l.label_ts
+      FROM events e JOIN labels l USING (user_id)
+      WHERE e.ts < l.label_ts
+    ),
+    o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM pre
+    ),
+    t AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN pts IS NULL OR ts > pts + INTERVAL 12 HOUR
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, session_idx,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM t GROUP BY 1, 2
+    ),
+    sess AS (
+      SELECT user_id, COUNT(*) AS n_sessions,
+             CAST(SUM(dur_us) AS BIGINT) AS session_dur_us
+      FROM s GROUP BY 1
+    ),
+    dc AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 1e6
+                    * POW(2.0, -CAST(datediff('day', CAST(ts AS DATE),
+                                              CAST(label_ts AS DATE))
+                                     AS DOUBLE) / 7.0)) AS BIGINT))
+                  AS BIGINT) AS decay_micro
+      FROM pre WHERE value IS NOT NULL GROUP BY 1
+    ),
+    base AS (
+      SELECT user_id, epoch_us(MAX(label_ts)) AS label_us,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM pre GROUP BY 1
+    )
+    SELECT base.user_id, label_us, n_events, n_types, n_sessions,
+           session_dur_us,
+           CAST(COALESCE(decay_micro, 0) AS BIGINT) AS decay_micro
+    FROM base JOIN sess USING (user_id) LEFT JOIN dc USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def events_user_features_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly: features computed
+    strictly BEFORE each user's label timestamp (their latest
+    'purchase' — the conversion being predicted), decay anchored at
+    the label date. The leakage-safe feature-store join; one
+    user-keyed equi-join feeding the proven sessionize/decay
+    compositions, partitioning reused end-to-end."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    labels = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("label_ts"))
+    )
+    return EV.user_features_asof(ev, labels)
+
+
+@register(
     "embed_filtered_topk",
     """
     WITH keep AS (SELECT doc_id FROM documents WHERE n_chars >= 100),

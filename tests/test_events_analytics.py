@@ -198,3 +198,64 @@ def test_robust_outliers_match_numpy(spark):
             if abs(x - med) > 5 * mad:
                 expect.add(eid)
     assert got == expect and len(got) > 0
+
+
+def test_user_features_asof_is_leakage_free(spark):
+    """Mutating every event AT or AFTER a user's label_ts must not
+    change that user's as-of features — the point-in-time contract."""
+    ev = SRC.load(spark, SF_DIR, "events")
+    labels = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("label_ts"))
+    )
+    base = EV.user_features_asof(ev, labels).collect()
+    # poison the future: blow up values and retype events at/after label
+    poisoned = (
+        ev.join(labels, "user_id", "left")
+        .withColumn(
+            "value",
+            F.when(
+                F.col("label_ts").isNotNull()
+                & (F.col("ts") >= F.col("label_ts")),
+                F.col("value") * 1000 + 7,
+            ).otherwise(F.col("value")),
+        )
+        .withColumn(
+            "event_type",
+            F.when(
+                F.col("label_ts").isNotNull()
+                & (F.col("ts") >= F.col("label_ts")),
+                F.lit("POISON"),
+            ).otherwise(F.col("event_type")),
+        )
+        .drop("label_ts")
+    )
+    after = EV.user_features_asof(poisoned, labels).collect()
+    assert base == after
+    # and the features genuinely differ from the full-history assembly
+    full = {r.user_id: r.n_events for r in EV.user_features(ev).collect()}
+    asof = {r.user_id: r.n_events for r in base}
+    assert all(asof[u] < full[u] for u in asof)
+
+
+def test_user_features_asof_null_value_prefix(spark):
+    """A user whose entire pre-label history has NULL values gets
+    decay_micro = 0, not a dropped row."""
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "view", None),
+        (1, 11, "2024-01-01 01:00:00", "click", None),
+        (1, 12, "2024-01-02 00:00:00", "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    labels = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("label_ts"))
+    )
+    out = EV.user_features_asof(ev, labels).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_events, r.n_types, r.decay_micro) == (2, 2, 0)
