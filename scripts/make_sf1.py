@@ -24,11 +24,30 @@ blowup:
   region/nation fixed).
 - region/nation/customer/supplier/part: verbatim.
 
-Usage: python scripts/make_sf1.py [out_dir] [K]
+Usage: python scripts/make_sf1.py [out_dir] [K] [mode]
 
 K (default 10) is the copy multiplier; K=30 builds the sf3 (30×) point
 used by the three-point scaling curve in PERF.md. All offset/tagging
 schemes are K-safe up to 96 (the embedding flip-mask modulus).
+
+mode (default "tag") selects the document scaling scheme:
+
+- "tag": the original every-5th-word copy tag. Cheap and guarantees
+  copies never near-dup each other, but INFLATES THE TOKEN DOMAIN ×K
+  (each word gains per-copy variants), which is what drove the
+  super-unit sweep tails of the vocabulary-bounded operators
+  (doc_lm_score bigram domain, doc_heavy_ngrams support dilution,
+  doc_pmi_bigrams margins).
+- "natural": vocabulary-preserving segment mutation — copy k of a doc
+  replaces a deterministic subset of word positions with OTHER WORDS
+  FROM THE BANK-0 VOCABULARY. Regular docs mutate ~40% of positions
+  (5-gram survival 0.6^5 ≈ 8%, Jaccard vs the original ~4% — far below
+  every near-dup threshold, so cross-copy candidates stay out), while
+  ~2% of (doc, copy) slots are planted true near-copies at ~0.5%
+  mutation (cluster size ~2-3 independent of K — the thin genuine
+  near-dup stream a web crawl carries). The token domain stays EXACTLY
+  bank-0's, so vocabulary-bounded operators scale on data volume, not
+  on a generator artifact.
 """
 
 import os
@@ -42,6 +61,83 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.benchdata/sf1"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+MODE = sys.argv[3] if len(sys.argv) > 3 else "tag"
+
+
+def natural_documents(out_path: str) -> None:
+    """Write K copy banks of documents with vocabulary-preserving
+    deterministic mutations (see module docstring, mode="natural")."""
+    tbl = pq.read_table(f"{SRC}/documents.parquet")
+    doc_ids = tbl["doc_id"].to_numpy()
+    texts = tbl["text"].to_pylist()
+    langs = tbl["lang"].to_pylist()
+    sources = tbl["source"].to_pylist()
+
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = np.array(
+        [w for toks in tok_lists for w in toks], dtype=object
+    )
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    vocab, inv = np.unique(flat, return_inverse=True)
+    V = len(vocab)
+    # per-token deterministic hash base: global position + owning doc
+    pos = np.arange(len(flat), dtype=np.uint64)
+    doc_of = np.repeat(doc_ids.astype(np.uint64), lens)
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    writer = pq.ParquetWriter(out_path, schema)
+    A = np.uint64(2654435761)
+    B = np.uint64(1013904223)
+    for k in range(K):
+        if k == 0:
+            out_texts = texts
+            out_doc_ids = doc_ids
+        else:
+            ku = np.uint64(k)
+            # ~2% of (doc, copy) slots are planted true near-copies
+            planted = (doc_ids.astype(np.uint64) * A + ku * B) % np.uint64(
+                50
+            ) == 0
+            rate = np.where(np.repeat(planted, lens), 5, 400).astype(
+                np.uint64
+            )  # per-mille mutation rates: 0.5% planted (5-gram
+            # Jaccard ~0.95, above the 0.9 near-dup threshold), 40%
+            # regular (Jaccard ~0.04, far below every threshold)
+            h = pos * A + doc_of * np.uint64(97) + ku * np.uint64(40503)
+            mutate = (h % np.uint64(1000)) < rate
+            sub = ((h >> np.uint64(10)) * A + pos) % np.uint64(V)
+            new_inv = np.where(mutate, sub.astype(np.int64), inv)
+            words = vocab[new_inv]
+            out_texts = [
+                " ".join(words[starts[i] : starts[i + 1]])
+                for i in range(len(lens))
+            ]
+            out_doc_ids = doc_ids + k * 100_000_000
+        writer.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(out_doc_ids, type=pa.int64()),
+                    "text": pa.array(out_texts, type=pa.string()),
+                    "lang": pa.array(langs, type=pa.string()),
+                    "source": pa.array(sources, type=pa.string()),
+                    "n_chars": pa.array(
+                        [len(t) for t in out_texts], type=pa.int64()
+                    ),
+                },
+                schema=schema,
+            )
+        )
+    writer.close()
 
 
 def main() -> None:
@@ -81,6 +177,12 @@ def main() -> None:
     )
     con.execute(f"COPY ({union}) TO '{OUT}/events.parquet' (FORMAT PARQUET)")
 
+    if MODE == "natural":
+        natural_documents(f"{OUT}/documents.parquet")
+        write_embeddings()
+        report(con)
+        return
+
     parts = []
     for k in range(K):
         if k == 0:
@@ -103,6 +205,11 @@ def main() -> None:
               FROM ({union})) TO '{OUT}/documents.parquet' (FORMAT PARQUET)"""
     )
 
+    write_embeddings()
+    report(con)
+
+
+def write_embeddings() -> None:
     tbl = pq.read_table(f"{SRC}/embeddings.parquet")
     ids = tbl["vec_id"].to_numpy()
     labels = tbl["label"].to_numpy()
@@ -140,6 +247,8 @@ def main() -> None:
     )
     pq.write_table(out, f"{OUT}/embeddings.parquet")
 
+
+def report(con) -> None:
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
