@@ -115,7 +115,124 @@ def summarize(name: str, rows_per_sec: int, samples: list):
     )
 
 
+def parity_soak(spark, sf_dir: str, n_slices: int = 40) -> None:
+    """Replay a FIXED window (the full sf1 events table) through the
+    streaming sessionizer as `n_slices` time-ordered file triggers and
+    assert ROW-LEVEL equality of every closed session against the
+    batch twin over the same window.
+
+    Mechanics: events are range-partitioned by ts into one parquet
+    slice per trigger, slice mtimes set ascending so FileStreamSource
+    replays them in event-time order (the watermark advances and
+    EVICTS session state mid-replay — the at-scale path, not a
+    single-batch memory-sink test). A sentinel event 30 days past the
+    max ts pushes the final watermark so every real session closes in
+    append mode; the sentinel's own (still-open) session is excluded.
+    """
+    import glob
+    import shutil
+
+    from mobilityduck_spark.sources import tables as SRC
+
+    base = f"/tmp/soak_parity_{os.getpid()}"
+    slices = f"{base}/slices"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(slices)
+
+    ev = SRC.load(spark, sf_dir, "events").select("user_id", "ts")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    ev.repartitionByRange(n_slices, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/ranged")
+    files = sorted(glob.glob(f"{base}/ranged/part-*.parquet"))
+    # range partition file NAMES are ordered by range; re-stamp mtimes
+    # ascending so the file source's (mtime-ordered) replay is
+    # event-time-ordered
+    now = time.time() - len(files) * 2 - 60
+    for i, f in enumerate(files):
+        dst = f"{slices}/{i:05d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now + 2 * i, now + 2 * i))
+    # sentinel slice: one far-future event closes every real session
+    sent = spark.createDataFrame(
+        [(-1, mx)], "user_id long, ts timestamp"
+    ).select("user_id", (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{base}/sent")
+    sfile = glob.glob(f"{base}/sent/part-*.parquet")[0]
+    dst = f"{slices}/{len(files):05d}.parquet"
+    shutil.copy(sfile, dst)
+    os.utime(dst, (now + 2 * len(files) + 2,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+    )
+    out = session_spans_stream(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("soak_parity")
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    peak_state, last_batch = 0, -1
+    while q.isActive:
+        time.sleep(1)
+        p = q.lastProgress
+        if p and p.get("stateOperators"):
+            st = sum(o.get("numRowsTotal", 0) for o in p["stateOperators"])
+            peak_state = max(peak_state, st)
+            if p.get("batchId") != last_batch:
+                last_batch = p.get("batchId")
+                print(
+                    f"  batch={last_batch} state_rows={st} "
+                    f"watermark={p.get('eventTime', {}).get('watermark')}",
+                    flush=True,
+                )
+        # availableNow isn't used (it would collapse the replay into
+        # few triggers); stop once all slices are consumed and idle
+        if p and p.get("numInputRows") == 0 and last_batch > len(files):
+            break
+    q.stop()
+    q.awaitTermination(60)
+
+    got = [
+        (r["user_id"], r["sstart"], r["send"], r["n_events"])
+        for r in spark.table("soak_parity").collect()
+        if r["user_id"] != -1
+    ]
+    exp = [
+        (r["user_id"], r["sstart"], r["send"], r["n_events"])
+        for r in session_spans_stream(ev, gap="30 minutes", streaming=False)
+        .collect()
+    ]
+    got.sort()
+    exp.sort()
+    n_total = ev.count()
+    match = got == exp
+    print(
+        f"SUMMARY parity: input_rows={n_total} slices={len(files) + 1} "
+        f"closed_sessions={len(got)} batch_sessions={len(exp)} "
+        f"peak_state_rows={peak_state} row_level_equal={match}"
+    )
+    if not match:
+        gs, es = set(got), set(exp)
+        print("  only_stream:", sorted(gs - es)[:5])
+        print("  only_batch:", sorted(es - gs)[:5])
+        sys.exit(1)
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "parity":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
+        spark = get_spark("streaming_soak_parity")
+        spark.sparkContext.setLogLevel("ERROR")
+        parity_soak(spark, sf_dir)
+        spark.stop()
+        return
+
     rows_per_sec = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     spark = get_spark("streaming_soak")
