@@ -633,6 +633,116 @@ def _jpeg_category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+# Annex K chrominance tables (Tables K.2 / K.4 / K.6), same public-spec
+# provenance as the luminance set above. Q[0,0] lowered 17 -> 8 for the
+# same reason as the luma table: a constant block's quantized DC code is
+# exactly v-128, making MCU-constant planted content integer-exact.
+_JPEG_QTAB_C = np.array([
+    [ 8, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _encode_block(
+    bwr: "_BitWriter", blk: np.ndarray, qtab: np.ndarray,
+    dc_tab: dict, ac_tab: dict, pred: int,
+) -> int:
+    """Forward-code one level-shifted 8x8 block: DCT -> quantize ->
+    zigzag -> DC-diff + run/size AC Huffman. Returns the new DC pred."""
+    zz_r, zz_c = _ZIGZAG // 8, _ZIGZAG % 8
+    fq = _DCT_C @ blk @ _DCT_C.T
+    q = np.round(fq / qtab).astype(np.int64)
+    zz = q[zz_r, zz_c]
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    cat = _jpeg_category(diff)
+    code, ln = dc_tab[cat]
+    bwr.write(code, ln)
+    if cat:
+        bwr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bwr.write(code, ln)
+            run -= 16
+        cat = _jpeg_category(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        bwr.write(code, ln)
+        bwr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]  # EOB
+        bwr.write(code, ln)
+    return pred
+
+
+def _decode_block(
+    br: "_BitReader", dct: dict, act: dict, qt: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block: Huffman -> dezigzag -> dequantize ->
+    IDCT. Returns (spatial 8x8 float block, new DC pred)."""
+    zz_r, zz_c = _ZIGZAG // 8, _ZIGZAG % 8
+
+    def extend(v: int, cat: int) -> int:
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    zz = np.zeros(64, dtype=np.int64)
+    cat = br.read_code(dct)
+    diff = extend(br.read(cat), cat) if cat else 0
+    pred += diff
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = br.read_code(act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, cat = sym >> 4, sym & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("AC index overflow")
+        zz[i] = extend(br.read(cat), cat)
+        i += 1
+    blk = np.zeros((8, 8), dtype=np.float64)
+    blk[zz_r, zz_c] = zz
+    blk *= qt
+    return _DCT_C.T @ blk @ _DCT_C, pred
+
+
 def encode_jpeg(pixels: np.ndarray) -> bytes:
     """Baseline sequential JPEG encoder for uint8 grayscale (h, w):
     level shift → 8×8 orthonormal DCT → quantize (_JPEG_QTAB) → zigzag
@@ -660,36 +770,7 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     for by in range(bh):
         for bx in range(bw):
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            fq = _DCT_C @ blk @ _DCT_C.T
-            q = np.round(fq / _JPEG_QTAB).astype(np.int64)
-            zz = q[zz_r, zz_c]
-            # DC difference
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            cat = _jpeg_category(diff)
-            code, ln = dc_tab[cat]
-            bwr.write(code, ln)
-            if cat:
-                bwr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            # AC run/size
-            run = 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]  # ZRL
-                    bwr.write(code, ln)
-                    run -= 16
-                cat = _jpeg_category(v)
-                code, ln = ac_tab[(run << 4) | cat]
-                bwr.write(code, ln)
-                bwr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                code, ln = ac_tab[0x00]  # EOB
-                bwr.write(code, ln)
+            pred = _encode_block(bwr, blk, _JPEG_QTAB, dc_tab, ac_tab, pred)
     bwr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -784,40 +865,225 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     br = _BitReader(data, scan_pos)
     bh, bw = -(-h // 8), -(-w // 8)
     out = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    zz_r, zz_c = _ZIGZAG // 8, _ZIGZAG % 8
     pred = 0
-
-    def extend(v: int, cat: int) -> int:
-        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = br.read_code(dct)
-            diff = extend(br.read(cat), cat) if cat else 0
-            pred += diff
-            zz[0] = pred
-            i = 1
-            while i < 64:
-                sym = br.read_code(act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC index overflow")
-                zz[i] = extend(br.read(cat), cat)
-                i += 1
-            blk = np.zeros((8, 8), dtype=np.float64)
-            blk[zz_r, zz_c] = zz
-            blk *= qt
-            spat = _DCT_C.T @ blk @ _DCT_C
+            spat, pred = _decode_block(br, dct, act, qt, pred)
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spat
     px = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
     return px[:h, :w]
+
+
+def encode_jpeg_color(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> bytes:
+    """Baseline sequential COLOR JPEG encoder, 4:2:0 YCbCr (the web's
+    dominant photo layout): interleaved MCUs of four Y blocks + one Cb
+    + one Cr, Annex-K luminance tables for Y and chrominance tables for
+    Cb/Cr (both quant DC entries lowered to 8 — MCU-constant content
+    round-trips bit-exactly), independent DC predictors per component.
+
+    Takes the planes in the STORED color space (like libjpeg's raw-data
+    mode): y is (16*mh, 16*mw) uint8; cb and cr are the 2x2-subsampled
+    (8*mh, 8*mw) planes. Output decodes in any standards-conformant
+    JPEG decoder."""
+    import struct
+
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise NotImplementedError(
+            "encode_jpeg_color: luma dims must be multiples of 16"
+        )
+    mh, mw = h // 16, w // 16
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be 2x2-subsampled luma dims")
+
+    dc_y = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_y = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _huff_encode_table(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _huff_encode_table(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    yf = y.astype(np.float64) - 128.0
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    bwr = _BitWriter()
+    py = pcb = pcr = 0
+    for my in range(mh):
+        for mx in range(mw):
+            for sy in range(2):  # four Y blocks, raster order
+                for sx in range(2):
+                    r0, c0 = my * 16 + sy * 8, mx * 16 + sx * 8
+                    py = _encode_block(
+                        bwr, yf[r0 : r0 + 8, c0 : c0 + 8],
+                        _JPEG_QTAB, dc_y, ac_y, py,
+                    )
+            r0, c0 = my * 8, mx * 8
+            pcb = _encode_block(
+                bwr, cbf[r0 : r0 + 8, c0 : c0 + 8],
+                _JPEG_QTAB_C, dc_c, ac_c, pcb,
+            )
+            pcr = _encode_block(
+                bwr, crf[r0 : r0 + 8, c0 : c0 + 8],
+                _JPEG_QTAB_C, dc_c, ac_c, pcr,
+            )
+    bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_r, zz_c = _ZIGZAG // 8, _ZIGZAG % 8
+    dqt = seg(
+        0xFFDB,
+        b"\x00" + _JPEG_QTAB[zz_r, zz_c].astype(np.uint8).tobytes()
+        + b"\x01" + _JPEG_QTAB_C[zz_r, zz_c].astype(np.uint8).tobytes(),
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00"  # Y: 2x2 sampling, qtab 0
+        + b"\x02\x11\x01"  # Cb: 1x1, qtab 1
+        + b"\x03\x11\x01",  # Cr: 1x1, qtab 1
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bwr.buf) + b"\xff\xd9"
+
+
+def decode_jpeg_color(data: bytes):
+    """Baseline sequential COLOR JPEG decoder, 3-component 4:2:0
+    interleaved scan: full marker walk with DQT/DHT tables read FROM
+    the stream, per-component Huffman/quant selection, independent DC
+    predictors, MCU-interleaved entropy decode. Returns the stored
+    (y, cb, cr) planes as uint8 arrays — y at (h, w), chroma at the
+    subsampled (ceil(h/2), ceil(w/2)) — so integer-exact statistics
+    can be taken in the file's native color space; use ycbcr_to_rgb
+    for display-space pixels. Non-4:2:0 sampling, progressive, 12-bit
+    and restart intervals raise NotImplementedError (same documented
+    boundary as the grayscale decoder)."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, dict] = {}
+    h = w = None
+    comps: list[tuple] = []  # (comp_id, hs, vs, qtab_id)
+    scan_tabs: dict[int, tuple] = {}
+    scan_pos = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(
+                    body, np.uint8, 64, b + 1
+                ).astype(np.int64)
+                qtabs[tq] = tab.reshape(8, 8)
+                b += 65
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 3:
+                raise NotImplementedError(
+                    "decode_jpeg_color: 8-bit 3-component baseline only"
+                )
+            for c in range(3):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, body[8 + 3 * c]))
+            if [(c[1], c[2]) for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+                raise NotImplementedError(
+                    "decode_jpeg_color: 4:2:0 sampling only"
+                )
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise NotImplementedError("expected 3-component scan")
+            for c in range(3):
+                cid = body[1 + 2 * c]
+                scan_tabs[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
+            scan_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_pos is None or h is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    mh, mw = -(-h // 16), -(-w // 16)
+    yp = np.empty((mh * 16, mw * 16), dtype=np.float64)
+    cbp = np.empty((mh * 8, mw * 8), dtype=np.float64)
+    crp = np.empty((mh * 8, mw * 8), dtype=np.float64)
+    br = _BitReader(data, scan_pos)
+    tabs = []
+    for cid, _hs, _vs, qid in comps:
+        dc_id, ac_id = scan_tabs[cid]
+        tabs.append((htabs[(0, dc_id)], htabs[(1, ac_id)], qtabs[qid]))
+    py = pcb = pcr = 0
+    for my in range(mh):
+        for mx in range(mw):
+            for sy in range(2):
+                for sx in range(2):
+                    spat, py = _decode_block(br, *tabs[0], py)
+                    r0, c0 = my * 16 + sy * 8, mx * 16 + sx * 8
+                    yp[r0 : r0 + 8, c0 : c0 + 8] = spat
+            spat, pcb = _decode_block(br, *tabs[1], pcb)
+            cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = spat
+            spat, pcr = _decode_block(br, *tabs[2], pcr)
+            crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = spat
+
+    def clip8(a):
+        return np.clip(np.round(a + 128.0), 0, 255).astype(np.uint8)
+
+    ch, cw = -(-h // 2), -(-w // 2)
+    return clip8(yp)[:h, :w], clip8(cbp)[:ch, :cw], clip8(crp)[:ch, :cw]
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB with nearest-neighbor chroma upsampling:
+    returns (h, w, 3) uint8. Display-space conversion only — oracle
+    statistics are taken on the stored planes to keep them
+    rounding-free."""
+    yf = y.astype(np.float64)
+    cbu = np.repeat(np.repeat(cb, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+    cru = np.repeat(np.repeat(cr, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+    cbf = cbu.astype(np.float64) - 128.0
+    crf = cru.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
 
 
 def decode_real(content: bytes, kind: str):
@@ -901,6 +1167,75 @@ def plant_blocky_jpeg(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
     return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def plant_mcu_jpeg_color(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL color 4:2:0 JPEG per id with analytically-known
+    content: (2+id%3) × (2+id%2) MCUs, every 16×16 MCU constant per
+    channel at y = (5mx+11my+3id)%256, cb = (7mx+3my+5id)%256,
+    cr = (11mx+5my+7id)%256. MCU-constant content makes all six blocks
+    of each MCU DC-only, and both quant tables' DC entry is 8, so the
+    full color pipeline (interleaved scan, two Huffman table pairs, two
+    quant tables, three DC predictors) reconstructs the planes
+    bit-exactly — lettings an ANSI-SQL oracle recompute every stored-
+    plane statistic from the MCU formula."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nmx, nmy = 2 + mid % 3, 2 + mid % 2
+                mx = np.arange(nmx, dtype=np.int64)[None, :]
+                my = np.arange(nmy, dtype=np.int64)[:, None]
+                yv = (5 * mx + 11 * my + 3 * mid) % 256
+                cbv = (7 * mx + 3 * my + 5 * mid) % 256
+                crv = (11 * mx + 5 * my + 7 * mid) % 256
+                one16 = np.ones((16, 16), np.int64)
+                one8 = np.ones((8, 8), np.int64)
+                data = encode_jpeg_color(
+                    np.kron(yv, one16).astype(np.uint8),
+                    np.kron(cbv, one8).astype(np.uint8),
+                    np.kron(crv, one8).astype(np.uint8),
+                )
+                out.append((mid, data))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def decode_stats_color(media: DataFrame) -> DataFrame:
+    """Decode real color JPEG bytes and emit per-item statistics of the
+    STORED planes (native YCbCr color space — integer-exact, no
+    rounding formula enters the oracle): dims from the SOF header, one
+    exact sum per plane."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                y, cb, cr = decode_jpeg_color(bytes(content))
+                rows.append(
+                    (int(mid), y.shape[1], y.shape[0],
+                     int(y.astype(np.int64).sum()),
+                     int(cb.astype(np.int64).sum()),
+                     int(cr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "sum_y", "sum_cb", "sum_cr",
+                ],
+            )
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "media_id long, width int, height int, "
+            "sum_y long, sum_cb long, sum_cr long"
+        ),
+    )
 
 
 def plant_gradient_gif(ids: DataFrame, id_col: str = "media_id") -> DataFrame:

@@ -2422,6 +2422,61 @@ def media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_jpeg_color_stats",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 16
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(2 + media_id % 3 AS INT) AS nmx,
+             CAST(2 + media_id % 2 AS INT) AS nmy
+      FROM ids
+    ),
+    mxs AS (SELECT unnest(range(0, 5)) AS x),
+    mys AS (SELECT unnest(range(0, 4)) AS y),
+    mcu AS (
+      SELECT d.media_id, d.nmx, d.nmy,
+             (5 * mxs.x + 11 * mys.y + 3 * d.media_id) % 256 AS yv,
+             (7 * mxs.x + 3 * mys.y + 5 * d.media_id) % 256 AS cbv,
+             (11 * mxs.x + 5 * mys.y + 7 * d.media_id) % 256 AS crv
+      FROM dims d, mxs, mys
+      WHERE mxs.x < d.nmx AND mys.y < d.nmy
+    )
+    SELECT media_id,
+           CAST(nmx * 16 AS INT) AS width,
+           CAST(nmy * 16 AS INT) AS height,
+           CAST(SUM(yv) * 256 AS BIGINT) AS sum_y,
+           CAST(SUM(cbv) * 64 AS BIGINT) AS sum_cb,
+           CAST(SUM(crv) * 64 AS BIGINT) AS sum_cr
+    FROM mcu GROUP BY media_id, nmx, nmy ORDER BY media_id
+    """,
+)
+def media_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color 4:2:0 JPEG round-trip with a first-principles oracle: the
+    engine encodes genuine interleaved-MCU color JPEGs (two quant
+    tables, two Huffman table pairs, three DC predictors), ships them
+    through a binary column, and entropy-decodes with the pure-stdlib
+    color decoder. MCU-constant planted content survives quantization
+    exactly, so DuckDB recomputes the per-plane sums relationally from
+    the MCU formula — per-plane stats are taken in the STORED YCbCr
+    space (luma 256 px/MCU, each chroma 64 px/MCU at 4:2:0), keeping
+    the oracle rounding-free. Scale shape: narrow TakeOrdered over ids,
+    then embarrassingly parallel mapInPandas."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(16)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return (
+        MM.decode_stats_color(MM.plant_mcu_jpeg_color(ids))
+        .orderBy("media_id")
+    )
+
+
+@register(
     "media_gif_stats",
     """
     WITH ids AS (

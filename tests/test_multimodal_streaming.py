@@ -676,3 +676,78 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_jpeg_color_mcu_constant_exact_round_trip():
+    """MCU-constant YCbCr content is DC-only in all six blocks of every
+    MCU; both quant tables' DC entry is 8, so the full interleaved
+    color pipeline round-trips bit-exactly — the property the
+    media_jpeg_color_stats oracle relies on."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        mh, mw = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        yv = rng.integers(0, 256, size=(mh, mw))
+        cbv = rng.integers(0, 256, size=(mh, mw))
+        crv = rng.integers(0, 256, size=(mh, mw))
+        y = np.kron(yv, np.ones((16, 16), np.int64)).astype(np.uint8)
+        cb = np.kron(cbv, np.ones((8, 8), np.int64)).astype(np.uint8)
+        cr = np.kron(crv, np.ones((8, 8), np.int64)).astype(np.uint8)
+        y2, cb2, cr2 = MM.decode_jpeg_color(MM.encode_jpeg_color(y, cb, cr))
+        assert np.array_equal(y2, y)
+        assert np.array_equal(cb2, cb)
+        assert np.array_equal(cr2, cr)
+
+
+def test_jpeg_color_lossy_bound_and_rgb():
+    """Smooth color content reconstructs within quantization error on
+    every plane; ycbcr_to_rgb applies the JFIF inverse with 2x2
+    nearest-neighbor upsampling."""
+    import numpy as np
+
+    x = np.arange(32)[None, :]
+    y = np.arange(32)[:, None]
+    yp = ((np.sin(x / 5.0) + np.cos(y / 7.0)) * 60 + 128).clip(0, 255)
+    yp = yp.astype(np.uint8)
+    cx = np.arange(16)[None, :]
+    cy = np.arange(16)[:, None]
+    cbp = ((cx + cy) * 3 % 200 + 20).astype(np.uint8)
+    crp = ((cx * 2 + cy) % 180 + 40).astype(np.uint8)
+    data = MM.encode_jpeg_color(yp, cbp, crp)
+    y2, cb2, cr2 = MM.decode_jpeg_color(data)
+    assert np.abs(y2.astype(int) - yp.astype(int)).max() <= 12
+    # chroma uses the coarser Annex-K chroma table
+    assert np.abs(cb2.astype(int) - cbp.astype(int)).max() <= 40
+    assert np.abs(cr2.astype(int) - crp.astype(int)).max() <= 40
+    rgb = MM.ycbcr_to_rgb(y2, cb2, cr2)
+    assert rgb.shape == (32, 32, 3) and rgb.dtype == np.uint8
+    # gray pixel sanity: neutral chroma (128) means R=G=B=Y
+    yk = np.full((16, 16), 99, np.uint8)
+    ck = np.full((8, 8), 128, np.uint8)
+    out = MM.ycbcr_to_rgb(yk, ck, ck)
+    assert np.array_equal(out[..., 0], yk)
+    assert np.array_equal(out[..., 1], yk)
+    assert np.array_equal(out[..., 2], yk)
+
+
+def test_jpeg_color_decoder_boundaries():
+    """The color decoder rejects what it cannot decode correctly."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    y = np.zeros((16, 16), np.uint8)
+    c = np.zeros((8, 8), np.uint8)
+    data = bytearray(MM.encode_jpeg_color(y, c, c))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # progressive
+    with _pytest.raises(NotImplementedError):
+        MM.decode_jpeg_color(bytes(data))
+    # grayscale stream into the color decoder -> loud, not wrong
+    g = MM.encode_jpeg(np.zeros((8, 8), np.uint8))
+    with _pytest.raises(NotImplementedError):
+        MM.decode_jpeg_color(g)
+    # color stream into the grayscale decoder -> loud, not wrong
+    with _pytest.raises(NotImplementedError):
+        MM.decode_jpeg(bytes(MM.encode_jpeg_color(y, c, c)))
