@@ -387,12 +387,48 @@ def ngram_jaccard_pairs_exploded(
     sides of the ratio (the standard DF-filter semantics: similarity on
     content-bearing grams only).
     """
-    # staged selects are deliberate barriers (CollapseProject keeps them:
-    # each heavy column is referenced >1× downstream); explode_outer, not
-    # explode — InferFiltersFromGenerate would add `size(grams) > 0` and
-    # push the whole tokenize+shingle subtree down below the repartition
-    # (re-evaluated on the raw scan; measured 3 s at sf0.1). Gram arrays
-    # are never empty (sequence floor of 1), so outer ≡ inner here.
+    pre = _exploded_gram_table(
+        docs, id_col, text_col, n, block_cols, max_gram_df
+    )
+    # both self-join sides read the (filtered) gram table; materialize
+    # the tokenize+shingle+df-cap pipeline exactly once
+    from pyspark import StorageLevel
+
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(pre)
+    inter = _gram_pair_intersections(pre, block_cols)
+    jac = F.col("inter") / (
+        F.col("n_grams") + F.col("n_grams_b") - F.col("inter")
+    )
+    return (
+        inter.select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            F.round(jac, 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def _exploded_gram_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    block_cols: tuple[str, ...],
+    max_gram_df: int | None,
+) -> DataFrame:
+    """Shared head of the exploded-gram pipelines: tokenize → distinct
+    n-gram sets → explode → optional df-cap, yielding the (block, id,
+    n_grams, gram) table both the Jaccard pair op and the similarity
+    histogram self-join on.
+
+    Staged selects are deliberate barriers (CollapseProject keeps them:
+    each heavy column is referenced >1× downstream); explode_outer, not
+    explode — InferFiltersFromGenerate would add `size(grams) > 0` and
+    push the whole tokenize+shingle subtree down below the repartition
+    (re-evaluated on the raw scan; measured 3 s at sf0.1). Gram arrays
+    are never empty (sequence floor of 1), so outer ≡ inner here."""
     pre = _spread(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
@@ -425,12 +461,17 @@ def ngram_jaccard_pairs_exploded(
             .withColumn("n_grams", F.count(F.lit(1)).over(wi))
             .select(*block_cols, "id", "n_grams", "gram")
         )
-    # both self-join sides read the (filtered) gram table; materialize
-    # the tokenize+shingle+df-cap pipeline exactly once
-    from pyspark import StorageLevel
+    return pre
 
-    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(pre)
+
+def _gram_pair_intersections(
+    pre: DataFrame, block_cols: tuple[str, ...]
+) -> DataFrame:
+    """Shared tail of the exploded-gram pipelines: self-join the
+    (block, id, n_grams, gram) table on (block, gram) with id < id_b
+    and count shared grams per pair. Returns (id, id_b, n_grams,
+    n_grams_b, inter) — exact integers, from which any set-similarity
+    (Jaccard, overlap, containment) derives without re-reading grams."""
     a = pre
     b = pre.select(
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
@@ -442,21 +483,51 @@ def ngram_jaccard_pairs_exploded(
         [a[c] == b[f"{c}_b"] for c in block_cols]
         + [a["id"] < b["id_b"], a["gram"] == b["gram_b"]]
     )
-    inter = (
+    return (
         a.join(b, cond)
         .groupBy("id", "id_b", "n_grams", "n_grams_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (
-        F.col("n_grams") + F.col("n_grams_b") - F.col("inter")
-    )
+
+
+def ngram_jaccard_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    block_cols: tuple[str, ...] = ("lang",),
+    max_gram_df: int | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Similarity-threshold tuning curve: the distribution of exact
+    n-gram Jaccard over every candidate pair (pairs sharing ≥1 df-kept
+    gram within a block), bucketed into `bins` equal-width bins — the
+    histogram a pipeline inspects BEFORE committing to a dedup
+    threshold (a bimodal curve separates true near-dups from topical
+    overlap; a flat one says the threshold will be arbitrary).
+
+    Buckets are computed by exact integer division (bins * inter) div
+    union — no floating-point enters the grouping key, so the counts
+    are bit-identical on any engine. Same scale shape as the exploded
+    Jaccard op it shares its pipeline with: df-capped gram equi-join,
+    one aggregate over pairs, then a |bins|-row rollup.
+    """
+    from pyspark import StorageLevel
+
+    pre = _exploded_gram_table(docs, id_col, text_col, n, block_cols,
+                               max_gram_df)
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(pre)
+    inter = _gram_pair_intersections(pre, block_cols)
+    bucket = F.expr(
+        f"least(({bins} * inter) div (n_grams + n_grams_b - inter), "
+        f"{bins - 1})"
+    ).cast("int")
     return (
-        inter.select(
-            F.col("id").alias("id_a"),
-            F.col("id_b"),
-            F.round(jac, 6).alias("jac"),
-        )
-        .filter(F.col("jac") >= threshold)
+        inter.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
     )
 
 
@@ -637,3 +708,51 @@ def fuzzy_pairs(
         .where(F.col("dist") <= max_dist)
         .orderBy("id_a", "id_b")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    prior_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion dedup: classify each NEW document against
+    a PRIOR corpus snapshot — the steady-state shape of a production
+    pipeline, where yesterday's 100 TB is already deduplicated and only
+    today's batch needs work. Returns one row per new doc:
+    (doc_id, fp, reason) with reason ∈ {'dup_of_prior', 'dup_in_batch',
+    'kept'} — dup_of_prior wins when both apply (the prior copy is the
+    canonical one); within the batch the smallest id is kept.
+
+    Plan shape at scale: the prior side reduces to DISTINCT
+    fingerprints (|unique priors|, not |prior rows|) before a LEFT SEMI
+    membership join keyed on fp; the within-batch rule is one
+    fp-partitioned min window over the (small) new batch. No corpus
+    re-scan of the prior snapshot beyond its fp index — which a real
+    deployment materializes once as a bucketed-by-fp table so the
+    membership join is shuffle-free on ingest after ingest. Near-dup
+    incremental checks compose the same way (minhash_lsh_pairs against
+    a prior band index); exact-fp is the first stage every pipeline
+    runs."""
+    fp_new = new_docs.select(
+        F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fp")
+    )
+    fp_prior = prior_docs.select(
+        TX.fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    w = Window.partitionBy("fp")
+    tagged = (
+        fp_new.join(
+            fp_prior.withColumn("_hit", F.lit(1)), "fp", "left"
+        )
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "fp",
+            F.when(F.col("_hit").isNotNull(), F.lit("dup_of_prior"))
+            .when(F.col(id_col) > F.col("_min_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+    return tagged.orderBy(id_col)

@@ -915,3 +915,60 @@ def token_entropy(
         id_col, "n_tokens", "n_distinct", "sum_clnc_micro",
         ent.alias("entropy"),
     ).orderBy(id_col)
+
+
+def token_budget(
+    docs,
+    total_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    weight_expr=None,
+):
+    """Training-mixture token budgeting: given per-source availability
+    and target mixture weights, compute each source's token allocation
+    and the implied epoch count — the bookkeeping a data-mixing recipe
+    (upweight curated sources, cap boilerplate) turns into a sampling
+    plan before any row is touched.
+
+    All outputs are exact integers: target_tokens = floor(total_budget
+    * w_s / Σw) and epochs_micro = floor(1e6 * target / available)
+    (epochs_micro > 1e6 means the source must be oversampled/repeated
+    to hit its quota — the signal that a mixture is infeasible without
+    repetition). `weight_expr` is any integer Column deriving the raw
+    weight from the source key (default: 1 + 7*source_index % 10).
+
+    Plan shape at 100 TB: ONE corpus scan aggregates token counts into
+    a |sources|-row table; the weight normalization joins that tiny
+    table against its own 1-row total (broadcast) — no second scan, no
+    corpus-scale shuffle beyond the groupBy on source.
+    """
+    if weight_expr is None:
+        idx = F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("long")
+        weight_expr = F.lit(1) + (idx * 7) % 10
+    per_src = (
+        docs.select(
+            source_col,
+            token_count(F.col(text_col)).cast("long").alias("tc"),
+        )
+        .groupBy(source_col)
+        .agg(F.sum("tc").alias("avail_tokens"))
+        .withColumn("weight_raw", weight_expr.cast("long"))
+    )
+    tot = per_src.agg(F.sum("weight_raw").alias("wsum"))
+    out = per_src.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "avail_tokens",
+        "weight_raw",
+        F.expr(f"({int(total_budget)} * weight_raw) div wsum").alias(
+            "target_tokens"
+        ),
+    )
+    return out.select(
+        source_col,
+        "avail_tokens",
+        "weight_raw",
+        "target_tokens",
+        F.expr("(1000000 * target_tokens) div avail_tokens").alias(
+            "epochs_micro"
+        ),
+    ).orderBy(source_col)

@@ -95,8 +95,10 @@ _DRIVER_PRIORITY = [
     # ---- new / changed in round 7 — prove green on first exposure
     "events_user_features_asof",  # new r7: point-in-time-correct features
     "media_jpeg_color_stats",     # new r7: color 4:2:0 YCbCr JPEG decode
-    # (slots 44-50 of the driver window; remaining new r7 names are
-    # appended here as they land)
+    "corpus_token_budget",        # new r7: mixture token budgeting
+    "doc_jaccard_histogram",      # new r7: threshold tuning curve
+    "doc_incremental_dedup",      # new r7: ingest-vs-prior-snapshot dedup
+    # (slots 44-50 of the driver window)
 ]
 
 
@@ -4093,3 +4095,158 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# =====================================================================
+# Round-7 additions: mixture budgeting, threshold tuning, incremental
+# ingestion — the steady-state bookkeeping ops of a production corpus
+# pipeline (operators/text.py, operators/dedup.py)
+# =====================================================================
+@register(
+    "corpus_token_budget",
+    r"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                  AS BIGINT) AS avail_tokens,
+             CAST(1 + (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT)
+                       * 7) % 10 AS BIGINT) AS weight_raw
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT SUM(weight_raw) AS wsum FROM t)
+    SELECT source, avail_tokens, weight_raw,
+           CAST((1000000 * weight_raw) // wsum AS BIGINT) AS target_tokens,
+           CAST((1000000 * ((1000000 * weight_raw) // wsum))
+                // avail_tokens AS BIGINT) AS epochs_micro
+    FROM t, w ORDER BY source
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token budgeting: one corpus scan aggregates
+    per-source token availability; target allocations and implied epoch
+    counts derive by exact integer division against a broadcast 1-row
+    weight total (epochs_micro > 1e6 flags sources that must repeat to
+    hit their quota). The bookkeeping a data-mixing recipe runs before
+    touching any row — all integers, no floats in the output."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.token_budget(docs, total_budget=1_000_000)
+
+
+@register(
+    "doc_jaccard_histogram",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 100 AS lb,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, lb,
+             list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM d
+    ),
+    e AS (SELECT doc_id, lang, lb, unnest(grams) AS gram FROM g),
+    keep AS (
+      SELECT lang, lb, gram FROM e
+      GROUP BY lang, lb, gram HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+    ),
+    k AS (SELECT e.* FROM e JOIN keep USING (lang, lb, gram)),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM k GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM k a JOIN k b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    b AS (
+      SELECT LEAST((10 * i.inter) // (na.ng + nb.ng - i.inter), 9) AS bucket
+      FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+    )
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_pairs
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold tuning curve: exact 3-gram Jaccard over all
+    df-capped candidate pairs, bucketed into 10 equal-width bins by
+    INTEGER division (no float enters the grouping key). The histogram
+    a pipeline inspects before committing to a dedup threshold; shares
+    the df-capped gram-join pipeline with the exploded Jaccard op."""
+    from .operators import dedup as DD
+
+    docs_lb = SRC.load(spark, sf_dir, "documents").withColumn(
+        "lb", F.expr("n_chars div 100")
+    )
+    return (
+        DD.ngram_jaccard_histogram(
+            docs_lb, n=3, block_cols=("lang", "lb"),
+            max_gram_df=_NGRAM_DF_CAP, bins=10,
+        )
+        .select(F.col("bucket").cast("int"), F.col("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "doc_incremental_dedup",
+    r"""
+    WITH nb0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 8
+    ),
+    f AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM nb0
+    ),
+    p AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS fp
+      FROM documents WHERE doc_id % 10 < 8
+    ),
+    t AS (
+      SELECT f.doc_id, f.fp,
+             CASE WHEN p.fp IS NOT NULL THEN 'dup_of_prior'
+                  WHEN f.doc_id > MIN(f.doc_id) OVER (PARTITION BY f.fp)
+                    THEN 'dup_in_batch'
+                  ELSE 'kept' END AS reason
+      FROM f LEFT JOIN p ON f.fp = p.fp
+    )
+    SELECT doc_id, fp, reason FROM t ORDER BY doc_id
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: classify today's batch against the
+    already-deduplicated prior snapshot — dup_of_prior via a DISTINCT-
+    fingerprint membership join (|unique priors|, not |prior rows|),
+    dup_in_batch via one fp-partitioned min window over the small new
+    batch, kept otherwise. The batch plants all three outcomes:
+    unseen docs (ids %10>=8), id-shifted copies of prior docs (%20==0
+    -> dup_of_prior), and id-shifted copies of in-batch docs (%20==8
+    -> dup_in_batch). At deployment scale the prior fp index is a
+    bucketed-by-fp table, making ingest-after-ingest shuffle-free."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.where(F.col("doc_id") % 10 < 8)
+    new_batch = (
+        docs.where(F.col("doc_id") % 10 >= 8)
+        .unionAll(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 20 == 8).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return DD.incremental_dedup(new_batch, prior)

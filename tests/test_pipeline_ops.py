@@ -1,0 +1,102 @@
+"""Unit invariants for the round-7 pipeline bookkeeping operators:
+token budgeting, Jaccard histogram, incremental dedup (oracle parity
+is covered by test_queries_oracle.py)."""
+
+import pyspark.sql.functions as F
+
+from mobilityduck_spark.operators import dedup as DD
+from mobilityduck_spark.operators import text as TX
+from mobilityduck_spark.sources import tables as SRC
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_token_budget_conservation_and_epochs(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    out = TX.token_budget(docs, total_budget=1_000_000).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    # floor allocation never exceeds the budget, and is within one
+    # weight-unit of it (sum of floors loses < |sources| tokens)
+    total_target = sum(r.target_tokens for r in out)
+    assert total_target <= 1_000_000
+    assert 1_000_000 - total_target < sum(r.weight_raw for r in out)
+    for r in out:
+        # epochs_micro is exactly floor(1e6 * target / avail)
+        assert r.epochs_micro == (1_000_000 * r.target_tokens) // r.avail_tokens
+        assert r.avail_tokens > 0 and r.weight_raw >= 1
+
+
+def test_token_budget_custom_weights(spark):
+    docs = SRC.load(spark, SF_DIR, "documents")
+    out = TX.token_budget(
+        docs, total_budget=100, weight_expr=F.lit(1)
+    ).collect()
+    # uniform weights -> uniform floor allocation
+    assert len({r.target_tokens for r in out}) == 1
+
+
+def test_jaccard_histogram_totals_match_pairs(spark):
+    """Histogram mass == candidate-pair count of the exploded Jaccard
+    op at threshold 0 (same pipeline, same df-cap), and every bucket
+    index is within range."""
+    docs = SRC.load(spark, SF_DIR, "documents").withColumn(
+        "lb", F.expr("n_chars div 100")
+    )
+    hist = DD.ngram_jaccard_histogram(
+        docs, n=3, block_cols=("lang", "lb"), max_gram_df=64, bins=10
+    ).collect()
+    n_pairs = (
+        DD.ngram_jaccard_pairs_exploded(
+            docs, n=3, threshold=0.0, block_cols=("lang", "lb"),
+            max_gram_df=64,
+        ).count()
+    )
+    assert sum(r.n_pairs for r in hist) == n_pairs
+    assert all(0 <= r.bucket <= 9 for r in hist)
+
+
+def test_incremental_dedup_reasons(spark):
+    """Planted ingest batch: exact copies of prior docs classify as
+    dup_of_prior (even when the batch also contains them twice),
+    within-batch copies keep the smallest id, unseen docs are kept."""
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta"),
+    ]
+    prior = spark.createDataFrame(rows, "doc_id long, text string")
+    new_rows = [
+        (10, "alpha beta gamma"),   # dup_of_prior
+        (11, "ALPHA   beta gamma"), # dup_of_prior (normalized fp)
+        (12, "eta theta iota"),     # kept
+        (13, "eta theta iota"),     # dup_in_batch (12 is kept)
+        (14, "kappa lambda mu"),    # kept
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.reason
+        for r in DD.incremental_dedup(new, prior).collect()
+    }
+    assert got == {
+        10: "dup_of_prior",
+        11: "dup_of_prior",
+        12: "kept",
+        13: "dup_in_batch",
+        14: "kept",
+    }
+
+
+def test_incremental_dedup_plan_shape(spark):
+    """The prior side must reduce to DISTINCT fingerprints before the
+    membership join (an |prior rows| join would re-scan the snapshot),
+    and no cartesian/BNL joins appear."""
+    docs = SRC.load(spark, SF_DIR, "documents").select("doc_id", "text")
+    prior = docs.where(F.col("doc_id") % 10 < 8)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+    plan = (
+        DD.incremental_dedup(new, prior)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the distinct on the prior side shows up as an aggregate on fp
+    assert "HashAggregate" in plan
