@@ -938,9 +938,10 @@ def token_budget(
     weight from the source key (default: 1 + 7*source_index % 10).
 
     Plan shape at 100 TB: ONE corpus scan aggregates token counts into
-    a |sources|-row table; the weight normalization joins that tiny
-    table against its own 1-row total (broadcast) — no second scan, no
-    corpus-scale shuffle beyond the groupBy on source.
+    a |sources|-row table; the weight total is a single-partition
+    window over THAT tiny table (a broadcast self-join formulation
+    would recompute the corpus aggregate on both branches — two scans),
+    so the only corpus-scale work is the groupBy on source.
     """
     if weight_expr is None:
         idx = F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("long")
@@ -954,14 +955,18 @@ def token_budget(
         .agg(F.sum("tc").alias("avail_tokens"))
         .withColumn("weight_raw", weight_expr.cast("long"))
     )
-    tot = per_src.agg(F.sum("weight_raw").alias("wsum"))
-    out = per_src.crossJoin(F.broadcast(tot)).select(
+    wsum = F.sum("weight_raw").over(Window.partitionBy())
+    out = per_src.select(
         source_col,
         "avail_tokens",
         "weight_raw",
-        F.expr(f"({int(total_budget)} * weight_raw) div wsum").alias(
-            "target_tokens"
-        ),
+        F.expr(f"{int(total_budget)} * weight_raw").alias("_bw"),
+        wsum.alias("_wsum"),
+    ).select(
+        source_col,
+        "avail_tokens",
+        "weight_raw",
+        F.expr("_bw div _wsum").alias("target_tokens"),
     )
     return out.select(
         source_col,
