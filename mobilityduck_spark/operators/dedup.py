@@ -715,6 +715,7 @@ def incremental_dedup(
     prior_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prior_is_index: bool = False,
 ) -> DataFrame:
     """Incremental-ingestion dedup: classify each NEW document against
     a PRIOR corpus snapshot — the steady-state shape of a production
@@ -733,13 +734,23 @@ def incremental_dedup(
     membership join is shuffle-free on ingest after ingest. Near-dup
     incremental checks compose the same way (minhash_lsh_pairs against
     a prior band index); exact-fp is the first stage every pipeline
-    runs."""
+    runs.
+
+    `prior_is_index=True` declares that prior_docs IS the materialized
+    fp index (a single distinct `fp` column — e.g. a table bucketed by
+    fp, see sources.tables.write_bucketed): the fingerprint recompute
+    AND the distinct are both skipped, and a bucketed index joins with
+    no Exchange on the prior side at all (plan-gated in
+    tests/test_pipeline_ops.py)."""
     fp_new = new_docs.select(
         F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fp")
     )
-    fp_prior = prior_docs.select(
-        TX.fingerprint(F.col(text_col)).alias("fp")
-    ).distinct()
+    if prior_is_index:
+        fp_prior = prior_docs.select("fp")
+    else:
+        fp_prior = prior_docs.select(
+            TX.fingerprint(F.col(text_col)).alias("fp")
+        ).distinct()
     w = Window.partitionBy("fp")
     tagged = (
         fp_new.join(
