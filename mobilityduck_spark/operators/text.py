@@ -863,10 +863,84 @@ def linear_classifier_score(
         .agg(
             F.count("token").cast("long").alias("n_hits"),
             z.cast("double").alias("logit"),
+            # the EXACT logit in deci-milli units (decimal(12,4)·10^4 is
+            # integral by construction) — downstream consumers that must
+            # bucket or compare logits do it on this BIGINT, never on
+            # the double
+            (z * F.lit(10000)).cast("long").alias("logit_dmicro"),
         )
     )
     return scored.withColumn(
         "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    )
+
+
+def classifier_calibration(
+    docs,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_dmicro: int = 5000,
+    clamp_dmicro: int = 20000,
+    label_flags: tuple = ("ok_len", "ok_awl", "ok_stop", "ok_sym", "ok_rep"),
+) -> "DataFrame":
+    """Classifier threshold calibration: sweep the logit axis in fixed
+    buckets and count, per bucket, how many documents a trusted label
+    (the conjunction of the selected Gopher flags) calls good — the
+    curve a pipeline reads to pick the quality-classifier cutoff (each
+    prefix of the table gives the precision/recall of one threshold).
+    `label_flags` selects which Gopher rules form the label: on a
+    corpus where some rules are degenerate (all-true or all-false),
+    calibrate against the subset that actually discriminates.
+
+    Exactness: buckets derive from the classifier's DECIMAL-exact
+    logit in deci-milli units, clamped to ±clamp_dmicro and shifted
+    non-negative BEFORE the integer division — floor-vs-truncate
+    division never diverges across engines on non-negative operands,
+    and no float touches the grouping key. Returns (bucket, lo_dmicro,
+    n_docs, n_keep) ordered by bucket; lo_dmicro is the bucket's
+    inclusive lower logit bound (clamp buckets absorb the tails).
+
+    Plan: the classifier's explode+broadcast-join scan plus one
+    scan-speed flag projection, joined on the doc key, rolled up to
+    |buckets| rows.
+    """
+    scored = linear_classifier_score(
+        docs, weights, bias, id_col=id_col, text_col=text_col
+    ).select(id_col, "logit_dmicro")
+    gf = gopher_flags(F.col(text_col))
+    keep = F.lit(True)
+    for fl in label_flags:
+        keep = keep & gf[fl]
+    flags = docs.select(F.col(id_col), keep.alias("keep"))
+    shifted = F.least(
+        F.greatest(F.col("logit_dmicro"), F.lit(-clamp_dmicro)),
+        F.lit(clamp_dmicro - 1),
+    ) + F.lit(clamp_dmicro)
+    # shifted is a small non-negative BIGINT, so floor(a/b) is exact in
+    # IEEE double at every bucket boundary (multiples of bucket_dmicro
+    # divide exactly); both engines agree bit-for-bit
+    joined = scored.join(flags, id_col).select(
+        F.floor(shifted / F.lit(bucket_dmicro)).cast("int").alias("bucket"),
+        F.col("keep"),
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("long") * bucket_dmicro - clamp_dmicro)
+            .alias("lo_dmicro"),
+            "n_docs",
+            "n_keep",
+        )
+        .orderBy("bucket")
     )
 
 

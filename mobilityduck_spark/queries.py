@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = [
     "corpus_token_budget",        # new r7: mixture token budgeting
     "doc_jaccard_histogram",      # new r7: threshold tuning curve
     "doc_incremental_dedup",      # new r7: ingest-vs-prior-snapshot dedup
+    "doc_classifier_calibration", # new r7: threshold-sweep calibration
     # (slots 44-50 of the driver window)
 ]
 
@@ -4250,3 +4251,89 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return DD.incremental_dedup(new_batch, prior)
+
+
+@register(
+    "doc_classifier_calibration",
+    r"""
+    WITH w(token, wt) AS (
+      VALUES ('the', 0.6000), ('and', 0.5000), ('of', 0.4000),
+             ('is', 0.4000), ('to', 0.3000), ('in', 0.3000),
+             ('a', 0.2000), ('that', 0.3000), ('it', 0.2000),
+             ('for', 0.2000), ('lorem', -1.2000), ('ipsum', -1.2000),
+             ('click', -0.9000), ('subscribe', -0.9000),
+             ('buy', -0.7000), ('free', -0.5000)
+    ),
+    tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sc AS (
+      SELECT tk.doc_id,
+             CAST((COALESCE(SUM(CAST(w.wt AS DECIMAL(12,4))),
+                            CAST(0 AS DECIMAL(12,4)))
+                   + CAST(-1.5 AS DECIMAL(12,4))) * 10000 AS BIGINT)
+               AS logit_dmicro
+      FROM tk LEFT JOIN w ON tk.tok = w.token
+      GROUP BY tk.doc_id
+    ),
+    t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS wd
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             len(wd) AS n,
+             CASE WHEN len(wd) > 0
+                  THEN list_sum(list_transform(wd, x -> length(x)))
+                       / CAST(len(wd) AS DOUBLE)
+                  ELSE 0.0 END AS awl,
+             len(list_filter(wd, x -> x IN
+                 ('the','a','and','of','is','to','in','that','it','for')))
+               AS sw,
+             (len(string_split(text, '#')) - 1)
+               + (len(string_split(text, '...')) - 1) AS symbols,
+             CASE WHEN len(wd) > 0
+                  THEN 1.0 - len(list_distinct(wd)) / CAST(len(wd) AS DOUBLE)
+                  ELSE 0.0 END AS dwf
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id,
+             ((n >= 50 AND n <= 100000) AND (sw >= 2)) AS keep
+      FROM g
+    ),
+    b AS (
+      SELECT CAST(FLOOR((LEAST(GREATEST(sc.logit_dmicro, -20000), 19999)
+                         + 20000) / 5000.0) AS INT) AS bucket,
+             k.keep
+      FROM sc JOIN k USING (doc_id)
+    )
+    SELECT bucket,
+           CAST(bucket AS BIGINT) * 5000 - 20000 AS lo_dmicro,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def doc_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier threshold calibration: per logit bucket (0.5
+    logit units, clamped to ±2.0), how many documents the trusted
+    Gopher label (the discriminating ok_len ∧ ok_stop subset on this
+    corpus) calls good — each prefix of the table reads
+    off one threshold's precision/recall, the curve a pipeline inspects
+    before choosing the classifier cutoff. Buckets derive from the
+    DECIMAL-exact logit in deci-milli units shifted non-negative before
+    the division, so no float touches the grouping key."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.classifier_calibration(
+        docs, _CLS_WEIGHTS, bias=_CLS_BIAS,
+        # this corpus's awl/sym/rep rules are degenerate at every SF
+        # (31-word synthetic vocab); calibrate against the two rules
+        # that discriminate
+        label_flags=("ok_len", "ok_stop"),
+    )

@@ -142,3 +142,23 @@ def test_incremental_dedup_bucketed_index_no_prior_exchange(spark, tmp_path):
         assert any(r[2] == "dup_of_prior" for r in got)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_prior_fp_idx")
+
+
+def test_classifier_calibration_mass_and_bounds(spark):
+    """Calibration buckets partition the corpus (mass conservation),
+    n_keep never exceeds n_docs, bucket bounds reconstruct from the
+    clamp/width parameters, and the keep-rate trend is informative
+    (top bucket's rate exceeds the bottom bucket's)."""
+    from mobilityduck_spark.queries import _CLS_BIAS, _CLS_WEIGHTS
+
+    docs = SRC.load(spark, SF_DIR, "documents")
+    out = TX.classifier_calibration(
+        docs, _CLS_WEIGHTS, bias=_CLS_BIAS, label_flags=("ok_len", "ok_stop")
+    ).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r.n_keep <= r.n_docs
+        assert r.lo_dmicro == r.bucket * 5000 - 20000
+        assert 0 <= r.bucket <= 7
+    lo, hi = out[0], out[-1]
+    assert hi.n_keep / hi.n_docs > lo.n_keep / lo.n_docs
