@@ -7,6 +7,7 @@ compose with readStream → watermark → window/session_window →
 writeStream unchanged.
 """
 
+from .heavy_hitters import streaming_heavy_hitters
 from .joins import enrich_with_dim, interval_self_join
 from .windows import (
     session_spans_stream,
@@ -15,6 +16,7 @@ from .windows import (
 )
 
 __all__ = [
+    "streaming_heavy_hitters",
     "sliding_window_stats",
     "session_spans_stream",
     "tumbling_value_spans",

@@ -751,3 +751,106 @@ def test_jpeg_color_decoder_boundaries():
     # color stream into the grayscale decoder -> loud, not wrong
     with _pytest.raises(NotImplementedError):
         MM.decode_jpeg(bytes(MM.encode_jpeg_color(y, c, c)))
+
+
+def test_streaming_heavy_hitters_exact_regime(spark, tmp_path):
+    """With fewer distinct items than k per bucket, the Space-Saving
+    summary is EXACT: final counts equal the batch groupBy-count and
+    every error bound is 0 — while state is provably capped."""
+    from mobilityduck_spark.streaming import streaming_heavy_hitters
+
+    src_dir = str(tmp_path / "hh_src")
+    ev = SRC.load(spark, SF, "events").select(
+        F.col("event_type").alias("item")
+    )
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("item string").parquet(src_dir)
+    q = (
+        streaming_heavy_hitters(stream, k_per_bucket=8, n_buckets=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_exact")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("hh_exact").collect()
+    # current answer: the max-ver row set per bucket
+    latest_ver = {}
+    for r in rows:
+        latest_ver[r.bucket] = max(latest_ver.get(r.bucket, 0), r.ver)
+    got = {
+        r.item: (r.cnt, r.err)
+        for r in rows
+        if r.ver == latest_ver[r.bucket]
+    }
+    exp = {
+        r["item"]: r["n"]
+        for r in ev.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {i: c for i, (c, _) in got.items()} == exp
+    assert all(e == 0 for _, e in got.values())
+
+
+def test_streaming_heavy_hitters_eviction_guarantees(spark, tmp_path):
+    """Force evictions (k=2 counters per bucket, 50 distinct items) and
+    check the Space-Saving contract against exact batch counts:
+    count_est ∈ [true, true + err] for every surviving item, and every
+    item above the per-bucket threshold (bucket length / k) survives."""
+    from mobilityduck_spark.streaming import streaming_heavy_hitters
+
+    src_dir = str(tmp_path / "hh2_src")
+    ev = SRC.load(spark, SF, "events").select(
+        (F.col("user_id") % 50).cast("string").alias("item")
+    )
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("item string").parquet(src_dir)
+    n_buckets, k = 4, 2
+    q = (
+        streaming_heavy_hitters(stream, k_per_bucket=k, n_buckets=n_buckets)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_evict")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hh2_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("hh_evict").collect()
+    latest_ver = {}
+    for r in rows:
+        latest_ver[r.bucket] = max(latest_ver.get(r.bucket, 0), r.ver)
+    got = {
+        r.item: (r.bucket, r.cnt, r.err)
+        for r in rows
+        if r.ver == latest_ver[r.bucket]
+    }
+    # state bound: at most k counters per bucket
+    per_bucket: dict = {}
+    for item, (b, _, _) in got.items():
+        per_bucket.setdefault(b, []).append(item)
+    assert all(len(v) <= k for v in per_bucket.values())
+    true = {
+        r["item"]: r["n"]
+        for r in ev.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    bucket_of = {
+        r["item"]: r["b"]
+        for r in ev.select("item").distinct().select(
+            "item",
+            F.pmod(F.xxhash64(F.col("item")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b"),
+        ).collect()
+    }
+    bucket_len: dict = {}
+    for item, n in true.items():
+        bucket_len[bucket_of[item]] = bucket_len.get(bucket_of[item], 0) + n
+    # overestimate-only, bounded by err
+    for item, (b, cnt, err) in got.items():
+        assert true[item] <= cnt <= true[item] + err
+    # no false negatives above threshold
+    for item, n in true.items():
+        if n > bucket_len[bucket_of[item]] / k:
+            assert item in got, f"heavy item {item} missing"
