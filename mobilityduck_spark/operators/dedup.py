@@ -194,6 +194,132 @@ def minhash_signature_numpy_udf():
     return sig
 
 
+def _banded_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Shared head of the LSH pipelines: tokens → shingle hashes (JVM
+    xxhash) → numpy-vectorized minhash signature → exploded band rows
+    (id, sig, band, bhash). Select barriers keep each expensive column
+    evaluated once (the interpreted fold costs ~8s at sf0.1, the numpy
+    kernel <1s)."""
+    rows = num_hashes // bands
+    shingled = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        TX.tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "id",
+        TX.rolling_hash_shingles_from_tokens(
+            F.col("_toks"), k=shingle_k
+        ).alias("sh"),
+    )
+    sig_udf = minhash_signature_numpy_udf()
+    sig = shingled.select(
+        "id",
+        sig_udf(F.col("sh"), F.lit(num_hashes)).alias("sig"),
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), b * rows + r + 1)
+                                for r in range(rows)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "sig",
+        F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"),
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The prior snapshot's materialized LSH index: (id, sig, band,
+    bhash), one row per (doc, band). A deployment writes this once per
+    snapshot — bucketed by (band, bhash), see sources.tables.
+    write_bucketed — so every subsequent ingest batch band-joins it
+    without reshuffling the snapshot (the near-dup analog of the
+    exact-fp index in incremental_dedup)."""
+    return _banded_signatures(
+        docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    prior_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-duplicate detection: band-join TODAY'S batch
+    against the PRIOR snapshot's LSH index (minhash_band_index) instead
+    of self-joining the whole corpus — the steady-state shape where the
+    100 TB snapshot is already indexed and only the ingest batch
+    computes signatures. Returns (new_id, prior_id, est_jaccard ≥
+    threshold); estimated Jaccard is the matched-lane fraction of the
+    two signatures, identical to the batch operator's estimator.
+
+    Candidates dedupe on the pair key (a pair colliding in several
+    bands is emitted once); the join keys are (band, bhash) — the same
+    well-distributed buckets as the batch path, so skew follows content
+    duplication exactly as there."""
+    banded_new = _banded_signatures(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    prior = prior_index.select(
+        F.col("id").alias("id_p"),
+        F.col("sig").alias("sig_p"),
+        F.col("band").alias("band_p"),
+        F.col("bhash").alias("bhash_p"),
+    )
+    cand = banded_new.join(
+        prior,
+        (F.col("band") == F.col("band_p"))
+        & (F.col("bhash") == F.col("bhash_p")),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("sig_p"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cand.groupBy("id", "id_p")
+        .agg(F.first("sig").alias("sig"), F.first("sig_p").alias("sig_p"))
+        .select(
+            F.col("id").alias("new_id"),
+            F.col("id_p").alias("prior_id"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -212,39 +338,9 @@ def minhash_lsh_pairs(
     needed (map-side), one equi-join shuffle on (band, hash) — this is
     the plan that scales to billions of docs.
     """
-    rows = num_hashes // bands
-    # select barriers: tokens once, shingles once (JVM xxhash), then the
-    # signature in a numpy pandas UDF (vectorized lane-min — the
-    # interpreted fold costs ~8s at sf0.1, the numpy kernel <1s)
-    shingled = _spread(docs).select(
-        F.col(id_col).alias("id"),
-        TX.tokens(F.col(text_col)).alias("_toks"),
-    ).select(
-        "id",
-        TX.rolling_hash_shingles_from_tokens(F.col("_toks"), k=shingle_k).alias("sh"),
+    banded = _banded_signatures(
+        docs, id_col, text_col, num_hashes, bands, shingle_k
     )
-    sig_udf = minhash_signature_numpy_udf()
-    sig = shingled.select(
-        "id",
-        sig_udf(F.col("sh"), F.lit(num_hashes)).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
     # both sides of the candidate self-join read the banded signatures;
     # materialize once (shingle+signature is the expensive stage).
     # MEMORY_AND_DISK: a 10⁹-doc signature table spills instead of

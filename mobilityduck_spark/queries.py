@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = [
     "doc_jaccard_histogram",      # new r7: threshold tuning curve
     "doc_incremental_dedup",      # new r7: ingest-vs-prior-snapshot dedup
     "doc_classifier_calibration", # new r7: threshold-sweep calibration
+    "doc_incremental_near_dups",  # new r7: batch-vs-prior LSH band index
     # (slots 44-50 of the driver window)
 ]
 
@@ -4336,4 +4337,52 @@ def doc_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (31-word synthetic vocab); calibrate against the two rules
         # that discriminate
         label_flags=("ok_len", "ok_stop"),
+    )
+
+
+@register(
+    "doc_incremental_near_dups",
+    """
+    SELECT doc_id + 1000000 AS new_id, doc_id AS prior_id,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM documents WHERE doc_id % 20 = 0 ORDER BY new_id
+    """,
+)
+def doc_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup recall gate: the prior snapshot (ids
+    %10<8) is materialized as an LSH band index ONCE, and the ingest
+    batch — unseen docs plus an exact copy of every %20==0 prior doc at
+    id+1e6 — band-joins that index instead of self-joining the corpus.
+    Identical texts give identical signatures, so every planted copy
+    MUST collide with its prior original in all 8 bands with estimated
+    Jaccard exactly 1.0 (hash-family independent, hence
+    ANSI-computable); the inner join to the planted pair list turns the
+    driver's row-count/value check into the recall assertion. Natural
+    (hash-dependent) candidates are excluded, same contract as
+    doc_minhash_recall."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.where(F.col("doc_id") % 10 < 8)
+    planted_src = docs.where(F.col("doc_id") % 20 == 0)
+    new_batch = docs.where(F.col("doc_id") % 10 >= 8).unionAll(
+        planted_src.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    idx = DD.minhash_band_index(
+        prior, num_hashes=32, bands=8, shingle_k=3
+    )
+    cands = DD.incremental_near_dups(
+        new_batch, idx, num_hashes=32, bands=8, shingle_k=3,
+        min_est_jaccard=1.0,
+    )
+    planted = planted_src.select(
+        (F.col("doc_id") + 1000000).alias("new_id"),
+        F.col("doc_id").alias("prior_id"),
+    )
+    return (
+        planted.join(cands, ["new_id", "prior_id"])
+        .select("new_id", "prior_id", "est_jaccard")
+        .orderBy("new_id")
     )
