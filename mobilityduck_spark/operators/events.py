@@ -518,6 +518,86 @@ def user_features(
     )
 
 
+def user_features_asof_multi(
+    events: DataFrame,
+    labels: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    label_ts_col: str = "label_ts",
+) -> DataFrame:
+    """Event-level point-in-time features: one row per (user, label
+    timestamp) — the general training-set case where a user has MANY
+    labels (every conversion, every churn check) and each needs
+    features from strictly before ITS OWN moment.
+
+    Plan shape (the canonical as-of trick, zero joins): UNION label
+    rows into the event stream, ONE user-partitioned cumulative window
+    ordered by (ts, side) with labels sorting BEFORE events at equal
+    timestamps (so ts == label_ts events are excluded — strict-before,
+    leakage-safe), then keep the label rows. Running distinct-type
+    counts use the first-occurrence-flag trick: row_number()==1 over
+    (user, type) marks each type's first event, and the running sum of
+    those flags IS the prefix distinct count — windows can't compute
+    running COUNT(DISTINCT) directly, flags make it exact. Cost: one
+    (user, type) window + one user window; both keys shuffle like any
+    groupBy, |labels| adds rows, not joins.
+
+    Returns (user_id, label_us, n_events_before, n_types_before,
+    first_us, last_us) ordered by (user, label) — labels with no prior
+    history keep 0 counts and 0 first/last (they're real training
+    rows: the cold-start class; outputs stay NULL-free exact integers)."""
+    wt = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ev = events.select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),  # events sort AFTER labels at equal ts
+        F.lit(1).alias("_is_event"),
+        F.when(F.row_number().over(wt) == 1, 1).otherwise(0).alias("_new_type"),
+    )
+    lb = labels.select(
+        F.col(user_col), F.col(label_ts_col).alias("_ts")
+    ).distinct().select(
+        user_col,
+        "_ts",
+        F.lit(0).alias("_side"),
+        F.lit(0).alias("_is_event"),
+        F.lit(0).alias("_new_type"),
+    )
+    u = ev.unionByName(lb)
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_ts").asc(), F.col("_side").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev_ts = F.when(F.col("_is_event") == 1, F.col("_ts"))
+    out = u.select(
+        user_col,
+        "_ts",
+        "_side",
+        F.sum("_is_event").over(w).alias("n_events_before"),
+        F.sum("_new_type").over(w).alias("n_types_before"),
+        F.unix_micros(F.min(ev_ts).over(w)).alias("first_us"),
+        F.unix_micros(F.max(ev_ts).over(w)).alias("last_us"),
+    )
+    # cold-start labels (no prior history) carry 0 instead of NULL —
+    # the hashed-output convention is NULL-free exact integers
+    zero = F.lit(0).cast("long")
+    return (
+        out.where(F.col("_side") == 0)
+        .select(
+            user_col,
+            F.unix_micros(F.col("_ts")).alias("label_us"),
+            "n_events_before",
+            "n_types_before",
+            F.coalesce(F.col("first_us"), zero).alias("first_us"),
+            F.coalesce(F.col("last_us"), zero).alias("last_us"),
+        )
+        .orderBy(user_col, "label_us")
+    )
+
+
 def user_features_asof(
     events: DataFrame,
     labels: DataFrame,

@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = [
     "doc_incremental_dedup",      # new r7: ingest-vs-prior-snapshot dedup
     "doc_classifier_calibration", # new r7: threshold-sweep calibration
     "doc_incremental_near_dups",  # new r7: batch-vs-prior LSH band index
+    "events_user_features_asof_multi",  # new r7: event-level as-of features
     # (slots 44-50 of the driver window)
 ]
 
@@ -4386,3 +4387,49 @@ def doc_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "prior_id", "est_jaccard")
         .orderBy("new_id")
     )
+
+
+@register(
+    "events_user_features_asof_multi",
+    """
+    WITH labels AS (
+      SELECT DISTINCT user_id, ts AS label_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id,
+           epoch_us(l.label_ts) AS label_us,
+           (SELECT COUNT(*) FROM events e
+             WHERE e.user_id = l.user_id AND e.ts < l.label_ts)
+             AS n_events_before,
+           (SELECT COUNT(DISTINCT e.event_type) FROM events e
+             WHERE e.user_id = l.user_id AND e.ts < l.label_ts)
+             AS n_types_before,
+           COALESCE((SELECT epoch_us(MIN(e.ts)) FROM events e
+             WHERE e.user_id = l.user_id AND e.ts < l.label_ts), 0)
+             AS first_us,
+           COALESCE((SELECT epoch_us(MAX(e.ts)) FROM events e
+             WHERE e.user_id = l.user_id AND e.ts < l.label_ts), 0)
+             AS last_us
+    FROM labels l
+    ORDER BY l.user_id, label_us
+    """,
+)
+def events_user_features_asof_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-level point-in-time features: one training row per (user,
+    purchase event), each computed strictly before ITS OWN label moment
+    — the many-labels-per-user training-set assembly. Zero joins: label
+    rows union into the event stream and one user-partitioned
+    cumulative window reads off prefix counts, with running distinct
+    types via the first-occurrence-flag trick (labels sort before
+    events at equal ts, so the boundary is strict). The oracle is the
+    textbook correlated-subquery formulation — four prefix subqueries
+    per label — which the window plan replaces with a single pass."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("label_ts")
+    )
+    return EV.user_features_asof_multi(ev, labels)

@@ -259,3 +259,44 @@ def test_user_features_asof_null_value_prefix(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_events, r.n_types, r.decay_micro) == (2, 2, 0)
+
+
+def test_user_features_asof_multi_strict_boundary(spark):
+    """The label boundary is STRICT: an event at exactly label_ts never
+    counts toward its own label's features, and each label sees only
+    its own prefix (distinct types via the first-occurrence flags)."""
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "view", 1.0),
+        (1, 11, "2024-01-02 00:00:00", "click", 1.0),
+        (1, 12, "2024-01-02 00:00:00", "purchase", 5.0),  # label 1
+        (1, 13, "2024-01-03 00:00:00", "view", 1.0),
+        (1, 14, "2024-01-04 00:00:00", "purchase", 7.0),  # label 2
+        (2, 20, "2024-01-01 00:00:00", "purchase", 9.0),  # cold start
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("label_ts")
+    )
+    out = {
+        (r.user_id, r.label_us): (
+            r.n_events_before, r.n_types_before, r.first_us, r.last_us
+        )
+        for r in EV.user_features_asof_multi(ev, labels).collect()
+    }
+    us = lambda s: int(  # noqa: E731
+        __import__("datetime").datetime.fromisoformat(s + "+00:00").timestamp()
+    ) * 1_000_000
+    # label 1: only the 2024-01-01 view and 2024-01-02 click precede it
+    # strictly?? the click shares ts with the label -> EXCLUDED
+    assert out[(1, us("2024-01-02 00:00:00"))] == (
+        1, 1, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00")
+    )
+    # label 2 sees view, click, purchase@02, view@03 = 4 events, 3 types
+    assert out[(1, us("2024-01-04 00:00:00"))] == (
+        4, 3, us("2024-01-01 00:00:00"), us("2024-01-03 00:00:00")
+    )
+    # cold start: zero history, 0 sentinels
+    assert out[(2, us("2024-01-01 00:00:00"))] == (0, 0, 0, 0)
