@@ -675,3 +675,52 @@ def user_features_asof(
         )
         .orderBy(user_col)
     )
+
+
+def active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/WAU active-user curves — the product-analytics vital sign:
+    per calendar day, the exact count of distinct users active that day
+    (dau) and in the trailing `window_days` window ending that day
+    (wau).
+
+    Exact sliding distinct counts without per-window re-scans: each
+    distinct (user, day) pair CONTRIBUTES to the `window_days` target
+    days it can keep a user active in (explode of a 7-day sequence),
+    then one distinct + count per target day. Work is |distinct
+    user-days| × window — independent of raw event volume after the
+    first distinct — and every stage is a well-keyed groupBy. Days
+    beyond the observed range are dropped (inner join to the DAU days),
+    so the curve covers exactly the data's span. Returns (day_us, dau,
+    wau) ordered by day, all exact integers.
+    """
+    u = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    dau = u.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        u.select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), window_days - 1)
+                )
+            ).alias("tday"),
+        )
+        .distinct()
+        .groupBy("tday")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(contrib, dau["day"] == contrib["tday"])
+        .select(
+            F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+            "dau",
+            "wau",
+        )
+        .orderBy("day_us")
+    )

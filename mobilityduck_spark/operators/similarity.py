@@ -906,3 +906,55 @@ def semantic_dedup(
         dst="id_b",
     )
     return man.select("id", F.col("cluster_id").alias("rep_id"), "keep")
+
+
+def label_centroid_stats(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding drift / distribution monitoring: per (label, dim) the
+    EXACT micro-quantized coordinate sums plus the deviation of the
+    label's mean from the global mean — the per-slice centroid table a
+    pipeline diffs across snapshots to catch embedding-model or data
+    drift before it poisons retrieval and dedup thresholds.
+
+    Exactness contract: each coordinate is quantized to a BIGINT
+    micro-unit (round(1e6·x) — float32 widens to double identically on
+    every engine) BEFORE summation, so n_vecs/sum_micro are exact
+    integers and dev_micro is ONE fixed-shape IEEE expression of exact
+    integers rounded to 6 places (the value_outliers convention).
+
+    Plan: one posexplode scan → (label, dim) partial-agg groupBy
+    (|labels|·|dims| keys — map-side combine collapses the corpus), a
+    |dims|-row global rollup derived from the per-label table itself
+    (no second corpus scan), broadcast back. Output |labels|·|dims|
+    rows, ordered.
+    """
+    q = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
+    per = (
+        embs.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select("label", "dim", q(F.col("x")).alias("xq"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("xq").alias("sum_micro"),
+        )
+    )
+    glob = per.groupBy("dim").agg(
+        F.sum("n_vecs").alias("gn"),
+        F.sum("sum_micro").alias("gsum"),
+    )
+    dev = F.round(
+        F.col("sum_micro").cast("double") / F.col("n_vecs")
+        - F.col("gsum").cast("double") / F.col("gn"),
+        6,
+    )
+    return (
+        per.join(F.broadcast(glob), "dim")
+        .select("label", "dim", "n_vecs", "sum_micro", dev.alias("dev_micro"))
+        .orderBy("label", "dim")
+    )

@@ -4433,3 +4433,66 @@ def events_user_features_asof_multi(
         "user_id", F.col("ts").alias("label_ts")
     )
     return EV.user_features_asof_multi(ev, labels)
+
+
+@register(
+    "embed_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, t.i - 1 AS dim,
+             CAST(ROUND(1e6 * embedding[t.i]) AS BIGINT) AS xq
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    per AS (
+      SELECT label, dim, COUNT(*) AS n_vecs,
+             CAST(SUM(xq) AS BIGINT) AS sum_micro
+      FROM e GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dim, SUM(n_vecs) AS gn, SUM(sum_micro) AS gsum
+      FROM per GROUP BY 1
+    )
+    SELECT per.label, per.dim, per.n_vecs, per.sum_micro,
+           ROUND(CAST(per.sum_micro AS DOUBLE) / per.n_vecs
+                 - CAST(g.gsum AS DOUBLE) / g.gn, 6) AS dev_micro
+    FROM per JOIN g USING (dim)
+    ORDER BY per.label, per.dim
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitoring: per (label, dim) exact micro-unit
+    coordinate sums + the label-vs-global mean deviation — the centroid
+    table a pipeline diffs across snapshots to catch model or data
+    drift. One posexplode scan, (label,dim) partial-agg groupBy, global
+    rollup derived from the per-label table (no second corpus scan)."""
+    from .operators import similarity as SIM
+
+    embs = SRC.load(spark, sf_dir, "embeddings")
+    return SIM.label_centroid_stats(embs)
+
+
+@register(
+    "events_active_users",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    d AS (SELECT day, COUNT(*) AS dau FROM u GROUP BY 1)
+    SELECT epoch_us(CAST(d.day AS TIMESTAMP)) AS day_us,
+           d.dau,
+           (SELECT COUNT(DISTINCT u2.user_id) FROM u u2
+             WHERE u2.day BETWEEN d.day - 6 AND d.day) AS wau
+    FROM d ORDER BY day_us
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU curves with EXACT sliding distinct counts: each distinct
+    (user, day) pair explodes into the 7 target days it keeps the user
+    active in, then one distinct+count per day — work is
+    |user-days| x 7 regardless of raw event volume, vs the oracle's
+    textbook correlated COUNT(DISTINCT) per day. All exact integers."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.active_users(ev, window_days=7)

@@ -300,3 +300,16 @@ def test_user_features_asof_multi_strict_boundary(spark):
     )
     # cold start: zero history, 0 sentinels
     assert out[(2, us("2024-01-01 00:00:00"))] == (0, 0, 0, 0)
+
+
+def test_active_users_window_invariants(spark):
+    """WAU dominates DAU pointwise, never exceeds the user universe,
+    and equals DAU when the window is 1 day."""
+    ev = SRC.load(spark, SF_DIR, "events")
+    out = EV.active_users(ev, window_days=7).collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(out) > 0
+    for r in out:
+        assert r.dau <= r.wau <= n_users
+    one = {r.day_us: (r.dau, r.wau) for r in EV.active_users(ev, window_days=1).collect()}
+    assert all(d == w for d, w in one.values())
