@@ -724,3 +724,71 @@ def active_users(
         )
         .orderBy("day_us")
     )
+
+
+def session_journeys(
+    events: DataFrame,
+    gap: str = "12 hours",
+    prefix_len: int = 5,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top user journeys: the k most common session-opening event-type
+    sequences (first `prefix_len` events of each gap-session, joined
+    with '>') — the path-mining table a product team reads to see how
+    sessions actually start.
+
+    Plan: the same ONE user-keyed shuffle as sessionize (lag break-flag
+    + running session index), a (user, session) row_number to keep each
+    session's prefix, ordered assembly via array_sort of (ts, tiebreak,
+    type) structs inside a single groupBy (the single-shuffle staged
+    list-agg pattern — struct ordering makes collect_list order-free),
+    then a |journeys|-sized count and a TakeOrdered top-k with a
+    deterministic (count desc, journey asc) tiebreak. No stage touches
+    more than the session prefixes after the row_number filter.
+    """
+    order_cols = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prev = F.lag(ts_col).over(w)
+    brk = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = events.select(
+        user_col, ts_col, tiebreak_col, type_col, brk.alias("brk")
+    ).withColumn("session_idx", F.sum("brk").over(run))
+    ws = Window.partitionBy(user_col, "session_idx").orderBy(*order_cols)
+    prefix = tagged.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= prefix_len
+    )
+    journeys = (
+        prefix.groupBy(user_col, "session_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(tiebreak_col).alias("tb"),
+                        F.col(type_col).alias("ty"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("seq"), lambda s: s["ty"]), ">"
+            ).alias("journey")
+        )
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("journey"))
+        .limit(k)
+    )

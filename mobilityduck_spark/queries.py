@@ -4496,3 +4496,46 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.active_users(ev, window_days=7)
+
+
+@register(
+    "events_top_journeys",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN pts IS NULL OR ts > pts + INTERVAL 12 HOUR
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    r AS (
+      SELECT user_id, session_idx, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, session_idx
+                                ORDER BY ts, event_id) AS rn
+      FROM t
+    ),
+    j AS (
+      SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+      FROM r WHERE rn <= 5 GROUP BY 1, 2
+    )
+    SELECT journey, COUNT(*) AS n_sessions
+    FROM j GROUP BY 1 ORDER BY n_sessions DESC, journey LIMIT 20
+    """,
+)
+def events_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening journeys (first 5 event types per
+    gap-session, '>'-joined): the path-mining staple. One user-keyed
+    shuffle shared with sessionize, prefix filter BEFORE assembly,
+    ordered list agg via array_sort of structs in a single groupBy,
+    deterministic (count desc, journey asc) top-k."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.session_journeys(ev, gap="12 hours", prefix_len=5, k=20)
