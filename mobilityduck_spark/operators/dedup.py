@@ -863,3 +863,51 @@ def incremental_dedup(
         )
     )
     return tagged.orderBy(id_col)
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: tuple[str, ...] = ("lang",),
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: containment(A in B) = |A∩B| / |A|
+    over distinct n-grams — catches excerpts, quotes, and
+    boilerplate-wrapped copies that symmetric Jaccard misses (a 100-word
+    excerpt inside a 10k-word page has Jaccard ≈ 0.01 but containment
+    ≈ 1.0). The dedup policy that drops contained docs keeps the
+    superset document.
+
+    Emits (inner_id, outer_id, containment) for ordered pairs where the
+    INNER doc's gram set is ≥ threshold inside the outer's — both
+    directions of each unordered candidate pair are tested, so A⊂B and
+    B⊂A each surface as their own row. Shares the df-capped exploded
+    gram pipeline with the Jaccard ops (same bounded candidate volume);
+    containment is exact integer inter/|A| rounded once.
+    """
+    from pyspark import StorageLevel
+
+    pre = _exploded_gram_table(
+        docs, id_col, text_col, n, block_cols, max_gram_df
+    )
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(pre)
+    inter = _gram_pair_intersections(pre, block_cols)
+    a_in_b = inter.select(
+        F.col("id").alias("inner_id"),
+        F.col("id_b").alias("outer_id"),
+        F.round(F.col("inter") / F.col("n_grams"), 6).alias("containment"),
+    )
+    b_in_a = inter.select(
+        F.col("id_b").alias("inner_id"),
+        F.col("id").alias("outer_id"),
+        F.round(F.col("inter") / F.col("n_grams_b"), 6).alias("containment"),
+    )
+    return (
+        a_in_b.unionByName(b_in_a)
+        .filter(F.col("containment") >= threshold)
+        .orderBy("inner_id", "outer_id")
+    )

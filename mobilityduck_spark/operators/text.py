@@ -1051,3 +1051,47 @@ def token_budget(
             "epochs_micro"
         ),
     ).orderBy(source_col)
+
+
+def fixed_eval_sample(
+    docs,
+    n_per_stratum: int = 5,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "eval-v1",
+):
+    """Fixed-SIZE deterministic sampling: exactly min(n, |stratum|)
+    documents per stratum, chosen by smallest salted md5 bucket — the
+    frozen eval/holdout set every training pipeline carves out. Unlike
+    fraction-based sampling the set size never drifts as the corpus
+    grows: re-running on a superset corpus keeps previously-chosen docs
+    unless a new doc hashes below them (monotone eviction, never
+    churn-by-reshuffle).
+
+    One rank window per stratum (the two-level trick stratified_sample
+    uses is unnecessary at n≈constant: the window's sort is bounded by
+    the stratum, and only rank ≤ n rows survive). Returns (stratum,
+    doc_id, bucket_micro) ordered — bucket_micro is the selection
+    score, exact integer micro-units of the md5 uniform so the choice
+    is auditable and engine-portable."""
+    b = split_bucket(F.col(key_col), salt)
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("_b").asc(), F.col(key_col).asc()
+    )
+    return (
+        docs.select(
+            F.col(strata_col).alias("stratum"),
+            F.col(key_col),
+            b.alias("_b"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_per_stratum)
+        .select(
+            "stratum",
+            key_col,
+            F.round(F.col("_b") * F.lit(1e6)).cast("long").alias(
+                "bucket_micro"
+            ),
+        )
+        .orderBy("stratum", key_col)
+    )

@@ -4539,3 +4539,108 @@ def events_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.session_journeys(ev, gap="12 hours", prefix_len=5, k=20)
+
+
+@register(
+    "doc_containment_pairs",
+    rf"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars // 100 AS lb, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars // 100, text
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    d AS (
+      SELECT doc_id, lang, lb,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM u
+    ),
+    g AS (
+      SELECT doc_id, lang, lb,
+             list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM d
+    ),
+    e AS (SELECT doc_id, lang, lb, unnest(grams) AS gram FROM g),
+    keep AS (
+      SELECT lang, lb, gram FROM e
+      GROUP BY lang, lb, gram HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+    ),
+    k AS (SELECT e.* FROM e JOIN keep USING (lang, lb, gram)),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM k GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM k a JOIN k b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    c AS (
+      SELECT i.id_a AS inner_id, i.id_b AS outer_id,
+             ROUND(i.inter / CAST(na.ng AS DOUBLE), 6) AS containment
+      FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+      UNION ALL
+      SELECT i.id_b, i.id_a,
+             ROUND(i.inter / CAST(nb.ng AS DOUBLE), 6)
+      FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+    )
+    SELECT inner_id, outer_id, containment
+    FROM c WHERE containment >= 0.8
+    ORDER BY inner_id, outer_id
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication: containment(A in B) = |A∩B|/|A|
+    over df-capped distinct trigrams — catches excerpts and
+    boilerplate-wrapped copies symmetric Jaccard misses. The corpus is
+    unioned with id-shifted copies of every %10==3 doc so the driver
+    row always carries planted 1.0-containment pairs in BOTH
+    directions; natural pairs surface alongside. Shares the
+    exploded-gram pipeline with the Jaccard ops."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    u = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang", "n_chars", "text",
+        )
+    ).withColumn("lb", F.expr("n_chars div 100"))
+    return DD.ngram_containment_pairs(
+        u, n=3, threshold=0.8, block_cols=("lang", "lb"),
+        max_gram_df=_NGRAM_DF_CAP,
+    )
+
+
+@register(
+    "doc_eval_sample",
+    """
+    WITH b AS (
+      SELECT source AS stratum, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-eval-v1'),
+                                  1, 8)) AS UBIGINT) / 4294967296.0 AS u
+      FROM documents
+    ),
+    r AS (
+      SELECT stratum, doc_id, u,
+             row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id)
+               AS rk
+      FROM b
+    )
+    SELECT stratum, doc_id,
+           CAST(ROUND(u * 1e6) AS BIGINT) AS bucket_micro
+    FROM r WHERE rk <= 5 ORDER BY stratum, doc_id
+    """,
+)
+def doc_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen eval/holdout carve-out: exactly 5 docs per source by
+    smallest salted md5 bucket — fixed SIZE (no drift as the corpus
+    grows; monotone eviction, never churn-by-reshuffle) and fully
+    auditable (the selection score ships as exact micro-units). One
+    rank window per stratum."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.fixed_eval_sample(docs, n_per_stratum=5, salt="eval-v1")
