@@ -854,3 +854,62 @@ def test_streaming_heavy_hitters_eviction_guarantees(spark, tmp_path):
     for item, n in true.items():
         if n > bucket_len[bucket_of[item]] / k:
             assert item in got, f"heavy item {item} missing"
+
+
+def test_streaming_incremental_dedup_vs_snapshot(spark, tmp_path):
+    """Stream-static incremental dedup: docs whose fingerprint exists
+    in the prior snapshot's fp index never emit; stream-internal
+    duplicates emit once (first arrival); emitted set equals the batch
+    incremental_dedup 'kept' set over the same window."""
+    from mobilityduck_spark.operators import dedup as DD
+    from mobilityduck_spark.operators import text as TXO
+    from mobilityduck_spark.streaming.dedup import incremental_dedup_stream
+
+    docs = SRC.load(spark, SF, "documents").select("doc_id", "text")
+    prior = docs.where(F.col("doc_id") % 10 < 8)
+    prior_fps = prior.select(
+        TXO.fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    # ingest batch: unseen docs + copies of prior docs + an in-batch dup
+    new = (
+        docs.where(F.col("doc_id") % 10 >= 8)
+        .unionAll(prior.limit(10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+        .unionAll(docs.where(F.col("doc_id") % 10 == 8).limit(5).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+        .select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(946684800) + F.col("doc_id") % 3600)
+            .alias("ts"),
+        )
+    )
+    src_dir = str(tmp_path / "incr_src")
+    new.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(new.schema).parquet(src_dir)
+    q = (
+        incremental_dedup_stream(stream, prior_fps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incr_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "incr_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("incr_out").collect()}
+    tagged = DD.incremental_dedup(new.drop("ts"), prior)
+    kept_fps = {
+        r["fp"] for r in tagged.where(F.col("reason") == "kept").collect()
+    }
+    # first-arrival inside the stream may pick a different member of an
+    # in-batch dup group than batch's min-id rule — compare by fp set
+    got_fps = {
+        r["fp"]
+        for r in new.withColumn("fp", TXO.fingerprint(F.col("text")))
+        .where(F.col("doc_id").isin(list(got)))
+        .select("fp").collect()
+    }
+    assert got_fps == kept_fps
+    # and no emitted doc's fp exists in the prior index
+    prior_set = {r["fp"] for r in prior_fps.collect()}
+    assert not (got_fps & prior_set)
