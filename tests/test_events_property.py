@@ -82,3 +82,78 @@ def test_markov_conserves_transitions(spark, rows):
     n_users = len({u for u, _, _ in rows})
     assert sum(r.cnt for r in out) == len(rows) - n_users
     assert all(0.0 < r.p <= 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------
+# Space-Saving (streaming heavy hitters) — pure-kernel property tests:
+# drive the applyInPandasWithState update function directly with a fake
+# GroupState across randomized multi-batch streams and check the classic
+# guarantees against exact counts. No Spark round-trip, so hypothesis
+# can afford many examples.
+# ---------------------------------------------------------------------
+import collections
+
+import pandas as pd
+
+from mobilityduck_spark.streaming.heavy_hitters import _make_update
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+ss_stream = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=30).map(str),  # item ids
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ss_stream, st.integers(min_value=1, max_value=8))
+def test_space_saving_guarantees(batches, k):
+    update = _make_update(k)
+    state = _FakeState()
+    emitted = None
+    for batch in batches:
+        rows = list(
+            update((0,), [pd.DataFrame({"item": batch})], state)
+        )
+        emitted = rows[-1]
+    true = collections.Counter(
+        it for batch in batches for it in batch
+    )
+    n = sum(true.values())
+    got = {
+        r.item: (r.cnt, r.err)
+        for r in emitted.itertuples(index=False)
+    }
+    # state bound holds always
+    assert len(got) <= k
+    # overestimate-only, bounded by the recorded error
+    for it, (cnt, err) in got.items():
+        assert true[it] <= cnt <= true[it] + err
+    # no false negatives above the n/k threshold
+    for it, c in true.items():
+        if c > n / k:
+            assert it in got, f"heavy item {it} (count {c} > {n}/{k}) missing"
+    # exact regime: fewer distinct items than counters -> exact, no error
+    if len(true) <= k:
+        assert {i: c for i, (c, _) in got.items()} == dict(true)
+        assert all(e == 0 for _, e in got.values())
