@@ -792,3 +792,184 @@ def session_journeys(
         .orderBy(F.desc("n_sessions"), F.asc("journey"))
         .limit(k)
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    horizon: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution: every `conversion_type` event
+    is credited to the latest strictly-preceding non-conversion event of
+    the same user within `horizon`; conversions with no touch in the
+    window are credited to 'direct'. Returns one row per attributed
+    channel: (channel, n_conversions, revenue_micro).
+
+    Plan (100 TB): ONE user-keyed shuffle; the running last-touch is a
+    single last(.., ignorenulls) window over (ts, tiebreak) with a
+    ROWS .. 1 PRECEDING frame, so a conversion can never credit itself
+    and equal-timestamp ordering is deterministic. The horizon test is
+    exact integer microseconds. The final rollup is |channels|-sized.
+    Revenue is micro-quantized before summation so the totals are exact
+    integers (aggregation-order-free).
+    """
+    hz = _interval_us(horizon)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != conversion_type,
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("t_us"),
+            F.col(type_col).alias("ty"),
+        ),
+    )
+    tagged = events.select(
+        user_col,
+        ts_col,
+        tiebreak_col,
+        type_col,
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.round(F.col(value_col) * 1e6).cast("bigint").alias("v_micro"),
+    ).withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    conv = tagged.where(F.col(type_col) == conversion_type)
+    channel = F.when(
+        F.col("last_touch").isNotNull()
+        & (F.col("last_touch.t_us") >= F.col("t_us") - F.lit(hz)),
+        F.col("last_touch.ty"),
+    ).otherwise(F.lit("direct"))
+    return (
+        conv.select(channel.alias("channel"), "v_micro")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("v_micro").alias("revenue_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _scalable_ntile(
+    df: DataFrame,
+    sort_col: str,
+    coarse_col,
+    key_col: str,
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """Exact NTILE(n) by (sort_col, key_col) WITHOUT a single global
+    sort: the two-level-rank trick (see text._two_level_rank) — a tiny
+    (coarse bucket → count) histogram gives broadcastable rank offsets,
+    a row_number() partitioned by coarse bucket gives local ranks, and
+    the standard-SQL ntile (first n%b buckets one row larger) is a
+    closed form over (global rank, total). coarse_col must be monotone
+    non-decreasing in sort_col so ties cannot cross a coarse boundary.
+    """
+    base = df.withColumn("_cb", coarse_col)
+    wh = Window.orderBy("_cb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        base.groupBy("_cb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_cb",
+            F.coalesce(F.sum("_n").over(wh), F.lit(0)).alias("_off"),
+            F.sum("_n").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_tot"),
+        )
+    )
+    w = Window.partitionBy("_cb").orderBy(
+        F.col(sort_col).asc(), F.col(key_col).asc()
+    )
+    rk = F.col("_off") + F.row_number().over(w)
+    qq = (F.col("_tot") / n_buckets).cast("bigint")
+    rr = F.col("_tot") % n_buckets
+    big = rr * (qq + 1)
+    score = F.when(
+        rk <= big, ((rk + qq) / (qq + 1)).cast("bigint")
+    ).otherwise(
+        rr
+        + (
+            (rk - big + F.greatest(qq, F.lit(1)) - 1)
+            / F.greatest(qq, F.lit(1))
+        ).cast("bigint")
+    )
+    return (
+        base.join(F.broadcast(offs), "_cb")
+        .withColumn(out_col, score.cast("int"))
+        .drop("_cb", "_off", "_tot")
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    n_buckets: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring over the
+    conversion stream: per user, days since last conversion (vs the
+    corpus max conversion time), conversion count, exact micro-unit
+    revenue, and three 1..n_buckets quintile scores (n_buckets = best:
+    most recent / most frequent / highest spend).
+
+    Plan: one user-keyed aggregate builds the |users|-sized RFM table;
+    each score is an exact distributed NTILE via the two-level-rank
+    trick (histogram offsets + coarse-bucket-partitioned row_number) —
+    no global single-task sort anywhere, ties broken by user_id so the
+    output is fully deterministic.
+    """
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.round(F.col(value_col) * 1e6).cast("bigint").alias("v_micro"),
+    )
+    per = conv.groupBy("user_id").agg(
+        F.max("t_us").alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("v_micro").alias("monetary_micro"),
+    )
+    anchor = conv.agg(F.max("t_us").alias("anchor_us"))
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        ((F.col("anchor_us") - F.col("last_us")) / F.lit(86_400_000_000))
+        .cast("bigint"),
+    )
+    per = _scalable_ntile(
+        per, "last_us",
+        (F.col("last_us") / F.lit(86_400_000_000)).cast("bigint"),
+        "user_id", n_buckets, "r_score",
+    )
+    per = _scalable_ntile(
+        per, "frequency", F.col("frequency"), "user_id", n_buckets,
+        "f_score",
+    )
+    per = _scalable_ntile(
+        per, "monetary_micro",
+        (F.col("monetary_micro") / F.lit(100_000_000)).cast("bigint"),
+        "user_id", n_buckets, "m_score",
+    )
+    return per.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micro",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm"),
+    ).orderBy("user_id")

@@ -1,0 +1,198 @@
+"""Data-governance operators: data-quality audits, SCD2 history
+compaction, and right-to-be-forgotten purge audits.
+
+The reference engine stops at query execution; a production lakehouse
+built on the same tables also has to PROVE properties about them —
+integrity before a training run, attribute history for point-in-time
+reads, and deletion-compliance evidence. These three operators cover
+that layer with the same oracle discipline as the query registry
+(every output column exact-integer or micro-quantized).
+
+Scale shape (100 TB):
+- dq_audit: every row-level check on a table collapses into ONE
+  conditional-aggregate scan of that table (a single `agg` of
+  `sum(when(pred,1))` columns — no per-check jobs, no second scan).
+  Primary-key checks ride the same scan family as a count_distinct;
+  foreign-key orphan checks are anti-join aggregates that broadcast the
+  parent when it is dim-sized and fall back to a shuffled equi anti
+  join for fact-fact edges. Output is O(#checks) rows regardless of
+  input volume.
+- scd2_compact: one shuffle partitions the change log by business key;
+  change detection (lag) and interval close (lead) are two windows over
+  that single partitioning. Output is bounded by the number of
+  attribute CHANGES, not rows.
+- purge_audit: the tombstone set is derived once, broadcast, and every
+  audited table is scanned exactly once with a broadcast left-semi
+  marker + conditional agg. No table is scanned twice, nothing
+  shuffles on the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dq_audit", "scd2_compact", "purge_audit"]
+
+
+def dq_audit(
+    row_checks: list[tuple[str, DataFrame, F.Column]],
+    pk_checks: list[tuple[str, DataFrame, str]] = (),
+    fk_checks: list[tuple[str, DataFrame, str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Run a data-quality audit and return one row per check:
+    (check, n_bad, n_rows).
+
+    row_checks: (name, table, bad_row_predicate) — all predicates that
+      share a DataFrame object are folded into ONE conditional-agg scan.
+    pk_checks: (name, table, key_col) — n_bad = rows minus distinct
+      keys (0 means the column is a valid primary key).
+    fk_checks: (name, child, child_key, parent, parent_key) — n_bad =
+      child rows (excluding NULL keys) with no matching parent row.
+
+    Every check emits exact BIGINT counts so the audit hashes stably.
+    """
+    outs: list[DataFrame] = []
+
+    # Fold row checks per table: one scan computes all its predicates.
+    by_table: dict[int, tuple[DataFrame, list[tuple[str, F.Column]]]] = {}
+    for name, df, pred in row_checks:
+        by_table.setdefault(id(df), (df, []))[1].append((name, pred))
+    for df, preds in by_table.values():
+        aggs = [
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(name)
+            for name, pred in preds
+        ] + [F.count(F.lit(1)).alias("__n")]
+        wide = df.agg(*aggs)
+        stacked = ", ".join(f"'{name}', `{name}`" for name, _ in preds)
+        outs.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(preds)}, {stacked}) AS (check, n_bad)"
+                ),
+                F.col("__n").alias("n_rows"),
+            )
+        )
+
+    for name, df, key in pk_checks:
+        outs.append(
+            df.agg(
+                (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias(
+                    "n_bad"
+                ),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).select(F.lit(name).alias("check"), "n_bad", "n_rows")
+        )
+
+    for name, child, ckey, parent, pkey in fk_checks:
+        keys = parent.select(F.col(pkey).alias(ckey)).distinct()
+        marked = child.where(F.col(ckey).isNotNull()).join(
+            F.broadcast(keys), ckey, "left_anti"
+        )
+        orphans = marked.agg(F.count(F.lit(1)).alias("n_bad"))
+        total = child.where(F.col(ckey).isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        outs.append(
+            orphans.crossJoin(total).select(
+                F.lit(name).alias("check"), "n_bad", "n_rows"
+            )
+        )
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result.select(
+        "check",
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def scd2_compact(
+    log: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Compact an append-only change log into SCD2 validity intervals:
+    one row per (key, run of equal attribute values) with
+    (key, attr, valid_from_us, valid_to_us, is_current).
+
+    Rows are ordered per key by (ts, tiebreak) — fully deterministic
+    even when a key has several rows at one timestamp. A row opens a
+    new interval iff its attribute differs from the previous row's
+    (SCD2 compaction: consecutive duplicates collapse). valid_to_us is
+    the next interval's open (half-open intervals), NULL-encoded as -1
+    for the current row so the output hashes without NULL-vs-sentinel
+    ambiguity across engines.
+    """
+    w = Window.partitionBy(key_col).orderBy("t_us", tiebreak_col)
+    tagged = log.select(
+        key_col,
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.col(attr_col).alias("attr"),
+        tiebreak_col,
+    ).withColumn(
+        "is_change",
+        F.lag("attr").over(w).isNull()
+        | (F.lag("attr").over(w) != F.col("attr")),
+    )
+    changes = tagged.where(F.col("is_change")).select(
+        key_col, F.col("t_us").alias("valid_from_us"), "attr", tiebreak_col
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from_us", tiebreak_col)
+    return changes.select(
+        F.col(key_col).alias("key"),
+        "attr",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w2), F.lit(-1).cast("bigint")
+        ).alias("valid_to_us"),
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+def purge_audit(
+    tombstones: DataFrame,
+    tables: list[tuple[str, DataFrame, str]],
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for each audited table,
+    count the rows a purge of `tombstones` would delete vs retain, and
+    how many distinct tombstoned ids actually appear there.
+
+    tombstones: one column `id_col` of ids to be purged (deduplicated
+    here). Each audited table is scanned ONCE: a broadcast left join
+    marks tombstoned rows and a single conditional aggregate produces
+    (table, n_purge, n_retain, n_ids_present). This is the evidence
+    query a deletion pipeline runs BEFORE and AFTER the purge (after:
+    all n_purge must be 0).
+    """
+    tomb = tombstones.select(F.col(id_col).alias("__tomb_id")).distinct()
+    outs = []
+    for name, df, col in tables:
+        marked = df.select(F.col(col).alias("__k")).join(
+            F.broadcast(tomb),
+            F.col("__k") == F.col("__tomb_id"),
+            "left",
+        )
+        hit = F.col("__tomb_id").isNotNull()
+        outs.append(
+            marked.agg(
+                F.sum(F.when(hit, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_purge"),
+                F.sum(F.when(hit, 0).otherwise(1))
+                .cast("bigint")
+                .alias("n_retain"),
+                F.count_distinct(F.when(hit, F.col("__k")))
+                .cast("bigint")
+                .alias("n_ids_present"),
+            ).select(F.lit(name).alias("table_name"), "*")
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

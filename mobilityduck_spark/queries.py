@@ -4644,3 +4644,314 @@ def doc_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return TX.fixed_eval_sample(docs, n_per_stratum=5, salt="eval-v1")
+
+
+# =====================================================================
+# Data governance: quality audit, SCD2 history, purge-compliance audit
+# =====================================================================
+@register(
+    "dq_audit",
+    """
+    WITH planted AS (
+      SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+             -o_totalprice AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 1000 = 7
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      UNION ALL SELECT * FROM planted
+    ),
+    checks AS (
+      SELECT 'orders_nonpos_total' AS check,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_bad,
+             COUNT(*) AS n_rows
+      FROM o
+      UNION ALL
+      SELECT 'lineitem_discount_range',
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_nonpos_qty',
+             SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_pk', COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*)
+      FROM o
+      UNION ALL
+      SELECT 'customer_pk', COUNT(*) - COUNT(DISTINCT c_custkey), COUNT(*)
+      FROM customer
+      UNION ALL
+      SELECT 'orders_custkey_fk',
+             (SELECT COUNT(*) FROM o
+               WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                     (SELECT c_custkey FROM customer)),
+             (SELECT COUNT(*) FROM o WHERE o_custkey IS NOT NULL)
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             (SELECT COUNT(*) FROM lineitem
+               WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                     (SELECT o_orderkey FROM orders)),
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+    )
+    SELECT "check", CAST(n_bad AS BIGINT) AS n_bad,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM checks ORDER BY "check"
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data-quality audit — null/range, duplicate-PK and
+    FK-orphan checks as ONE conditional-agg scan per table plus
+    broadcast anti-joins (operators/governance.py). Orders is unioned
+    with planted violations (every %1000==7 order re-inserted with an
+    orphan custkey and a negated total) so the audit provably CATCHES:
+    the duplicate-PK, orphan-FK and nonpositive-total counts are
+    non-zero by construction, while the untouched lineitem checks pin
+    the zero path."""
+    from .operators import governance as GV
+
+    orders = SRC.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    planted = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    o = orders.unionByName(planted)
+    lineitem = SRC.load(spark, sf_dir, "lineitem")
+    customer = SRC.load(spark, sf_dir, "customer")
+    clean_orders = SRC.load(spark, sf_dir, "orders")
+    audit = GV.dq_audit(
+        row_checks=[
+            ("orders_nonpos_total", o, F.col("o_totalprice") <= 0),
+            (
+                "lineitem_discount_range",
+                lineitem,
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            ),
+            ("lineitem_nonpos_qty", lineitem, F.col("l_quantity") <= 0),
+        ],
+        pk_checks=[
+            ("orders_pk", o, "o_orderkey"),
+            ("customer_pk", customer, "c_custkey"),
+        ],
+        fk_checks=[
+            ("orders_custkey_fk", o, "o_custkey", customer, "c_custkey"),
+            (
+                "lineitem_orderkey_fk",
+                lineitem,
+                "l_orderkey",
+                clean_orders,
+                "o_orderkey",
+            ),
+        ],
+    )
+    return audit.orderBy("check")
+
+
+@register(
+    "scd2_history",
+    """
+    WITH o AS (
+      SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+             o_orderpriority AS a, o_orderkey AS tb
+      FROM orders
+    ),
+    c AS (
+      SELECT *, lag(a) OVER (PARTITION BY k ORDER BY t, tb) AS pa FROM o
+    ),
+    ch AS (SELECT k, t, a, tb FROM c WHERE pa IS NULL OR pa <> a),
+    r AS (
+      SELECT k, a, t AS valid_from_us,
+             lead(t) OVER (PARTITION BY k ORDER BY t, tb) AS nxt
+      FROM ch
+    )
+    SELECT k AS key, a AS attr, valid_from_us,
+           COALESCE(nxt, -1) AS valid_to_us,
+           CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM r ORDER BY key, valid_from_us, attr
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history compaction: the per-customer order-priority change
+    log collapses into half-open validity intervals (one row per run of
+    equal values, lead() closing each interval) — the
+    point-in-time-read table every warehouse dimension needs. One
+    business-key shuffle, two windows over it, output bounded by CHANGE
+    count."""
+    from .operators import governance as GV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    out = GV.scd2_compact(
+        orders, "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    return out.select(
+        "key",
+        "attr",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("key", "valid_from_us", "attr")
+
+
+@register(
+    "gdpr_purge_audit",
+    """
+    WITH tomb AS (
+      SELECT user_id AS id FROM events
+      WHERE event_type = 'error' GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    a AS (
+      SELECT 'events' AS table_name,
+             SUM(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS n_purge,
+             SUM(CASE WHEN t.id IS NULL THEN 1 ELSE 0 END) AS n_retain,
+             COUNT(DISTINCT CASE WHEN t.id IS NOT NULL THEN e.user_id END)
+               AS n_ids_present
+      FROM events e LEFT JOIN tomb t ON e.user_id = t.id
+      UNION ALL
+      SELECT 'orders',
+             SUM(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END),
+             SUM(CASE WHEN t.id IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT CASE WHEN t.id IS NOT NULL THEN o.o_custkey END)
+      FROM orders o LEFT JOIN tomb t ON o.o_custkey = t.id
+    )
+    SELECT table_name, CAST(n_purge AS BIGINT) AS n_purge,
+           CAST(n_retain AS BIGINT) AS n_retain,
+           CAST(n_ids_present AS BIGINT) AS n_ids_present
+    FROM a ORDER BY table_name
+    """,
+)
+def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: the tombstone set (users
+    with >=3 error events — a data-derived deletion queue) is counted
+    against every table carrying the user key, each scanned exactly
+    once with a broadcast marker join. This is the before/after
+    evidence query of a deletion pipeline (after the purge every
+    n_purge must read 0)."""
+    from .operators import governance as GV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    orders = SRC.load(spark, sf_dir, "orders")
+    tomb = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("user_id")
+    )
+    return GV.purge_audit(
+        tomb,
+        [("events", ev, "user_id"), ("orders", orders, "o_custkey")],
+    ).orderBy("table_name")
+
+
+# =====================================================================
+# Event analytics: attribution and RFM scoring
+# =====================================================================
+@register(
+    "events_attribution",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+      FROM events
+    ),
+    t AS (
+      SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase' THEN t_us END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS lt_us,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS lt_ty
+      FROM o
+    )
+    SELECT CASE WHEN lt_us IS NOT NULL AND lt_us >= t_us - 604800000000
+                THEN lt_ty ELSE 'direct' END AS channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(v_micro) AS BIGINT) AS revenue_micro
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution within a 7-day horizon: each
+    purchase credits the latest strictly-preceding non-purchase event
+    of the same user (else 'direct'). One user-keyed shuffle; the
+    running last-touch is a single ignorenulls last() window with a
+    ROWS..1 PRECEDING frame; revenue sums exact micro-units."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.attribution(ev, conversion_type="purchase", horizon="7 days")
+
+
+@register(
+    "events_rfm",
+    """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per AS (
+      SELECT user_id, MAX(t_us) AS last_us, COUNT(*) AS frequency,
+             CAST(SUM(v) AS BIGINT) AS monetary_micro
+      FROM c GROUP BY 1
+    ),
+    rk AS (
+      SELECT p.*,
+             (a.anchor - p.last_us) // 86400000000 AS recency_days,
+             row_number() OVER (ORDER BY last_us, user_id) AS r_rk,
+             row_number() OVER (ORDER BY frequency, user_id) AS f_rk,
+             row_number() OVER (ORDER BY monetary_micro, user_id) AS m_rk,
+             n.tot
+      FROM per p,
+           (SELECT MAX(t_us) AS anchor FROM c) a,
+           (SELECT COUNT(*) AS tot FROM per) n
+    ),
+    s AS (
+      SELECT *,
+             tot // 5 AS q, tot % 5 AS r,
+             (tot % 5) * (tot // 5 + 1) AS big
+      FROM rk
+    ),
+    sc AS (
+      SELECT user_id, recency_days, frequency, monetary_micro,
+             CASE WHEN r_rk <= big THEN (r_rk + q) // (q + 1)
+                  ELSE r + (r_rk - big + GREATEST(q, 1) - 1)
+                       // GREATEST(q, 1) END AS r_score,
+             CASE WHEN f_rk <= big THEN (f_rk + q) // (q + 1)
+                  ELSE r + (f_rk - big + GREATEST(q, 1) - 1)
+                       // GREATEST(q, 1) END AS f_score,
+             CASE WHEN m_rk <= big THEN (m_rk + q) // (q + 1)
+                  ELSE r + (m_rk - big + GREATEST(q, 1) - 1)
+                       // GREATEST(q, 1) END AS m_score
+      FROM s
+    )
+    SELECT user_id, recency_days, frequency, monetary_micro,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+    FROM sc ORDER BY user_id
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring over the purchase stream: exact recency /
+    frequency / micro-unit monetary plus 1..5 quintile scores. The
+    quintiles are exact standard-SQL NTILEs computed WITHOUT a global
+    single-task sort — two-level rank (tiny coarse-bucket histogram
+    broadcast as offsets + bucket-partitioned row_number), the oracle
+    uses the textbook global row_number formulation of the same closed
+    form."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.rfm_scores(ev, conversion_type="purchase", n_buckets=5)

@@ -1,0 +1,197 @@
+"""Unit tests for the governance operators (dq_audit / scd2_compact /
+purge_audit) and the round-8 event analytics (attribution, RFM with the
+scalable exact NTILE)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilityduck_spark.operators import events as EV
+from mobilityduck_spark.operators import governance as GV
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- dq_audit
+def test_dq_audit_counts(spark):
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 11, -1.0), (2, 99, 0.0), (3, None, 2.0)],
+        "id bigint, fk bigint, val double",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk bigint")
+    out = GV.dq_audit(
+        row_checks=[("nonpos_val", child, F.col("val") <= 0)],
+        pk_checks=[("child_pk", child, "id")],
+        fk_checks=[("child_fk", child, "fk", parent, "pk")],
+    )
+    got = {r["check"]: (r["n_bad"], r["n_rows"]) for r in out.collect()}
+    assert got == {
+        "nonpos_val": (2, 4),       # -1.0 and 0.0
+        "child_pk": (1, 4),         # id=2 twice
+        "child_fk": (1, 3),         # fk=99 orphan; NULL fk excluded
+    }
+
+
+def test_dq_audit_folds_checks_per_table(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x bigint")
+    out = GV.dq_audit(
+        row_checks=[
+            ("a", df, F.col("x") > 1),
+            ("b", df, F.col("x") < 0),
+        ]
+    )
+    got = {r["check"]: r["n_bad"] for r in out.collect()}
+    assert got == {"a": 1, "b": 0}
+    # both checks ride one scan: a single stack() projection, one agg
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ") == 1
+
+
+# ------------------------------------------------------------ scd2_compact
+def test_scd2_compact_runs_and_ties(spark):
+    rows = [
+        # key 1: A, A (dup collapses), B, A again -> 3 intervals
+        (1, _ts("2024-01-01"), "A", 1),
+        (1, _ts("2024-01-02"), "A", 2),
+        (1, _ts("2024-01-03"), "B", 3),
+        (1, _ts("2024-01-04"), "A", 4),
+        # key 2: two rows at the SAME ts -> tiebreak orders (5 then 6)
+        (2, _ts("2024-01-01"), "X", 6),
+        (2, _ts("2024-01-01"), "Y", 5),
+    ]
+    log = spark.createDataFrame(rows, "k bigint, ts timestamp, a string, tb bigint")
+    out = GV.scd2_compact(log, "k", "ts", "a", "tb")
+    got = sorted(
+        (r["key"], r["attr"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+        for r in out.collect()
+    )
+    us = lambda s: int(_ts(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert got == [
+        (1, "A", us("2024-01-01"), us("2024-01-03"), False),
+        (1, "A", us("2024-01-04"), -1, True),
+        (1, "B", us("2024-01-03"), us("2024-01-04"), False),
+        # same-ts: tb=5 (Y) opens first, tb=6 (X) supersedes at the
+        # same instant (zero-width first interval, deterministic)
+        (2, "X", us("2024-01-01"), -1, True),
+        (2, "Y", us("2024-01-01"), us("2024-01-01"), False),
+    ]
+
+
+# ------------------------------------------------------------- purge_audit
+def test_purge_audit(spark):
+    tomb = spark.createDataFrame([(1,), (1,), (3,)], "user_id bigint")
+    t1 = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "user_id bigint, v string"
+    )
+    t2 = spark.createDataFrame([(9, 5.0)], "uid bigint, v double")
+    out = GV.purge_audit(
+        tomb, [("t1", t1, "user_id"), ("t2", t2, "uid")]
+    )
+    got = {
+        r["table_name"]: (r["n_purge"], r["n_retain"], r["n_ids_present"])
+        for r in out.collect()
+    }
+    assert got == {"t1": (2, 1, 1), "t2": (0, 1, 0)}
+
+
+# ------------------------------------------------------------- attribution
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double"
+    )
+
+
+def test_attribution_last_touch_and_direct(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: view then click then purchase -> credits click
+            (1, _ts("2024-01-01 10:00"), 1, "view", 0.0),
+            (1, _ts("2024-01-01 11:00"), 2, "click", 0.0),
+            (1, _ts("2024-01-02 09:00"), 3, "purchase", 10.0),
+            # user 2: touch OUTSIDE the 7-day horizon -> direct
+            (2, _ts("2024-01-01 00:00"), 4, "view", 0.0),
+            (2, _ts("2024-01-09 00:00"), 5, "purchase", 5.0),
+            # user 3: purchase with no preceding event -> direct
+            (3, _ts("2024-01-01 00:00"), 6, "purchase", 1.0),
+        ],
+    )
+    out = EV.attribution(ev, horizon="7 days")
+    got = {
+        r["channel"]: (r["n_conversions"], r["revenue_micro"])
+        for r in out.collect()
+    }
+    assert got == {"click": (1, 10_000_000), "direct": (2, 6_000_000)}
+
+
+def test_attribution_same_ts_tiebreak_and_self_exclusion(spark):
+    ev = _events(
+        spark,
+        [
+            # touch at the SAME ts with a smaller event_id precedes the
+            # purchase deterministically; an earlier purchase never
+            # credits itself or another purchase
+            (1, _ts("2024-01-01 00:00"), 1, "purchase", 2.0),
+            (1, _ts("2024-01-01 00:00"), 2, "click", 0.0),
+            (1, _ts("2024-01-01 00:00"), 3, "purchase", 4.0),
+        ],
+    )
+    got = {
+        r["channel"]: (r["n_conversions"], r["revenue_micro"])
+        for r in EV.attribution(ev, horizon="7 days").collect()
+    }
+    assert got == {"direct": (1, 2_000_000), "click": (1, 4_000_000)}
+
+
+# ---------------------------------------------------------------- RFM
+def test_scalable_ntile_matches_global_ntile(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(0, 50)) for i in range(103)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = EV._scalable_ntile(
+        df, "v", (F.col("v") / F.lit(10)).cast("bigint"), "k", 5, "s"
+    )
+    got = {r["k"]: r["s"] for r in out.collect()}
+    # reference: standard-SQL NTILE over the same deterministic order
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    n, b = len(ordered), 5
+    q, rr = divmod(n, b)
+    exp = {}
+    for i, (k, _) in enumerate(ordered, start=1):
+        if i <= rr * (q + 1):
+            exp[k] = (i + q) // (q + 1)
+        else:
+            exp[k] = rr + (i - rr * (q + 1) + q - 1) // max(q, 1)
+    assert got == exp
+
+
+def test_rfm_scores_small(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01"), 1, "purchase", 1.0),
+            (1, _ts("2024-01-05"), 2, "purchase", 2.0),
+            (2, _ts("2024-01-03"), 3, "purchase", 100.0),
+            (3, _ts("2024-01-06"), 4, "purchase", 0.5),
+            (3, _ts("2024-01-06"), 5, "click", 9.0),  # ignored
+        ],
+    )
+    out = {r["user_id"]: r.asDict() for r in EV.rfm_scores(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["frequency"] == 2
+    assert out[1]["monetary_micro"] == 3_000_000
+    assert out[2]["monetary_micro"] == 100_000_000
+    assert out[3]["recency_days"] == 0
+    assert out[1]["recency_days"] == 1
+    # 3 users, 5 buckets: ntile assigns 1,2,3 in sort order
+    # monetary asc: user3 (0.5) -> 1, user1 (3.0) -> 2, user2 (100) -> 3
+    assert out[1]["m_score"] == 2 and out[2]["m_score"] == 3
+    assert out[3]["r_score"] == 3  # most recent purchase
+    assert out[1]["rfm"] == out[1]["r_score"] * 100 + out[1]["f_score"] * 10 + out[1]["m_score"]
