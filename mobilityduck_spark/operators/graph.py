@@ -124,3 +124,50 @@ def node_triangle_counts(
         .orderBy(F.col("n_triangles").desc(), F.col("node").asc())
         .limit(k)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection):
+    every node starts as its own label; each round, a node adopts the
+    label with the LARGEST total incident edge weight among its
+    neighbors' current labels (ties -> smallest label, so the result is
+    fully deterministic with integer weights). Unlike connected
+    components this respects weights — a node bridging two clusters
+    lands with the heavier side.
+
+    Plan (100 TB): each round is one equi-join of the (src, dst, w)
+    edge list against the |nodes|-sized label table on the src key, a
+    (node, label) partial-agg groupBy, and a per-node max chosen by
+    max(struct(wsum, -label)) — NO window sort. Fixed `rounds` keyed
+    shuffles total; hub capping is inherited from the edge builder.
+    Returns (node, community).
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t"), F.col(weight).alias("w")
+    ).unionAll(
+        edges.select(
+            F.col(dst).alias("s"), F.col(src).alias("t"),
+            F.col(weight).alias("w"),
+        )
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(rounds):
+        contrib = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .groupBy(F.col("t").alias("node"), "lab")
+            .agg(F.sum("w").alias("ws"))
+        )
+        labels = contrib.groupBy("node").agg(
+            F.max(F.struct(F.col("ws"), (-F.col("lab")).alias("nl"))).alias(
+                "m"
+            )
+        ).select("node", (-F.col("m.nl")).alias("lab"))
+    return labels.select("node", F.col("lab").alias("community"))

@@ -1095,3 +1095,94 @@ def fixed_eval_sample(
         )
         .orderBy("stratum", key_col)
     )
+
+
+def chunk_dedup_rewrite(
+    docs,
+    chunk_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Global chunk-level dedup WITH text reassembly — the rewrite pass
+    of a web-corpus pipeline (C4 / RefinedWeb line-dedup, generalized to
+    fixed token windows since the synthetic corpus has no line breaks):
+    every non-overlapping `chunk_tokens`-token window is kept only at
+    its globally FIRST occurrence (min (doc_id, idx)); later occurrences
+    anywhere in the corpus are cut, and each document's surviving chunks
+    are stitched back in order.
+
+    Returns (doc_id, n_chunks, n_removed, clean_fp) where clean_fp is
+    the md5 of the reassembled text ('' when every chunk was removed).
+
+    Plan (100 TB): chunking is row-local JVM expression work (slice +
+    array_join over a sequence — no shuffle, no Python); the first-
+    occurrence decision is ONE groupBy on the 16-byte chunk hash
+    carrying only (hash, doc_id, idx) — min(struct) gives the winner
+    without a window sort; reassembly is one shuffle back on doc_id
+    with ordered assembly via array_sort(collect_list(struct)). Total:
+    two keyed shuffles, both on bounded-width rows, never the raw text
+    twice.
+    """
+    C = chunk_tokens
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size("__toks") / F.lit(float(C))).cast("int"), F.lit(1)
+    )
+    base = docs.select(id_col, toks.alias("__toks")).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("idx"),
+                F.array_join(
+                    F.slice(F.col("__toks"), i * C + 1, C), " "
+                ).alias("chunk"),
+            ),
+        ).alias("__chunks"),
+    )
+    ch = base.select(
+        id_col, F.explode("__chunks").alias("c")
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("c.idx").alias("idx"),
+        F.col("c.chunk").alias("chunk"),
+        F.md5(F.col("c.chunk")).alias("hsh"),
+    )
+    winners = ch.groupBy("hsh").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    kept = (
+        ch.join(winners, "hsh")
+        .where(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("idx") == F.col("w.idx"))
+        )
+        .select("doc_id", "idx", "chunk")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    totals = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.size("__chunks").cast("bigint").alias("n_chunks"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(F.coalesce(F.col("clean"), F.lit(""))).alias("clean_fp"),
+        )
+    )

@@ -4955,3 +4955,213 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.rfm_scores(ev, conversion_type="purchase", n_buckets=5)
+
+
+# =====================================================================
+# Corpus rewrite, community detection, covariance
+# =====================================================================
+@register(
+    "doc_chunk_dedup",
+    r"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 2
+    ),
+    d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM u
+    ),
+    c AS (
+      SELECT doc_id, t.i AS idx,
+             array_to_string(w[(t.i*20+1):(t.i*20+20)], ' ') AS chunk
+      FROM d, unnest(generate_series(
+               0, GREATEST(CAST(ceil(len(w)/20.0) AS BIGINT), 1) - 1))
+             AS t(i)
+    ),
+    h AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, idx) AS rn
+      FROM c
+    ),
+    re AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS clean
+      FROM h WHERE rn = 1 GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY 1)
+    SELECT t.doc_id, t.n_chunks,
+           t.n_chunks - COALESCE(re.n_kept, 0) AS n_removed,
+           md5(COALESCE(re.clean, '')) AS clean_fp
+    FROM tot t LEFT JOIN re ON re.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global chunk-level dedup WITH reassembly (the C4/RefinedWeb
+    rewrite pass): every 20-token window survives only at its globally
+    first (doc_id, idx) occurrence; documents are stitched back from
+    surviving chunks and fingerprinted. The corpus is unioned with
+    id-shifted copies of every %10==2 doc, so those copies provably
+    lose ALL their chunks (n_removed == n_chunks, clean_fp == md5(''))
+    while originals keep theirs. Chunking is row-local JVM slicing;
+    first-occurrence is one min(struct) groupBy on the chunk hash."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return TX.chunk_dedup_rewrite(u, chunk_tokens=20).orderBy("doc_id")
+
+
+@register(
+    "graph_lpa_communities",
+    rf"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars // 100 AS lb, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars // 100, text
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    d AS (
+      SELECT doc_id, lang, lb,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM u
+    ),
+    g AS (
+      SELECT doc_id, lang, lb,
+             list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM d
+    ),
+    e AS (SELECT doc_id, lang, lb, unnest(grams) AS gram FROM g),
+    keep AS (
+      SELECT lang, lb, gram FROM e
+      GROUP BY lang, lb, gram HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+    ),
+    k AS (SELECT e.* FROM e JOIN keep USING (lang, lb, gram)),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM k GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM k a JOIN k b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.gram = b.gram
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.id_a, i.id_b, i.inter AS w
+      FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+      WHERE i.inter / CAST(na.ng + nb.ng - i.inter AS DOUBLE) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS t, w FROM edges
+      UNION ALL
+      SELECT id_b, id_a, w FROM edges
+    ),
+    l0 AS (SELECT DISTINCT s AS node, s AS lab FROM sym),
+    c1 AS (
+      SELECT sym.t AS node, l0.lab, SUM(sym.w) AS ws
+      FROM sym JOIN l0 ON l0.node = sym.s GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY ws DESC, lab ASC) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT sym.t AS node, l1.lab, SUM(sym.w) AS ws
+      FROM sym JOIN l1 ON l1.node = sym.s GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY ws DESC, lab ASC) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    )
+    SELECT node, lab AS community FROM l2 ORDER BY node
+    """,
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation (2 synchronous rounds) over the
+    integer-weighted Jaccard near-dup graph (weight = shared-gram
+    count, planted copies of every %10==3 doc guarantee non-trivial
+    communities). Each round = one edge-vs-labels equi-join + a
+    max(struct) per-node pick, no window sort; the oracle unrolls the
+    identical rounds as CTEs. Deterministic by integer weights with
+    min-label tiebreak."""
+    from .operators import dedup as DD
+    from .operators import graph as G
+
+    docs = SRC.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    u = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang", "n_chars", "text",
+        )
+    ).withColumn("lb", F.expr("n_chars div 100"))
+    pre = DD._exploded_gram_table(
+        u, "doc_id", "text", 3, ("lang", "lb"), _NGRAM_DF_CAP
+    )
+    inter = DD._gram_pair_intersections(pre, ("lang", "lb"))
+    jac = F.col("inter") / (
+        F.col("n_grams") + F.col("n_grams_b") - F.col("inter")
+    )
+    edges = inter.where(jac >= 0.5).select(
+        F.col("id").alias("id_a"),
+        "id_b",
+        F.col("inter").alias("w"),
+    )
+    return G.label_propagation(edges, rounds=2).orderBy("node")
+
+
+@register(
+    "embed_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id, t.i - 1 AS i,
+             CAST(ROUND(1e6 * embedding[t.i]) AS BIGINT) AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    p AS (
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(a.x AS HUGEINT) * b.x) AS s
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    m AS (SELECT i, SUM(CAST(x AS HUGEINT)) AS s1 FROM q GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT p.i, p.j,
+           ROUND(CAST(n.n * p.s - ma.s1 * mb.s1 AS DOUBLE)
+                 / (CAST(n.n AS DOUBLE) * (n.n - 1)) / 1e12, 6) AS cov
+    FROM p, n
+    JOIN m ma ON ma.i = p.i
+    JOIN m mb ON mb.i = p.j
+    ORDER BY p.i, p.j
+    """,
+)
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding covariance (upper triangle, micro-quantized
+    integer accumulation): the whitening/drift matrix. One vectorized
+    mapInPandas pass emits d(d+1)/2 int64 partials per Arrow batch; a
+    single (i,j) groupBy sums them in DECIMAL(38,0); the only floating
+    op is the final division (identical IEEE both engines given
+    identical integer inputs). The dominant eigenvector (pca_power_top)
+    iterates driver-side on the collected 64x64 matrix, verified vs
+    numpy in tests."""
+    from .operators import similarity as SIM
+
+    embs = SRC.load(spark, sf_dir, "embeddings")
+    return SIM.covariance_stats(embs)
