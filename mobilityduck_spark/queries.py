@@ -46,11 +46,25 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
-    # ---- r7 staleness drain (VERDICT r6 directive 1): these 41 queries
-    # have no driver row since r3/r4 (the registry outgrew the driver's
-    # 50-row/round window). Their sources are untouched and every oracle
-    # replays green in pytest each round; surfacing them FIRST completes
-    # full-registry driver rotation within the r5-r7 union.
+    # ---- new in round 8 — prove green on first exposure
+    "dq_audit",               # data-quality audit (planted violations)
+    "scd2_history",           # SCD2 validity-interval compaction
+    "gdpr_purge_audit",       # tombstone cascade audit
+    "events_attribution",     # last-touch attribution
+    "events_rfm",             # RFM quintiles via scalable exact NTILE
+    "doc_chunk_dedup",        # chunk-level dedup WITH reassembly
+    "graph_lpa_communities",  # weighted label propagation
+    "embed_covariance",       # exact covariance (PCA substrate)
+    # ---- late-r7 queries that postdate r7's priority list (registered
+    # after the list was written, so they may have missed the window)
+    "doc_containment_pairs",
+    "doc_eval_sample",
+    "embed_label_centroids",
+    "events_active_users",
+    "events_top_journeys",
+    # ---- staleness backfill: the r3/r4 batch again, in case the r7
+    # window was cut short. Every oracle replays green in pytest each
+    # round; surfacing them completes full-registry driver rotation.
     "tpch_q1",
     "tpch_q7",
     "tpch_q8",
@@ -92,16 +106,15 @@ _DRIVER_PRIORITY = [
     "doc_split_assign",
     "doc_repetition_scores",
     "events_tumbling",
-    # ---- new / changed in round 7 — prove green on first exposure
-    "events_user_features_asof",  # new r7: point-in-time-correct features
-    "media_jpeg_color_stats",     # new r7: color 4:2:0 YCbCr JPEG decode
-    "corpus_token_budget",        # new r7: mixture token budgeting
-    "doc_jaccard_histogram",      # new r7: threshold tuning curve
-    "doc_incremental_dedup",      # new r7: ingest-vs-prior-snapshot dedup
-    "doc_classifier_calibration", # new r7: threshold-sweep calibration
-    "doc_incremental_near_dups",  # new r7: batch-vs-prior LSH band index
-    "events_user_features_asof_multi",  # new r7: event-level as-of features
-    # (slots 44-50 of the driver window)
+    # ---- r7 additions (fresh sources, keep behind the backfill)
+    "events_user_features_asof",
+    "media_jpeg_color_stats",
+    "corpus_token_budget",
+    "doc_jaccard_histogram",
+    "doc_incremental_dedup",
+    "doc_classifier_calibration",
+    "doc_incremental_near_dups",
+    "events_user_features_asof_multi",
 ]
 
 
