@@ -13,10 +13,11 @@ Scale shape (100 TB):
   conditional-aggregate scan of that table (a single `agg` of
   `sum(when(pred,1))` columns — no per-check jobs, no second scan).
   Primary-key checks ride the same scan family as a count_distinct;
-  foreign-key orphan checks are anti-join aggregates that broadcast the
-  parent when it is dim-sized and fall back to a shuffled equi anti
-  join for fact-fact edges. Output is O(#checks) rows regardless of
-  input volume.
+  foreign-key orphan checks scan the child ONCE (left join against the
+  distinct parent keys + conditional agg) with the join strategy left
+  to Catalyst/AQE — a dim-sized parent broadcasts on its own, a
+  fact-sized parent shuffles instead of OOMing a forced broadcast.
+  Output is O(#checks) rows regardless of input volume.
 - scd2_compact: one shuffle partitions the change log by business key;
   change detection (lag) and interval close (lead) are two windows over
   that single partitioning. Output is bounded by the number of
@@ -85,18 +86,25 @@ def dq_audit(
         )
 
     for name, child, ckey, parent, pkey in fk_checks:
-        keys = parent.select(F.col(pkey).alias(ckey)).distinct()
+        # ONE scan of the child: left-join the distinct parent keys and
+        # count matched/unmatched in the same aggregate. The join
+        # strategy is left to Catalyst/AQE — a dim-sized parent
+        # broadcasts on its own, a fact-sized parent (orders under
+        # lineitem at 100 TB) must shuffle, which a forced broadcast
+        # would OOM on.
+        keys = parent.select(
+            F.col(pkey).alias("__pk"), F.lit(1).alias("__hit")
+        ).distinct()
         marked = child.where(F.col(ckey).isNotNull()).join(
-            F.broadcast(keys), ckey, "left_anti"
-        )
-        orphans = marked.agg(F.count(F.lit(1)).alias("n_bad"))
-        total = child.where(F.col(ckey).isNotNull()).agg(
-            F.count(F.lit(1)).alias("n_rows")
+            keys, F.col(ckey) == F.col("__pk"), "left"
         )
         outs.append(
-            orphans.crossJoin(total).select(
-                F.lit(name).alias("check"), "n_bad", "n_rows"
-            )
+            marked.agg(
+                F.sum(
+                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                ).alias("n_bad"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).select(F.lit(name).alias("check"), "n_bad", "n_rows")
         )
 
     result = outs[0]
