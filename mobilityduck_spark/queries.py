@@ -55,6 +55,8 @@ _DRIVER_PRIORITY = [
     "doc_chunk_dedup",        # chunk-level dedup WITH reassembly
     "graph_lpa_communities",  # weighted label propagation
     "embed_covariance",       # exact covariance (PCA substrate)
+    "customer_entity_matches",  # blocked record linkage (planted typos)
+    "privacy_k_anonymity",    # quasi-identifier re-identification audit
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5178,3 +5180,103 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = SRC.load(spark, sf_dir, "embeddings")
     return SIM.covariance_stats(embs)
+
+
+# =====================================================================
+# Entity resolution and privacy audit
+# =====================================================================
+@register(
+    "customer_entity_matches",
+    """
+    WITH u AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             concat(substr(c_name, 1, length(c_name) - 1), 'x'),
+             c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 20 = 4
+    ),
+    base AS (
+      SELECT c_nationkey, c_mktsegment, c_custkey AS id,
+             lower(c_name) AS nm
+      FROM u
+    ),
+    sz AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS bn
+      FROM base GROUP BY 1, 2
+    ),
+    keep AS (
+      SELECT base.* FROM base
+      JOIN sz USING (c_nationkey, c_mktsegment)
+      WHERE sz.bn <= 10000
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS name_dist
+    FROM keep a JOIN keep b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over a dimension table: exact blocking on
+    (nationkey, mktsegment) bounds candidates to an equi-join, full
+    lowercased-name Levenshtein <= 2 scores survivors. Every %20==4
+    customer is re-inserted with its last name character mutated and a
+    shifted key, so a planted true-match stream (distance 1) is
+    guaranteed; natural near-collisions in TPC-H-style names surface
+    alongside. Oversized blocks are dropped BEFORE the self-join."""
+    from .operators import entities as EN
+
+    cust = SRC.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    planted = cust.where(F.col("c_custkey") % 20 == 4).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("x")
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    u = cust.unionByName(planted)
+    return EN.blocked_matches(
+        u, "c_custkey", "c_name", ("c_nationkey", "c_mktsegment"),
+        max_name_dist=2,
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < 5
+    ORDER BY n, c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the customer quasi-identifiers
+    (nation, segment, account-balance band): every combination with
+    fewer than 5 members re-identifies its customers in a release. ONE
+    groupBy on the quasi tuple; output bounded by at-risk groups."""
+    from .operators import entities as EN
+
+    cust = SRC.load(spark, sf_dir, "customer")
+    return EN.k_anonymity(
+        cust,
+        [
+            "c_nationkey",
+            "c_mktsegment",
+            (
+                "bal_band",
+                F.floor(F.col("c_acctbal") / 1000.0).cast("bigint"),
+            ),
+        ],
+        k=5,
+    )
