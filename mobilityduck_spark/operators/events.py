@@ -973,3 +973,68 @@ def rfm_scores(
         .cast("int")
         .alias("rfm"),
     ).orderBy("user_id")
+
+
+def winsorized_stats(
+    events: DataFrame,
+    p_lo: int = 5,
+    p_hi: int = 95,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact winsorized statistics per group: nearest-rank P{p_lo} and
+    P{p_hi} of the micro-quantized value, plus the winsorized sum (every
+    value clipped into [p_lo, p_hi] before summation) — the
+    outlier-robust aggregate a metrics pipeline reports instead of a
+    raw mean.
+
+    Everything computes on the (group, value) HISTOGRAM (the
+    _hist_median trick): percentiles are cumulative-count lookups and
+    the winsorized sum is sum(clip(value)*count) over histogram rows —
+    work is domain-sized, no per-group row sort, all exact integers.
+    Returns (event_type, n, p_lo_micro, p_hi_micro, win_sum_micro).
+    """
+    x = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    m = events.where(F.col(value_col).isNotNull()).select(
+        type_col, x.alias("x")
+    )
+    h = m.groupBy(type_col, "x").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(type_col).orderBy(F.col("x").asc())
+    cum = h.select(
+        type_col, "x", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(type_col)).alias("n"),
+    )
+
+    def pct(p: int, name: str) -> DataFrame:
+        # nearest-rank: smallest x with cum >= ceil(n*p/100)
+        hit = cum.where(
+            F.col("cum") >= F.floor((F.col("n") * p + 99) / 100)
+        )
+        rnk = Window.partitionBy(type_col).orderBy(F.col("x").asc())
+        return (
+            hit.withColumn("_r", F.row_number().over(rnk))
+            .where(F.col("_r") == 1)
+            .select(type_col, F.col("x").alias(name))
+        )
+
+    lo = pct(p_lo, "p_lo_micro")
+    hi = pct(p_hi, "p_hi_micro")
+    return (
+        cum.join(F.broadcast(lo), type_col)
+        .join(F.broadcast(hi), type_col)
+        .groupBy(type_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p_lo_micro").alias("p_lo_micro"),
+            F.max("p_hi_micro").alias("p_hi_micro"),
+            F.sum(
+                F.greatest(
+                    F.least(F.col("x"), F.col("p_hi_micro")),
+                    F.col("p_lo_micro"),
+                )
+                * F.col("c")
+            ).alias("win_sum_micro"),
+        )
+        .orderBy(type_col)
+    )

@@ -204,3 +204,38 @@ def purge_audit(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def scd2_pit_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    fact_ts_us: str,
+) -> DataFrame:
+    """Point-in-time dimension lookup: join each fact row to the SCD2
+    interval (from scd2_compact: key, attr, valid_from_us,
+    valid_to_us with -1 = open) that was valid AT the fact's own
+    timestamp — the leakage-safe dimension read every training-set and
+    as-of-reporting join needs.
+
+    One equi-join on the business key; the interval test is a residual
+    filter, so candidates per fact = that key's CHANGE count (SCD2
+    dimensions are change-bounded, not row-bounded). Facts with no
+    covering interval (before the key's first change) drop out, as in
+    a warehouse PIT view.
+    """
+    d = dim.select(
+        F.col("key").alias("__k"),
+        "attr",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    return facts.join(
+        d,
+        (F.col(fact_key) == F.col("__k"))
+        & (F.col(fact_ts_us) >= F.col("valid_from_us"))
+        & (
+            (F.col("valid_to_us") == -1)
+            | (F.col(fact_ts_us) < F.col("valid_to_us"))
+        ),
+    ).drop("__k")

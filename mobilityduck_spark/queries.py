@@ -57,6 +57,9 @@ _DRIVER_PRIORITY = [
     "embed_covariance",       # exact covariance (PCA substrate)
     "customer_entity_matches",  # blocked record linkage (planted typos)
     "privacy_k_anonymity",    # quasi-identifier re-identification audit
+    "basket_part_pairs",      # market-basket pair mining + exact lift
+    "events_winsorized",      # histogram-exact P5/P95 winsorized stats
+    "scd2_pit_join",          # point-in-time dimension join
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5189,25 +5192,27 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_entity_matches",
     """
     WITH u AS (
-      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+      FROM customer
       UNION ALL
       SELECT c_custkey + 1000000,
              concat(substr(c_name, 1, length(c_name) - 1), 'x'),
-             c_nationkey, c_mktsegment
+             c_nationkey, c_mktsegment, c_acctbal
       FROM customer WHERE c_custkey % 20 = 4
     ),
     base AS (
-      SELECT c_nationkey, c_mktsegment, c_custkey AS id,
-             lower(c_name) AS nm
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal) AS BIGINT) AS bal_band,
+             c_custkey AS id, lower(c_name) AS nm
       FROM u
     ),
     sz AS (
-      SELECT c_nationkey, c_mktsegment, COUNT(*) AS bn
-      FROM base GROUP BY 1, 2
+      SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS bn
+      FROM base GROUP BY 1, 2, 3
     ),
     keep AS (
       SELECT base.* FROM base
-      JOIN sz USING (c_nationkey, c_mktsegment)
+      JOIN sz USING (c_nationkey, c_mktsegment, bal_band)
       WHERE sz.bn <= 10000
     )
     SELECT a.id AS id_a, b.id AS id_b,
@@ -5215,23 +5220,26 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM keep a JOIN keep b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_mktsegment = b.c_mktsegment
+     AND a.bal_band = b.bal_band
      AND a.id < b.id
     WHERE levenshtein(a.nm, b.nm) <= 2
     ORDER BY id_a, id_b
     """,
 )
 def customer_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record linkage over a dimension table: exact blocking on
-    (nationkey, mktsegment) bounds candidates to an equi-join, full
-    lowercased-name Levenshtein <= 2 scores survivors. Every %20==4
-    customer is re-inserted with its last name character mutated and a
-    shifted key, so a planted true-match stream (distance 1) is
-    guaranteed; natural near-collisions in TPC-H-style names surface
-    alongside. Oversized blocks are dropped BEFORE the self-join."""
+    """Record linkage over a dimension table: multi-attribute exact
+    blocking on (nationkey, mktsegment, integer balance band) bounds
+    candidates to an equi-join, full lowercased-name Levenshtein <= 2
+    scores survivors. Every %20==4 customer is re-inserted with its
+    last name character mutated (same balance, shifted key), so a
+    planted distance-1 true-match stream is guaranteed; the banded
+    numeric block is what keeps sequential-ID name collisions out (a
+    name-only block measured 35k pairs / 17 s at sf0.1 — the classic
+    blocking-key lesson, kept as the negative result in PERF.md)."""
     from .operators import entities as EN
 
     cust = SRC.load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
     planted = cust.where(F.col("c_custkey") % 20 == 4).select(
         (F.col("c_custkey") + 1000000).alias("c_custkey"),
@@ -5240,10 +5248,14 @@ def customer_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c_name"),
         "c_nationkey",
         "c_mktsegment",
+        "c_acctbal",
     )
-    u = cust.unionByName(planted)
+    u = cust.unionByName(planted).withColumn(
+        "bal_band", F.floor(F.col("c_acctbal")).cast("bigint")
+    )
     return EN.blocked_matches(
-        u, "c_custkey", "c_name", ("c_nationkey", "c_mktsegment"),
+        u, "c_custkey", "c_name",
+        ("c_nationkey", "c_mktsegment", "bal_band"),
         max_name_dist=2,
     ).orderBy("id_a", "id_b")
 
@@ -5279,4 +5291,155 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
         k=5,
+    )
+
+
+# =====================================================================
+# Basket analysis, winsorized stats, SCD2 point-in-time join
+# =====================================================================
+@register(
+    "basket_part_pairs",
+    """
+    WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    sz AS (SELECT b, COUNT(*) AS bn FROM it GROUP BY 1),
+    k AS (SELECT it.b, it.i FROM it JOIN sz USING (b) WHERE sz.bn <= 1000),
+    m AS (SELECT i, COUNT(*) AS m FROM k GROUP BY 1),
+    nb AS (SELECT COUNT(DISTINCT b) AS nb FROM k),
+    co AS (
+      SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_co
+      FROM k a JOIN k c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, n_co,
+           CAST(ROUND(1e6 * (nb.nb * n_co)
+                      / CAST(m_a.m * m_b.m AS DOUBLE)) AS BIGINT)
+             AS lift_micro
+    FROM co, nb
+    JOIN m m_a ON m_a.i = co.item_a
+    JOIN m m_b ON m_b.i = co.item_b
+    ORDER BY item_a, item_b
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order lineitems: parts
+    co-purchased in >= 2 orders with exact micro-quantized lift. The
+    A-priori first level as Catalyst joins — distinct (order, part)
+    self-join on the order key with a max-basket cap BEFORE the join,
+    support pruning inside the pair aggregate, margins broadcast."""
+    from .operators import basket as BK
+
+    li = SRC.load(spark, sf_dir, "lineitem")
+    return BK.pair_rules(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket=1000
+    )
+
+
+@register(
+    "events_winsorized",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(ROUND(value * 1e6) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT event_type, x, COUNT(*) AS c FROM m GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, x, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    lo AS (
+      SELECT event_type, MIN(x) AS p_lo_micro FROM cum
+      WHERE cum >= (n * 5 + 99) // 100 GROUP BY 1
+    ),
+    hi AS (
+      SELECT event_type, MIN(x) AS p_hi_micro FROM cum
+      WHERE cum >= (n * 95 + 99) // 100 GROUP BY 1
+    )
+    SELECT c.event_type, CAST(MAX(c.n) AS BIGINT) AS n,
+           MAX(lo.p_lo_micro) AS p_lo_micro,
+           MAX(hi.p_hi_micro) AS p_hi_micro,
+           CAST(SUM(GREATEST(LEAST(c.x, hi.p_hi_micro), lo.p_lo_micro)
+                    * c.c) AS BIGINT) AS win_sum_micro
+    FROM cum c JOIN lo USING (event_type) JOIN hi USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact winsorized statistics per event type: nearest-rank P5/P95
+    plus the clipped sum, all computed on the (type, value) HISTOGRAM —
+    percentiles are cumulative-count lookups and the winsorized sum is
+    sum(clip(x)*count) over histogram rows, so work is domain-sized
+    with no per-group row sort and every output is an exact integer."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.winsorized_stats(ev, p_lo=5, p_hi=95)
+
+
+@register(
+    "scd2_pit_join",
+    """
+    WITH o AS (
+      SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+             o_orderpriority AS a, o_orderkey AS tb
+      FROM orders
+    ),
+    c AS (
+      SELECT *, lag(a) OVER (PARTITION BY k ORDER BY t, tb) AS pa FROM o
+    ),
+    ch AS (SELECT k, t, a, tb FROM c WHERE pa IS NULL OR pa <> a),
+    r AS (
+      SELECT k, a AS attr, t AS valid_from_us,
+             COALESCE(lead(t) OVER (PARTITION BY k ORDER BY t, tb), -1)
+               AS valid_to_us
+      FROM ch
+    ),
+    f AS (
+      SELECT o.o_custkey AS k, epoch_us(l.l_shipdate) AS t_us,
+             l.l_quantity AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    j AS (
+      SELECT r.attr, f.q FROM f JOIN r ON r.k = f.k
+       AND f.t_us >= r.valid_from_us
+       AND (r.valid_to_us = -1 OR f.t_us < r.valid_to_us)
+    )
+    SELECT attr, COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM j GROUP BY 1 ORDER BY attr
+    """,
+)
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each lineitem reads the customer's
+    order-priority SCD2 interval valid AT ITS OWN ship date — the
+    leakage-safe as-of dimension read (scd2_compact + scd2_pit_lookup).
+    One equi-join on the business key with a residual interval filter
+    (candidates per fact = that key's change count), then a
+    |attrs|-row rollup with DECIMAL-exact quantity sums."""
+    from .operators import governance as GV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    li = SRC.load(spark, sf_dir, "lineitem")
+    dim = GV.scd2_compact(
+        orders, "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    facts = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "o_custkey",
+        F.unix_micros(F.col("l_shipdate")).alias("t_us"),
+        "l_quantity",
+    )
+    pit = GV.scd2_pit_lookup(facts, dim, "o_custkey", "t_us")
+    return (
+        pit.groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("attr")
     )
