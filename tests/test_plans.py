@@ -300,3 +300,70 @@ def test_rollup_is_single_scan_expand(spark):
     assert "Expand" in plan, plan[:500]
     c = plan_counts(df)
     assert c["scans"] == 1, c
+
+
+def test_round8_queries_no_cartesian(spark):
+    """None of the round-8 operators may degrade to a nested-loop or
+    cartesian plan — every candidate generation is an equi-join."""
+    for name in [
+        "dq_audit",
+        "scd2_history",
+        "gdpr_purge_audit",
+        "events_attribution",
+        "events_rfm",
+        "doc_chunk_dedup",
+        "graph_lpa_communities",
+        "customer_entity_matches",
+        "basket_part_pairs",
+        "scd2_pit_join",
+    ]:
+        df = Q.queries()[name](spark, SF)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "CartesianProduct" not in plan, name
+        # 1-row scalar anchors (counts, anchors) legitimately use BNLJ;
+        # anything joining data rows must not
+        if name not in ("events_rfm", "basket_part_pairs"):
+            assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_purge_audit_broadcasts_tombstones(spark):
+    df = Q.queries()["gdpr_purge_audit"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 2, "tombstone marker join must broadcast"
+    assert c["sortmerge_joins"] == 0
+
+
+def test_chunk_dedup_two_keyed_shuffles(spark):
+    from mobilityduck_spark.operators import text as TX
+
+    docs = SRC.load(spark, SF, "documents").select("doc_id", "text")
+    df = TX.chunk_dedup_rewrite(docs, 20)
+    c = plan_counts(df)
+    # hash-winner groupBy + doc reassembly groupBy (+ AQE reads); the
+    # winners join may add one more exchange, never a sort-merge storm
+    assert c["shuffles"] <= 4, f"chunk rewrite must stay shuffle-bounded: {c}"
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_ntile_has_no_unpartitioned_data_window(spark):
+    """The scalable NTILE must not sort the per-user table in one task:
+    every row_number window is partitioned by the coarse bucket; only
+    the tiny histogram offset window is single-partition."""
+    from mobilityduck_spark.operators import events as EV
+
+    ev = SRC.load(spark, SF, "events")
+    df = EV.rfm_scores(ev)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    import re
+
+    # every Window over the |users|-sized table must carry a partition
+    # spec: row_number windows appear as windowspecdefinition(_cb#...,
+    # ...); reject any windowspecdefinition that starts with the
+    # order-only form over user-level columns (last_us/frequency/
+    # monetary without a leading partition column)
+    bad = re.findall(
+        r"windowspecdefinition\((?:last_us|frequency|monetary_micro)#",
+        plan,
+    )
+    assert not bad, f"unpartitioned data window found: {bad}"
