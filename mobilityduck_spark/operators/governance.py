@@ -239,3 +239,66 @@ def scd2_pit_lookup(
             | (F.col(fact_ts_us) < F.col("valid_to_us"))
         ),
     ).drop("__k")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Dataset-version diff: compare two snapshots by row fingerprint
+    and report, per group, how many rows were added, removed, changed,
+    and unchanged — the audit table a data-versioning layer prints for
+    every release.
+
+    ONE full-outer equi-join on the id carrying only (id, group,
+    fingerprint) — the shuffle never carries payloads — then a single
+    conditional aggregate. Returns (group, n_added, n_removed,
+    n_changed, n_same)."""
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__go"),
+        F.col(fp_col).alias("__fo"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__idn"),
+        F.col(group_col).alias("__gn"),
+        F.col(fp_col).alias("__fn"),
+    )
+    j = o.join(n, o["__id"] == n["__idn"], "full_outer")
+    grp = F.coalesce(F.col("__gn"), F.col("__go"))
+    return (
+        j.groupBy(grp.alias("grp"))
+        .agg(
+            F.sum(F.when(F.col("__fo").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_added"),
+            F.sum(F.when(F.col("__fn").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("__fo").isNotNull()
+                    & F.col("__fn").isNotNull()
+                    & (F.col("__fo") != F.col("__fn")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_changed"),
+            F.sum(
+                F.when(F.col("__fo") == F.col("__fn"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_same"),
+        )
+        .select(
+            F.col("grp").alias("grp"),
+            "n_added",
+            "n_removed",
+            "n_changed",
+            "n_same",
+        )
+    )

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "basket_part_pairs",      # market-basket pair mining + exact lift
     "events_winsorized",      # histogram-exact P5/P95 winsorized stats
     "scd2_pit_join",          # point-in-time dimension join
+    "doc_snapshot_diff",      # dataset-version diff audit
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5442,4 +5443,75 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
         .orderBy("attr")
+    )
+
+
+@register(
+    "doc_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+      WHERE doc_id % 17 <> 5
+    ),
+    new AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 2 THEN md5(concat(text, ' v2'))
+                  ELSE md5(text) END AS fp
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, source, md5(concat(text, ' new'))
+      FROM documents WHERE doc_id % 23 = 1
+    ),
+    j AS (
+      SELECT o.doc_id AS ido, o.source AS go, o.fp AS fo,
+             n.doc_id AS idn, n.source AS gn, n.fp AS fn
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT COALESCE(gn, go) AS grp,
+           CAST(SUM(CASE WHEN fo IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN fn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN fo IS NOT NULL AND fn IS NOT NULL
+                          AND fo <> fn THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN fo = fn THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same
+    FROM j GROUP BY 1 ORDER BY grp
+    """,
+)
+def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: two snapshots of the corpus (old = %17!=5
+    docs; new = text of %13==2 docs mutated, %23==1 docs re-added with
+    fresh ids) compared by fingerprint in ONE full-outer id join that
+    never shuffles payloads, rolled up per source into added / removed
+    / changed / same counts — the release-audit table of a
+    data-versioning layer. All four transition classes are planted."""
+    from .operators import governance as GV
+
+    docs = SRC.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = docs.where(F.col("doc_id") % 17 != 5).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    new = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 23 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "source",
+            F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+        )
+    )
+    return (
+        GV.snapshot_diff(old, new, "doc_id", "fp", "source")
+        .orderBy("grp")
     )

@@ -1,0 +1,108 @@
+"""Streaming SCD2 parity: closed intervals emitted by the stream must
+equal the batch scd2_compact's closed intervals over an ordered
+replay; open intervals live in state."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mobilityduck_spark.operators import governance as GV
+from mobilityduck_spark.sources import tables as SRC
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_stream_equals_batch_closed_intervals(spark, tmp_path):
+    from mobilityduck_spark.streaming.scd2 import scd2_stream
+
+    src_dir = str(tmp_path / "scd2_src")
+    orders = SRC.load(spark, SF, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    # 3 time-ordered batch files (per-key order preserved)
+    ordered = orders.orderBy("ts", "tb").collect()
+    third = (len(ordered) + 2) // 3
+    for i in range(3):
+        chunk = ordered[i * third : (i + 1) * third]
+        spark.createDataFrame(chunk, orders.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = spark.readStream.schema(orders.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        scd2_stream(stream, "key", "ts", "attr", "tb")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.table("scd2_out")
+        .select("key", "attr", "valid_from_us", "valid_to_us")
+        .collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in GV.scd2_compact(orders, "key", "ts", "attr", "tb")
+        .where(F.col("valid_to_us") != -1)
+        .select("key", "attr", "valid_from_us", "valid_to_us")
+        .collect()
+    )
+    assert got == exp and len(got) > 100
+    # exactly one open interval per key stays in state (not emitted):
+    # closed + open == all batch intervals
+    n_all = GV.scd2_compact(orders, "key", "ts", "attr", "tb").count()
+    n_keys = orders.select("key").distinct().count()
+    assert len(got) + n_keys == n_all
+
+
+def test_scd2_stream_collapses_consecutive_duplicates(spark, tmp_path):
+    from mobilityduck_spark.streaming.scd2 import scd2_stream
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), "A", 1),
+        (1, dt.datetime(2024, 1, 2), "A", 2),   # absorbed
+        (1, dt.datetime(2024, 1, 3), "B", 3),   # closes A
+        (1, dt.datetime(2024, 1, 4), "B", 4),   # absorbed (across batch)
+        (1, dt.datetime(2024, 1, 5), "A", 5),   # closes B
+    ]
+    schema = "key bigint, ts timestamp, attr string, tb bigint"
+    src_dir = str(tmp_path / "scd2b_src")
+    for i in (0, 3):
+        spark.createDataFrame(
+            rows[i : i + 3], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows, schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        scd2_stream(stream, "key", "ts", "attr", "tb")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2b_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    us = lambda d: int(
+        dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.table("scd2b_out")
+        .select("key", "attr", "valid_from_us", "valid_to_us")
+        .collect()
+    )
+    assert got == [
+        (1, "A", us(1), us(3)),
+        (1, "B", us(3), us(5)),
+    ]
