@@ -1038,3 +1038,112 @@ def winsorized_stats(
         )
         .orderBy(type_col)
     )
+
+
+def psi_drift(
+    events: DataFrame,
+    n_buckets: int = 10,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the stream (split at the integer-microsecond midpoint of the
+    observed time range): per (group, decile-bucket), the old/new
+    counts and the Laplace-smoothed PSI term
+    (p_new - p_old) * ln(p_new / p_old) — the standard feature-drift
+    monitor an ML platform evaluates per release.
+
+    Bucket boundaries are the OLD snapshot's nearest-rank deciles,
+    computed on the (group, value) HISTOGRAM (domain-sized work, no
+    per-group sort); assignment joins the histogram against the
+    broadcast 9-row-per-group boundary table, so no raw row ever
+    shuffles twice. Counts are exact integers; the only floating math
+    is the final smoothed term (identical IEEE expression both
+    engines), micro-quantized. All n_buckets rows emit per group even
+    when empty (smoothing keeps the term defined).
+    """
+    m = events.where(F.col(value_col).isNotNull()).select(
+        F.col(type_col).alias("g"),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.round(F.col(value_col) * F.lit(1e6)).cast("long").alias("x"),
+    )
+    rng = m.agg(
+        F.min("t_us").alias("mn"), F.max("t_us").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    tagged = m.crossJoin(F.broadcast(rng)).select(
+        "g", "x", (F.col("t_us") < F.col("mid")).alias("is_old")
+    )
+    h = tagged.groupBy("g", "x").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("is_old"), 0).otherwise(1)).alias("c_new"),
+    )
+    # old-snapshot decile boundaries from the cumulative histogram
+    w = Window.partitionBy("g").orderBy(F.col("x").asc())
+    cum = h.select(
+        "g", "x", "c_old", "c_new",
+        F.sum("c_old").over(w).alias("cum_old"),
+        F.sum("c_old").over(Window.partitionBy("g")).alias("n_old_tot"),
+    )
+    ps = tagged.sparkSession.range(1, n_buckets).select(
+        (F.col("id") * (100 / n_buckets)).cast("int").alias("p")
+    )
+    bounds = (
+        cum.join(F.broadcast(ps))
+        .where(
+            F.col("cum_old")
+            >= F.floor((F.col("n_old_tot") * F.col("p") + 99) / 100)
+        )
+        .groupBy("g", "p")
+        .agg(F.min("x").alias("bx"))
+    )
+    # bucket = number of boundaries <= x (0..n_buckets-1)
+    bucketed = (
+        cum.join(
+            F.broadcast(bounds.select("g", "bx")).withColumnRenamed(
+                "g", "g2"
+            ),
+            (F.col("g") == F.col("g2")) & (F.col("bx") <= F.col("x")),
+            "left",
+        )
+        .groupBy("g", "x", "c_old", "c_new")
+        .agg(F.count("bx").cast("int").alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(
+            F.sum("c_old").cast("bigint").alias("n_old"),
+            F.sum("c_new").cast("bigint").alias("n_new"),
+        )
+    )
+    # complete the (group, bucket) grid so empty buckets still emit
+    grid = (
+        bucketed.select("g").distinct()
+        .crossJoin(
+            tagged.sparkSession.range(0, n_buckets).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    full = grid.join(bucketed, ["g", "bucket"], "left").select(
+        "g",
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = full.groupBy("g").agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    po = (F.col("n_old") + 1.0) / (F.col("t_old") + F.lit(float(n_buckets)))
+    pn = (F.col("n_new") + 1.0) / (F.col("t_new") + F.lit(float(n_buckets)))
+    return (
+        full.join(F.broadcast(tot), "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "bucket",
+            "n_old",
+            "n_new",
+            F.round((pn - po) * F.log(pn / po) * 1e6)
+            .cast("bigint")
+            .alias("psi_term_micro"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = [
     "events_winsorized",      # histogram-exact P5/P95 winsorized stats
     "scd2_pit_join",          # point-in-time dimension join
     "doc_snapshot_diff",      # dataset-version diff audit
+    "events_psi_drift",       # PSI feature-drift monitor
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5515,3 +5516,79 @@ def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         GV.snapshot_diff(old, new, "doc_id", "fp", "source")
         .orderBy("grp")
     )
+
+
+@register(
+    "events_psi_drift",
+    """
+    WITH m AS (
+      SELECT event_type AS g, epoch_us(ts) AS t_us,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT (MIN(t_us) + MAX(t_us)) // 2 AS mid FROM m),
+    tg AS (SELECT g, x, (t_us < rng.mid) AS is_old FROM m, rng),
+    h AS (
+      SELECT g, x,
+             SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+             SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS c_new
+      FROM tg GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, x, c_old, c_new,
+             SUM(c_old) OVER (PARTITION BY g ORDER BY x) AS cum_old,
+             SUM(c_old) OVER (PARTITION BY g) AS n_old_tot
+      FROM h
+    ),
+    ps AS (SELECT unnest(generate_series(1, 9)) * 10 AS p),
+    bounds AS (
+      SELECT g, p, MIN(x) AS bx FROM cum, ps
+      WHERE cum_old >= FLOOR((n_old_tot * p + 99) / 100)
+      GROUP BY 1, 2
+    ),
+    bkt AS (
+      SELECT c.g, c.x, c.c_old, c.c_new, COUNT(b.bx) AS bucket
+      FROM cum c LEFT JOIN bounds b ON b.g = c.g AND b.bx <= c.x
+      GROUP BY 1, 2, 3, 4
+    ),
+    bc AS (
+      SELECT g, bucket, CAST(SUM(c_old) AS BIGINT) AS n_old,
+             CAST(SUM(c_new) AS BIGINT) AS n_new
+      FROM bkt GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT bc.g, b.bucket
+      FROM bc, (SELECT unnest(generate_series(0, 9)) AS bucket) b
+    ),
+    filled AS (
+      SELECT grid.g, grid.bucket,
+             COALESCE(bc.n_old, 0) AS n_old,
+             COALESCE(bc.n_new, 0) AS n_new
+      FROM grid LEFT JOIN bc ON bc.g = grid.g AND bc.bucket = grid.bucket
+    ),
+    tot AS (
+      SELECT g, SUM(n_old) AS t_old, SUM(n_new) AS t_new
+      FROM filled GROUP BY 1
+    )
+    SELECT filled.g AS event_type, CAST(filled.bucket AS INT) AS bucket,
+           filled.n_old, filled.n_new,
+           CAST(ROUND(((n_new + 1.0) / (t_new + 10.0)
+                       - (n_old + 1.0) / (t_old + 10.0))
+                * ln(((n_new + 1.0) / (t_new + 10.0))
+                     / ((n_old + 1.0) / (t_old + 10.0))) * 1e6) AS BIGINT)
+             AS psi_term_micro
+    FROM filled JOIN tot ON tot.g = filled.g
+    ORDER BY event_type, bucket
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: the value distribution
+    of each event type, first half of the time range vs the second,
+    bucketed by the OLD snapshot's exact nearest-rank deciles
+    (histogram-computed — no per-group sort) with Laplace-smoothed PSI
+    terms per bucket. Counts are exact; the smoothed term is the single
+    mirrored floating expression, micro-quantized."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.psi_drift(ev, n_buckets=10)

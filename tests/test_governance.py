@@ -195,3 +195,38 @@ def test_rfm_scores_small(spark):
     assert out[1]["m_score"] == 2 and out[2]["m_score"] == 3
     assert out[3]["r_score"] == 3  # most recent purchase
     assert out[1]["rfm"] == out[1]["r_score"] * 100 + out[1]["f_score"] * 10 + out[1]["m_score"]
+
+
+# ---------------------------------------------------------------- PSI
+def test_psi_drift_known_distribution(spark):
+    import datetime as dt
+    import math
+
+    # old half: values uniform 1..10 (one each); new half: all 10s.
+    rows = []
+    for i, v in enumerate(range(1, 11)):
+        rows.append((i, dt.datetime(2024, 1, 1, i), "t", float(v)))
+    for i in range(10):
+        rows.append((100 + i, dt.datetime(2024, 1, 3, i), "t", 10.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = EV.psi_drift(df, n_buckets=10).collect()
+    assert len(out) == 10  # full grid for one type
+    by_bucket = {r["bucket"]: r for r in out}
+    # boundaries = old deciles 1..9; a value EQUAL to a boundary lands
+    # in the upper bucket, so old value v -> bucket v (v=1..9 with 9
+    # and 10 sharing bucket 9) and bucket 0 stays empty
+    assert by_bucket[0]["n_old"] == 0
+    assert all(by_bucket[b]["n_old"] == 1 for b in range(1, 9))
+    assert by_bucket[9]["n_old"] == 2
+    assert by_bucket[9]["n_new"] == 10
+    assert all(by_bucket[b]["n_new"] == 0 for b in range(9))
+    # spot-check one smoothed term against the closed form
+    po, pn = (1 + 1.0) / (10 + 10.0), (0 + 1.0) / (10 + 10.0)
+    exp = round((pn - po) * math.log(pn / po) * 1e6)
+    assert by_bucket[1]["psi_term_micro"] == exp
+    # drift concentrates in the top bucket
+    assert by_bucket[9]["psi_term_micro"] == max(
+        r["psi_term_micro"] for r in out
+    )
