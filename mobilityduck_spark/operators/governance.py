@@ -302,3 +302,45 @@ def snapshot_diff(
             "n_same",
         )
     )
+
+
+def reconcile_aggregates(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    measures: list[str],
+) -> DataFrame:
+    """Pipeline-reconciliation report: compare two aggregate tables
+    (e.g. the old pipeline's output vs the new one's) on shared keys
+    and report every key where any measure disagrees, with both sides
+    and the exact integer delta per measure — the migration-validation
+    query a cutover runs nightly.
+
+    ONE full-outer equi-join on the keys (both inputs are already
+    aggregates, so this is small-small at any corpus scale); missing
+    rows surface as NULL-side mismatches. Returns keys + for each
+    measure (<m>_l, <m>_r, <m>_delta), mismatched keys only."""
+    l = left.select(
+        *[F.col(k) for k in keys],
+        *[F.col(m).alias(f"{m}_l") for m in measures],
+    )
+    r = right.select(
+        *[F.col(k).alias(f"__{k}") for k in keys],
+        *[F.col(m).alias(f"{m}_r") for m in measures],
+    )
+    cond = [l[k].eqNullSafe(r[f"__{k}"]) for k in keys]
+    j = l.join(r, cond, "full_outer")
+    any_mismatch = None
+    cols = [F.coalesce(l[k], r[f"__{k}"]).alias(k) for k in keys]
+    for m in measures:
+        delta = F.coalesce(F.col(f"{m}_l"), F.lit(0)) - F.coalesce(
+            F.col(f"{m}_r"), F.lit(0)
+        )
+        cols += [
+            F.coalesce(F.col(f"{m}_l"), F.lit(0)).alias(f"{m}_l"),
+            F.coalesce(F.col(f"{m}_r"), F.lit(0)).alias(f"{m}_r"),
+            delta.alias(f"{m}_delta"),
+        ]
+        ne = delta != 0
+        any_mismatch = ne if any_mismatch is None else (any_mismatch | ne)
+    return j.select(*cols).where(any_mismatch)

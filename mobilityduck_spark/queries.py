@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = [
     "scd2_pit_join",          # point-in-time dimension join
     "doc_snapshot_diff",      # dataset-version diff audit
     "events_psi_drift",       # PSI feature-drift monitor
+    "pipeline_reconciliation",  # migration-cutover aggregate diff
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5592,3 +5593,67 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.psi_drift(ev, n_buckets=10)
+
+
+@register(
+    "pipeline_reconciliation",
+    """
+    WITH l AS (
+      SELECT user_id,
+             epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS v_micro
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id,
+             epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS v_micro
+      FROM events WHERE event_id % 101 <> 7 GROUP BY 1, 2
+    )
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           COALESCE(l.day_us, r.day_us) AS day_us,
+           COALESCE(l.n_events, 0) AS n_events_l,
+           COALESCE(r.n_events, 0) AS n_events_r,
+           COALESCE(l.n_events, 0) - COALESCE(r.n_events, 0)
+             AS n_events_delta,
+           COALESCE(l.v_micro, 0) AS v_micro_l,
+           COALESCE(r.v_micro, 0) AS v_micro_r,
+           COALESCE(l.v_micro, 0) - COALESCE(r.v_micro, 0)
+             AS v_micro_delta
+    FROM l FULL OUTER JOIN r
+      ON l.user_id = r.user_id AND l.day_us = r.day_us
+    WHERE COALESCE(l.n_events, 0) <> COALESCE(r.n_events, 0)
+       OR COALESCE(l.v_micro, 0) <> COALESCE(r.v_micro, 0)
+    ORDER BY user_id, day_us
+    """,
+)
+def pipeline_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-cutover reconciliation: two derivations of the
+    per-(user, day) event rollup — the 'new pipeline' planted to drop
+    every %101==7 event — full-outer joined on the keys with exact
+    integer deltas per measure, mismatched keys only. Both inputs are
+    aggregates, so the reconciliation join is small at any corpus
+    scale."""
+    from .operators import governance as GV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    day_us = F.unix_micros(
+        F.to_date("ts").cast("timestamp")
+    ).alias("day_us")
+    v = F.round(F.col("value") * 1e6).cast("long")
+
+    def rollup(src):
+        return src.groupBy("user_id", day_us).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).alias("v_micro"),
+        )
+
+    left = rollup(ev)
+    right = rollup(ev.where(F.col("event_id") % 101 != 7))
+    return GV.reconcile_aggregates(
+        left, right, ["user_id", "day_us"], ["n_events", "v_micro"]
+    ).orderBy("user_id", "day_us")

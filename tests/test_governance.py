@@ -230,3 +230,26 @@ def test_psi_drift_known_distribution(spark):
     assert by_bucket[9]["psi_term_micro"] == max(
         r["psi_term_micro"] for r in out
     )
+
+
+# ------------------------------------------------------- reconciliation
+def test_reconcile_aggregates_mismatches_only(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300)],
+        "k bigint, n bigint, v bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (2, 21, 200), (4, 5, 50)],
+        "k bigint, n bigint, v bigint",
+    )
+    out = {
+        r["k"]: (r["n_l"], r["n_r"], r["n_delta"], r["v_delta"])
+        for r in GV.reconcile_aggregates(
+            left, right, ["k"], ["n", "v"]
+        ).collect()
+    }
+    assert out == {
+        2: (20, 21, -1, 0),        # measure drift
+        3: (30, 0, 30, 300),       # missing on the right
+        4: (0, 5, -5, -50),        # extra on the right
+    }
