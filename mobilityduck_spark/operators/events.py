@@ -1147,3 +1147,54 @@ def psi_drift(
         )
         .orderBy("event_type", "bucket")
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort LTV curves: users cohorted by the epoch-week of their
+    first event (any type); per (cohort_week, week_index), the cohort
+    size and the CUMULATIVE conversion revenue through that week — the
+    lifetime-value table growth teams read cohort-over-cohort.
+
+    One user-keyed aggregate finds each user's cohort week; revenue
+    rolls up to the tiny (cohort, week) grid before the cumulative
+    window runs over it (|cohorts| partitions of |weeks| rows — never
+    raw events). Exact micro-unit integers throughout. Returns
+    (cohort_week, week_idx, n_users, cum_revenue_micro).
+    """
+    wk_us = 7 * 86_400_000_000
+    f = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"unix_micros({ts_col}) div {wk_us}").alias("wk"),
+        F.when(
+            F.col(type_col) == conversion_type,
+            F.round(F.col(value_col) * 1e6).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v"),
+    )
+    cohorts = f.groupBy("u").agg(F.min("wk").alias("cw"))
+    sizes = cohorts.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        f.join(cohorts, "u")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("widx"))
+        .agg(F.sum("v").alias("rev"))
+    )
+    w = Window.partitionBy("cw").orderBy("widx")
+    return (
+        rev.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("widx").cast("int").alias("week_idx"),
+            "n_users",
+            F.col("cum_rev").cast("bigint").alias("cum_revenue_micro"),
+        )
+        .orderBy("cohort_week", "week_idx")
+    )

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = [
     "doc_snapshot_diff",      # dataset-version diff audit
     "events_psi_drift",       # PSI feature-drift monitor
     "pipeline_reconciliation",  # migration-cutover aggregate diff
+    "events_cohort_ltv",      # cohort lifetime-value curves
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5657,3 +5658,41 @@ def pipeline_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GV.reconcile_aggregates(
         left, right, ["user_id", "day_us"], ["n_events", "v_micro"]
     ).orderBy("user_id", "day_us")
+
+
+@register(
+    "events_cohort_ltv",
+    """
+    WITH f AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 1e6) AS BIGINT) ELSE 0 END AS v
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cw FROM f GROUP BY 1),
+    n AS (SELECT cw, COUNT(*) AS n_users FROM c GROUP BY 1),
+    r AS (
+      SELECT c.cw, f.wk - c.cw AS widx, SUM(f.v) AS rev
+      FROM f JOIN c USING (user_id) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cw, widx,
+             SUM(rev) OVER (PARTITION BY cw ORDER BY widx) AS cum_rev
+      FROM r
+    )
+    SELECT cum.cw AS cohort_week, CAST(cum.widx AS INT) AS week_idx,
+           n.n_users, CAST(cum.cum_rev AS BIGINT) AS cum_revenue_micro
+    FROM cum JOIN n USING (cw)
+    ORDER BY cohort_week, week_idx
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: epoch-week cohorts by first event,
+    cumulative purchase revenue per (cohort, week index) with cohort
+    sizes — the canonical growth table. Revenue rolls up to the tiny
+    (cohort, week) grid BEFORE the cumulative window; all exact
+    micro-unit integers."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.cohort_ltv(ev)
