@@ -152,3 +152,44 @@ def test_zorder_clustering_narrows_file_extents(spark, tmp_path):
         == spark.read.parquet(ndir).count()
         == ev.count()
     )
+
+
+def test_bucketed_pit_join_has_no_exchange(spark, tmp_path):
+    """The SCD2 point-in-time join on bucketed layouts: facts and the
+    SCD2 dimension bucketed+sorted on the business key join with NO
+    Exchange — the residual interval predicate rides the merge join.
+    This is the warehouse deployment shape: the dim is rewritten
+    bucketed once per compaction, every PIT read joins exchange-free."""
+    from mobilityduck_spark.operators import governance as GV
+
+    orders = SRC.load(spark, SF, "orders")
+    dim = GV.scd2_compact(
+        orders, "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    facts = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate")).alias("t_us"),
+    )
+    SRC.write_bucketed(
+        facts, "t_pit_facts", ("k",), 4, sort_cols=("k",),
+        path=str(tmp_path / "pit_facts"),
+    )
+    SRC.write_bucketed(
+        dim.withColumnRenamed("key", "k"), "t_pit_dim", ("k",), 4,
+        sort_cols=("k",), path=str(tmp_path / "pit_dim"),
+    )
+    try:
+        f = spark.table("t_pit_facts")
+        d = spark.table("t_pit_dim").withColumnRenamed("k", "key")
+        pit = GV.scd2_pit_lookup(
+            f.hint("merge"), d, "k", "t_us"
+        )
+        plan = pit._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # parity with the unbucketed path
+        exp = GV.scd2_pit_lookup(facts, dim, "k", "t_us").count()
+        assert pit.count() == exp and exp > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pit_facts")
+        spark.sql("DROP TABLE IF EXISTS t_pit_dim")
