@@ -5136,6 +5136,13 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = DD._exploded_gram_table(
         u, "doc_id", "text", 3, ("lang", "lb"), _NGRAM_DF_CAP
     )
+    # both self-join sides read the gram table: materialize the
+    # tokenize+shingle+df-cap pipeline once (same rationale as
+    # ngram_jaccard_pairs_exploded, dedup.py:489)
+    from pyspark import StorageLevel
+
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    DD._PERSISTED.append(pre)
     inter = DD._gram_pair_intersections(pre, ("lang", "lb"))
     jac = F.col("inter") / (
         F.col("n_grams") + F.col("n_grams_b") - F.col("inter")
