@@ -1198,3 +1198,125 @@ def cohort_ltv(
         )
         .orderBy("cohort_week", "week_idx")
     )
+
+
+def forecast_backtest(
+    events: DataFrame,
+    season_days: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: per event type, predict each
+    day's total value as the total from `season_days` earlier and
+    report the backtest error — the baseline every forecasting system
+    must beat, and the cheapest production sanity monitor.
+
+    One (type, day) rollup (exact micro ints), one lag window over the
+    tiny per-type daily series, exact integer MAE numerator and bias.
+    Returns (event_type, n_days, mae_num_micro, bias_micro) where
+    mae_num_micro = sum |actual - forecast| and bias_micro =
+    sum (actual - forecast), both over backtested days only.
+    """
+    daily = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("g"),
+            F.expr(f"unix_micros({ts_col}) div 86400000000").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("v")
+        )
+    )
+    w = Window.partitionBy("g").orderBy("day").rangeBetween(
+        -season_days, -season_days
+    )
+    bt = daily.withColumn("f", F.max("v").over(w)).where(
+        F.col("f").isNotNull()
+    )
+    return (
+        bt.groupBy(F.col("g").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("v") - F.col("f")))
+            .cast("bigint")
+            .alias("mae_num_micro"),
+            F.sum(F.col("v") - F.col("f"))
+            .cast("bigint")
+            .alias("bias_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact-integer CUSUM changepoint: per event type over the daily
+    value series, the day where the cumulative deviation from the
+    series mean peaks — the classic level-shift locator.
+
+    The float-free trick: with k = day index (1-based), n = #days,
+    cumsum_k and total exact micro ints, the scaled statistic
+    S_k = n*cumsum_k - k*total equals n² × (cumsum_k - k*mean)/n — the
+    CUSUM curve scaled by the positive constant n, so argmax |S_k| is
+    the SAME day with every quantity an exact BIGINT (no mean
+    division ever happens). Work: one (type, day) rollup + two windows
+    over the tiny daily series. Returns (event_type, change_day,
+    s_abs_micro, n_days); ties resolve to the earliest day.
+    """
+    daily = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("g"),
+            F.expr(f"unix_micros({ts_col}) div 86400000000").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("v")
+        )
+    )
+    wo = Window.partitionBy("g").orderBy("day")
+    wa = Window.partitionBy("g")
+    scored = daily.select(
+        "g",
+        "day",
+        (
+            F.sum("v").over(wa).cast("decimal(38,0)")  # total
+        ).alias("tot"),
+        F.sum("v")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,0)")
+        .alias("cum"),
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+    ).select(
+        "g",
+        "day",
+        "n",
+        F.abs(
+            F.col("n") * F.col("cum") - F.col("k") * F.col("tot")
+        ).alias("s_abs"),
+    )
+    pick = Window.partitionBy("g")
+    return (
+        scored.withColumn(
+            "m",
+            F.max(F.struct(F.col("s_abs"), (-F.col("day")).alias("nd")))
+            .over(pick),
+        )
+        .where(
+            (F.col("s_abs") == F.col("m.s_abs"))
+            & (F.col("day") == -F.col("m.nd"))
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("day").alias("change_day"),
+            F.col("s_abs").cast("decimal(38,0)").cast("double")
+            .alias("s_abs_scaled"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -64,6 +64,8 @@ _DRIVER_PRIORITY = [
     "events_psi_drift",       # PSI feature-drift monitor
     "pipeline_reconciliation",  # migration-cutover aggregate diff
     "events_cohort_ltv",      # cohort lifetime-value curves
+    "events_forecast_backtest",  # seasonal-naive MAE backtest
+    "events_changepoint",     # exact-integer CUSUM level shift
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5703,3 +5705,80 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.cohort_ltv(ev)
+
+
+@register(
+    "events_forecast_backtest",
+    """
+    WITH d AS (
+      SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT a.g, a.day, a.v, f.v AS f
+      FROM d a JOIN d f ON f.g = a.g AND f.day = a.day - 7
+    )
+    SELECT g AS event_type, COUNT(*) AS n_days,
+           CAST(SUM(ABS(v - f)) AS BIGINT) AS mae_num_micro,
+           CAST(SUM(v - f) AS BIGINT) AS bias_micro
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast backtest per event type: exact
+    integer MAE numerator and bias over the daily value series — the
+    baseline every forecaster must beat. One (type, day) rollup, one
+    range-lag window over the tiny daily series."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.forecast_backtest(ev, season_days=7)
+
+
+@register(
+    "events_changepoint",
+    """
+    WITH d AS (
+      SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT g, day, v,
+             SUM(v) OVER (PARTITION BY g) AS tot,
+             SUM(v) OVER (PARTITION BY g ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY g ORDER BY day) AS k,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM d
+    ),
+    sc AS (
+      SELECT g, day, n,
+             ABS(CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * tot)
+               AS s_abs
+      FROM s
+    ),
+    p AS (
+      SELECT g, day, n, s_abs,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY s_abs DESC, day ASC) AS rn
+      FROM sc
+    )
+    SELECT g AS event_type, day AS change_day,
+           CAST(s_abs AS DOUBLE) AS s_abs_scaled,
+           CAST(n AS BIGINT) AS n_days
+    FROM p WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer CUSUM changepoint per event type: the day where
+    the cumulative deviation from the series mean peaks. Float-free:
+    S_k = n*cumsum_k - k*total is the CUSUM curve scaled by the
+    positive constant n, so argmax |S_k| locates the same day with
+    every quantity an exact integer (DECIMAL(38,0) on the Spark side,
+    HUGEINT in the oracle); ties resolve to the earliest day."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.cusum_changepoint(ev)

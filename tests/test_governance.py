@@ -253,3 +253,41 @@ def test_reconcile_aggregates_mismatches_only(spark):
         3: (30, 0, 30, 300),       # missing on the right
         4: (0, 5, -5, -50),        # extra on the right
     }
+
+
+# ---------------------------------------------------- forecast / CUSUM
+def test_forecast_backtest_lag7(spark):
+    import datetime as dt
+
+    rows = []
+    # day 0..13: value = day index; forecast(day d) = total(d-7)
+    for d in range(14):
+        rows.append((d, dt.datetime(2024, 1, 1 + d), "t", float(d)))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    r = EV.forecast_backtest(df, season_days=7).collect()[0]
+    # backtest days 7..13: each error = 7 (in micro units)
+    assert r["n_days"] == 7
+    assert r["mae_num_micro"] == 7 * 7_000_000
+    assert r["bias_micro"] == 7 * 7_000_000
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    import datetime as dt
+
+    rows = []
+    # 10 days at 1.0, then 10 days at 5.0 -> CUSUM peaks at the last
+    # low day (day index 9, absolute day = epoch day of 2024-01-10)
+    for d in range(20):
+        v = 1.0 if d < 10 else 5.0
+        rows.append((d, dt.datetime(2024, 1, 1 + d), "t", v))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    r = EV.cusum_changepoint(df).collect()[0]
+    epoch_day = (dt.date(2024, 1, 10) - dt.date(1970, 1, 1)).days
+    assert r["change_day"] == epoch_day
+    assert r["n_days"] == 20
+    # scaled statistic at k=10: |n*cum - k*tot| = |20*10e6 - 10*60e6|
+    assert r["s_abs_scaled"] == abs(20 * 10_000_000 - 10 * 60_000_000)
