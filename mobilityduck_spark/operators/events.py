@@ -1320,3 +1320,96 @@ def cusum_changepoint(
         )
         .orderBy("event_type")
     )
+
+
+def ab_test_readout(
+    events: DataFrame,
+    salt: str = "exp1",
+    conversion_type: str = "purchase",
+    min_conversions: int = 1,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """A/B experiment readout over a deterministic hash assignment:
+    each user lands in variant A or B by the first md5 byte of
+    (user_id || salt) — the reproducible bucketing every experiment
+    platform uses — and the readout reports per variant the exact
+    user / converted-user counts and conversion revenue, plus the
+    mirrored two-proportion z statistic (the one floating expression,
+    micro-quantized, identical on both output rows).
+
+    One user-level aggregate (|users|-sized), one 2-row rollup, one
+    broadcast of the 2-row summary back for the z computation.
+    """
+    users = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col(type_col) == conversion_type, 1)
+                    .otherwise(0)
+                )
+                >= min_conversions
+            )
+            .cast("int")
+            .alias("conv"),
+            F.sum(
+                F.when(
+                    F.col(type_col) == conversion_type,
+                    F.round(F.col(value_col) * 1e6).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("rev"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("u").cast("string"),
+                                       F.lit(salt))), 1, 2
+                    ),
+                    16, 10,
+                ).cast("int") % 2 == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
+        F.sum("rev").cast("bigint").alias("revenue_micro"),
+    )
+    a = per.where(F.col("variant") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = per.where(F.col("variant") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    # every division on explicit doubles: Spark 4 ANSI integer "/" is
+    # integral division (pooled p collapsed to 0/1 and a degenerate
+    # all-converted split threw DIVIDE_BY_ZERO before this cast)
+    na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
+    nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
+    pooled = (ca + cb) / (na + nb)
+    z = a.crossJoin(b).select(
+        F.round(
+            (
+                (ca / na - cb / nb)
+                / F.sqrt(
+                    pooled * (1 - pooled)
+                    * (F.lit(1.0) / na + F.lit(1.0) / nb)
+                )
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("z_micro")
+    )
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            "variant", "n_users", "n_converted", "revenue_micro", "z_micro"
+        )
+        .orderBy("variant")
+    )

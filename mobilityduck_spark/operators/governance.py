@@ -344,3 +344,48 @@ def reconcile_aggregates(
         ne = delta != 0
         any_mismatch = ne if any_mismatch is None else (any_mismatch | ne)
     return j.select(*cols).where(any_mismatch)
+
+
+def table_profile(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Column-level data profile — the stats page every catalog shows:
+    per column, row count, null count, exact distinct count, and the
+    min/max rendered as strings (type-agnostic output shape).
+
+    ONE scan computes every per-column aggregate in a single `agg`
+    (count/count_distinct/min/max per column, all JVM-side); a stack()
+    projection pivots the wide row into (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value). Exact distinct is a full
+    aggregate by design — swap count_distinct for approx_count_distinct
+    when a sketch suffices at 100 TB.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__nd`, `{c}__mn`, `{c}__mx`"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

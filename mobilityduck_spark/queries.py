@@ -66,6 +66,8 @@ _DRIVER_PRIORITY = [
     "events_cohort_ltv",      # cohort lifetime-value curves
     "events_forecast_backtest",  # seasonal-naive MAE backtest
     "events_changepoint",     # exact-integer CUSUM level shift
+    "orders_profile",         # catalog-style column profile
+    "events_ab_test",         # deterministic-bucket experiment readout
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5782,3 +5784,114 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.cusum_changepoint(ev)
+
+
+@register(
+    "orders_profile",
+    """
+    WITH p AS (
+      SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', COUNT(*),
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderkey),
+             CAST(MIN(o_orderkey) AS VARCHAR),
+             CAST(MAX(o_orderkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*),
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+    )
+    SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_value, max_value
+    FROM p ORDER BY column_name
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style column profile of the orders table: per column,
+    exact null/distinct counts and string-rendered min/max — ONE scan
+    computes every per-column aggregate in a single agg, a stack()
+    projection pivots the wide row (operators/governance.table_profile;
+    double/timestamp columns are excluded from the ORACLE because
+    float-to-string rendering differs across engines, not from the
+    operator)."""
+    from .operators import governance as GV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    return GV.table_profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("column_name")
+
+
+@register(
+    "events_ab_test",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 12 AS INT) AS conv,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 1e6) AS BIGINT)
+                      ELSE 0 END) AS rev,
+             CASE WHEN CAST(('0x' || substr(
+                      md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 2))
+                      AS INT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events GROUP BY user_id
+    ),
+    per AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_converted,
+             CAST(SUM(rev) AS BIGINT) AS revenue_micro
+      FROM users GROUP BY 1
+    ),
+    z AS (
+      SELECT CAST(ROUND(
+               ((a.n_converted / CAST(a.n_users AS DOUBLE))
+                - (b.n_converted / CAST(b.n_users AS DOUBLE)))
+               / sqrt(
+                   ((a.n_converted + b.n_converted)
+                    / CAST(a.n_users + b.n_users AS DOUBLE))
+                   * (1 - (a.n_converted + b.n_converted)
+                      / CAST(a.n_users + b.n_users AS DOUBLE))
+                   * (1.0 / a.n_users + 1.0 / b.n_users))
+               * 1e6) AS BIGINT) AS z_micro
+      FROM (SELECT * FROM per WHERE variant = 'A') a,
+           (SELECT * FROM per WHERE variant = 'B') b
+    )
+    SELECT per.variant, per.n_users, per.n_converted, per.revenue_micro,
+           z.z_micro
+    FROM per, z ORDER BY variant
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic md5 bucketing of users
+    into two variants, exact per-variant user/conversion/revenue
+    counts, and the mirrored two-proportion z statistic (the single
+    floating expression, micro-quantized). Conversion = >=12 purchase
+    events (the >=1 definition is degenerate on this data — every user
+    converts, pooled p=1, z undefined). One |users|-sized aggregate
+    and a 2-row rollup."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.ab_test_readout(ev, salt="exp1", min_conversions=12)

@@ -291,3 +291,56 @@ def test_cusum_changepoint_finds_level_shift(spark):
     assert r["n_days"] == 20
     # scaled statistic at k=10: |n*cum - k*tot| = |20*10e6 - 10*60e6|
     assert r["s_abs_scaled"] == abs(20 * 10_000_000 - 10 * 60_000_000)
+
+
+# ----------------------------------------------- profiler / A/B readout
+def test_table_profile_one_scan(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k bigint, s string"
+    )
+    out = {r["column_name"]: r.asDict() for r in GV.table_profile(
+        df, ["k", "s"]
+    ).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    plan = GV.table_profile(df, ["k", "s"])._jdf.queryExecution()
+    final = plan.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("Scan ") == 1
+
+
+def test_ab_test_readout_deterministic_and_exact(spark):
+    import datetime as dt
+    import math
+
+    rows = []
+    for u in range(40):
+        # users 0..19 get 2 purchases (converted at min_conversions=2),
+        # users 20..39 get 1
+        n = 2 if u < 20 else 1
+        for j in range(n):
+            rows.append((u * 10 + j, u, dt.datetime(2024, 1, 1 + j),
+                         "purchase", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+    out = EV.ab_test_readout(df, salt="s1", min_conversions=2).collect()
+    assert len(out) == 2
+    got = {r["variant"]: r.asDict() for r in out}
+    assert got["A"]["n_users"] + got["B"]["n_users"] == 40
+    assert got["A"]["n_converted"] + got["B"]["n_converted"] == 20
+    # z matches the closed form computed from the emitted exact counts
+    na, ca = got["A"]["n_users"], got["A"]["n_converted"]
+    nb, cb = got["B"]["n_users"], got["B"]["n_converted"]
+    p = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / math.sqrt(
+        p * (1 - p) * (1 / na + 1 / nb)
+    )
+    assert got["A"]["z_micro"] == round(z * 1e6)
+    # rerun is bit-identical (deterministic hash assignment)
+    out2 = {r["variant"]: r["n_users"] for r in EV.ab_test_readout(
+        df, salt="s1", min_conversions=2
+    ).collect()}
+    assert out2 == {v: got[v]["n_users"] for v in got}
