@@ -2395,3 +2395,91 @@ def at_polygon_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_spans"),
         F.sum(F.col("hi_us") - F.col("lo_us")).alias("dur_us"),
     )
+
+
+# ======================================================== hausdorff
+@register(
+    "bm_hausdorff",
+    f"""
+    WITH pts AS ({BM.PTS_SQL}),
+    l1 AS ({BM.LICENCES1_SQL}),
+    l2 AS ({BM.LICENCES2_SQL}),
+    p1 AS (
+      SELECT e.user_id, e.event_id, e.x, e.y
+      FROM pts e JOIN l1 ON l1.vehicle_id = e.user_id
+    ),
+    p2 AS (
+      SELECT e.user_id, e.event_id, e.x, e.y
+      FROM pts e JOIN l2 ON l2.vehicle_id = e.user_id
+    ),
+    d12 AS (
+      SELECT a.user_id AS v1, b.user_id AS v2, a.event_id AS pid,
+             MIN((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) AS m
+      FROM p1 a JOIN p2 b ON a.user_id <> b.user_id
+      GROUP BY 1, 2, 3
+    ),
+    h12 AS (SELECT v1, v2, MAX(m) AS h FROM d12 GROUP BY 1, 2),
+    d21 AS (
+      SELECT a.user_id AS v1, b.user_id AS v2, b.event_id AS pid,
+             MIN((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) AS m
+      FROM p1 a JOIN p2 b ON a.user_id <> b.user_id
+      GROUP BY 1, 2, 3
+    ),
+    h21 AS (SELECT v1, v2, MAX(m) AS h FROM d21 GROUP BY 1, 2)
+    SELECT la.licence AS licence1, lb.licence AS licence2,
+           ROUND(SQRT(GREATEST(h12.h, h21.h)), 3) AS hausdorff
+    FROM h12 JOIN h21 ON h21.v1 = h12.v1 AND h21.v2 = h12.v2
+    JOIN l1 la ON la.vehicle_id = h12.v1
+    JOIN l2 lb ON lb.vehicle_id = h12.v2
+    ORDER BY licence1, licence2
+    """,
+)
+def bm_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Hausdorff distance between every licences1 × licences2
+    trajectory pair: max over either side's pings of the min
+    point-to-point distance — the classic trajectory-similarity measure
+    the reference's distance family (§2.6) stops short of. Purely
+    relational: pings semi-join the 10-vehicle broadcast probe dims,
+    one equi-join on the pair, per-ping MIN then per-pair MAX (both
+    directions), identical FP term order to the oracle. Work is
+    bounded by the probe dims — never an all-pairs over the fleet."""
+    pts = BM.points(spark, sf_dir)
+    l1 = BM.licences1(spark, sf_dir)
+    l2 = BM.licences2(spark, sf_dir)
+    p1 = pts.join(F.broadcast(l1), pts["user_id"] == l1["vehicle_id"]).select(
+        "user_id", "event_id", "x", "y", "licence"
+    )
+    p2 = pts.join(F.broadcast(l2), pts["user_id"] == l2["vehicle_id"]).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("e2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("licence").alias("licence2"),
+    )
+    both = p1.join(p2, F.col("user_id") != F.col("u2"))
+    d2 = (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2")) + (
+        F.col("y") - F.col("y2")
+    ) * (F.col("y") - F.col("y2"))
+    d12 = (
+        both.groupBy("user_id", "u2", "licence", "licence2", "event_id")
+        .agg(F.min(d2).alias("m"))
+        .groupBy("user_id", "u2", "licence", "licence2")
+        .agg(F.max("m").alias("h12"))
+    )
+    d21 = (
+        both.groupBy("user_id", "u2", "e2")
+        .agg(F.min(d2).alias("m"))
+        .groupBy("user_id", "u2")
+        .agg(F.max("m").alias("h21"))
+    )
+    return (
+        d12.join(d21, ["user_id", "u2"])
+        .select(
+            F.col("licence").alias("licence1"),
+            "licence2",
+            F.round(
+                F.sqrt(F.greatest(F.col("h12"), F.col("h21"))), 3
+            ).alias("hausdorff"),
+        )
+        .orderBy("licence1", "licence2")
+    )

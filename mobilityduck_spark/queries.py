@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "events_changepoint",     # exact-integer CUSUM level shift
     "orders_profile",         # catalog-style column profile
     "events_ab_test",         # deterministic-bucket experiment readout
+    "bm_hausdorff",           # discrete trajectory Hausdorff distance
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
