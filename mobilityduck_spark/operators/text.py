@@ -1120,8 +1120,9 @@ def chunk_dedup_rewrite(
     carrying only (hash, doc_id, idx) — min(struct) gives the winner
     without a window sort; reassembly is one shuffle back on doc_id
     with ordered assembly via array_sort(collect_list(struct)). Total:
-    two keyed shuffles, both on bounded-width rows, never the raw text
-    twice.
+    two keyed shuffles on bounded-width rows; the raw text is scanned
+    twice (once for the chunk pipeline, once for the per-doc chunk
+    totals — a projection-pruned scan, cheaper than a third shuffle).
     """
     C = chunk_tokens
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
