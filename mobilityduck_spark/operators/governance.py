@@ -347,19 +347,47 @@ def reconcile_aggregates(
 
 
 def table_profile(
-    df: DataFrame, cols: list[str]
+    df: DataFrame, cols: list[str], strategy: str = "per_column"
 ) -> DataFrame:
     """Column-level data profile — the stats page every catalog shows:
     per column, row count, null count, exact distinct count, and the
     min/max rendered as strings (type-agnostic output shape).
 
-    ONE scan computes every per-column aggregate in a single `agg`
-    (count/count_distinct/min/max per column, all JVM-side); a stack()
-    projection pivots the wide row into (column, n_rows, n_nulls,
-    n_distinct, min_value, max_value). Exact distinct is a full
-    aggregate by design — swap count_distinct for approx_count_distinct
-    when a sketch suffices at 100 TB.
+    strategy="expand": ONE scan computes every per-column aggregate in
+    a single `agg` and a stack() pivots the wide row — but multiple
+    exact count_distincts compile to the EXPAND plan (one replicated
+    input row PER PROFILED COLUMN: a 4-column profile shuffles 4x the
+    table, measured 6.6 s vs 1.5s-class on 150k orders).
+    strategy="per_column" (default): one aggregate PER column, each a
+    column-pruned parquet scan (reads ONLY its column) with a single
+    count_distinct — no expand, and at 100 TB the pruned scans total
+    roughly one full-width read. Swap count_distinct for
+    approx_count_distinct when a sketch suffices.
     """
+    def _one(c: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                "n_nulls"
+            ),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "min_value",
+            "max_value",
+        )
+
+    if strategy == "per_column":
+        out = _one(cols[0])
+        for c in cols[1:]:
+            out = out.unionByName(_one(c))
+        return out
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [

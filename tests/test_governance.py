@@ -294,20 +294,27 @@ def test_cusum_changepoint_finds_level_shift(spark):
 
 
 # ----------------------------------------------- profiler / A/B readout
-def test_table_profile_one_scan(spark):
+def test_table_profile_values_and_strategies(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (2, "b")], "k bigint, s string"
     )
-    out = {r["column_name"]: r.asDict() for r in GV.table_profile(
-        df, ["k", "s"]
-    ).collect()}
-    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
-    assert out["k"]["n_distinct"] == 2
-    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
-    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
-    plan = GV.table_profile(df, ["k", "s"])._jdf.queryExecution()
-    final = plan.executedPlan().toString().split("== Initial Plan ==")[0]
+    for strategy in ("per_column", "expand"):
+        out = {r["column_name"]: r.asDict() for r in GV.table_profile(
+            df, ["k", "s"], strategy=strategy
+        ).collect()}
+        assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+        assert out["k"]["n_distinct"] == 2
+        assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+        assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    # expand strategy: ONE scan for every aggregate (the EXPAND plan)
+    plan = GV.table_profile(df, ["k", "s"], strategy="expand")
+    final = plan._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
     assert final.count("Scan ") == 1
+    # per_column strategy: no Expand node anywhere (pruned scans instead)
+    plan2 = GV.table_profile(df, ["k", "s"])._jdf.queryExecution()
+    assert "Expand" not in plan2.executedPlan().toString()
 
 
 def test_ab_test_readout_deterministic_and_exact(spark):
