@@ -224,7 +224,47 @@ def parity_soak(spark, sf_dir: str, n_slices: int = 40) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def attribution_soak(spark, rows_per_sec: int, seconds: int):
+    """Soak the stateful attribution twin against the rate source:
+    state must stay EXACTLY |distinct users| (one (ts, type) tuple per
+    user) while input grows linearly — the round-8 analog of the
+    interval-join boundedness evidence. Every 5th event is a purchase,
+    the rest cycle through 3 touch types."""
+    from mobilityduck_spark.streaming.attribution import attribution_stream
+
+    ev = rate_events(spark, rows_per_sec).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit("purchase"))
+        .otherwise(
+            F.concat(F.lit("touch_"), (F.col("event_id") % 3).cast("string"))
+        )
+        .alias("event_type"),
+        (F.col("event_id") % 100).cast("double").alias("value"),
+    )
+    a = attribution_stream(ev, conversion_type="purchase", horizon="7 days")
+    samples = run_soak(spark, "attribution", a, seconds)
+    summarize("attribution", rows_per_sec, samples)
+    if samples:
+        peak = max(x["state_rows"] for x in samples)
+        print(
+            f"attribution peak state rows = {peak} "
+            f"(bound: 199 distinct users -> one tuple each)"
+        )
+        assert peak <= 199, peak
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "attribution":
+        rows_per_sec = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+        seconds = int(sys.argv[3]) if len(sys.argv) > 3 else 45
+        spark = get_spark("streaming_soak_attr")
+        spark.sparkContext.setLogLevel("ERROR")
+        attribution_soak(spark, rows_per_sec, seconds)
+        spark.stop()
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "parity":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
         spark = get_spark("streaming_soak_parity")
