@@ -27,6 +27,11 @@ HEADLINE = [
     "doc_minhash_pairs", # LSH band-bucket equi-join (no cartesian)
     "doc_contamination", # broadcast benchmark grams, corpus side unshuffled
     "attime_duration",   # HOF restriction behind a strict join predicate
+    "dq_audit",          # fold-per-scan conditional aggs + AQE FK joins
+    "scd2_pit_join",     # key equi-join with residual interval filter
+    "doc_chunk_dedup",   # min(struct) winner groupBy + ordered reassembly
+    "events_rfm",        # two-level-rank NTILE, no global sort
+    "graph_lpa_communities",  # persisted edges, per-round equi-joins
 ]
 
 
