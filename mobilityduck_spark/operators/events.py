@@ -1413,3 +1413,43 @@ def ab_test_readout(
         )
         .orderBy("variant")
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: tuple = (50, 95),
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group over an integer value
+    column, computed on the (group, value) HISTOGRAM — domain-sized
+    work, no per-group sort (the winsorized_stats percentile kernel,
+    exposed as a reusable operator). Returns one row per group with
+    n plus a p{p} column per requested percentile."""
+    h = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("x")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g").orderBy(F.col("x").asc())
+    cum = h.select(
+        "g", "x",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    out = cum.select("g", F.col("n")).groupBy("g").agg(
+        F.max("n").cast("bigint").alias("n")
+    )
+    for p in ps:
+        hit = cum.where(
+            F.col("cum") >= F.floor((F.col("n") * p + 99) / 100)
+        )
+        rnk = Window.partitionBy("g").orderBy(F.col("x").asc())
+        pc = (
+            hit.withColumn("_r", F.row_number().over(rnk))
+            .where(F.col("_r") == 1)
+            .select("g", F.col("x").alias(f"p{p}"))
+        )
+        out = out.join(F.broadcast(pc), "g")
+    return out.select(
+        F.col("g").alias(group_col), "n",
+        *[F.col(f"p{p}") for p in ps]
+    ).orderBy(group_col)

@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "orders_profile",         # catalog-style column profile
     "events_ab_test",         # deterministic-bucket experiment readout
     "bm_hausdorff",           # discrete trajectory Hausdorff distance
+    "orders_latency_sla",     # exact nearest-rank latency percentiles
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5896,3 +5897,59 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.ab_test_readout(ev, salt="exp1", min_conversions=12)
+
+
+@register(
+    "orders_latency_sla",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS prio,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    h AS (SELECT prio, days, COUNT(*) AS c FROM lat GROUP BY 1, 2),
+    cum AS (
+      SELECT prio, days, c,
+             SUM(c) OVER (PARTITION BY prio ORDER BY days) AS cum,
+             SUM(c) OVER (PARTITION BY prio) AS n
+      FROM h
+    ),
+    p50 AS (
+      SELECT prio, MIN(days) AS p50 FROM cum
+      WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1
+    ),
+    p95 AS (
+      SELECT prio, MIN(days) AS p95 FROM cum
+      WHERE cum >= (n * 95 + 99) // 100 GROUP BY 1
+    ),
+    nn AS (SELECT prio, CAST(MAX(n) AS BIGINT) AS n FROM cum GROUP BY 1)
+    SELECT nn.prio AS o_orderpriority, nn.n, p50.p50, p95.p95
+    FROM nn JOIN p50 USING (prio) JOIN p95 USING (prio)
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency SLA report: exact nearest-rank P50/P95 of
+    ship-minus-order days per order priority — the ops-analytics
+    percentile table, computed on the (priority, days) histogram (the
+    group_percentiles operator): domain-sized work, no per-group row
+    sort, all exact integers."""
+    from .operators import events as EV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    li = SRC.load(spark, sf_dir, "lineitem")
+    lat = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000"
+        ).alias("days"),
+    )
+    out = EV.group_percentiles(lat, "prio", "days", ps=(50, 95))
+    return out.select(
+        F.col("prio").alias("o_orderpriority"), "n", "p50", "p95"
+    ).orderBy("o_orderpriority")
