@@ -70,6 +70,9 @@ _DRIVER_PRIORITY = [
     "events_ab_test",         # deterministic-bucket experiment readout
     "bm_hausdorff",           # discrete trajectory Hausdorff distance
     "orders_latency_sla",     # exact nearest-rank latency percentiles
+    "lineitem_abc_analysis",  # Pareto/ABC revenue classification
+    "events_inter_arrival",   # arrival-process gap percentiles
+    "doc_vocab_growth",       # Heaps-law vocabulary curve
     # ---- late-r7 queries that postdate r7's priority list (registered
     # after the list was written, so they may have missed the window)
     "doc_containment_pairs",
@@ -5953,3 +5956,189 @@ def orders_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("prio").alias("o_orderpriority"), "n", "p50", "p95"
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "lineitem_abc_analysis",
+    """
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT l_partkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey)
+               AS cum_cents,
+             SUM(rev_cents) OVER () AS tot_cents
+      FROM per
+    ),
+    cls AS (
+      SELECT l_partkey, rev_cents,
+             CASE WHEN cum_cents * 100 <= tot_cents * 80 THEN 'A'
+                  WHEN cum_cents * 100 <= tot_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM r
+    )
+    SELECT abc, COUNT(*) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+    FROM cls GROUP BY 1 ORDER BY abc
+    """,
+)
+def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification: parts ranked by exact cent
+    revenue, class A = the prefix holding <=80% of cumulative revenue,
+    B to 95%, C the tail — the inventory-priority table. The class
+    boundary test is exact integer cross-multiplication
+    (cum*100 <= tot*80: no float share ever computed). The cumulative
+    window runs over the |parts|-sized aggregate (dim-bounded; at
+    100 TB swap in the two-level-rank offsets exactly as events_rfm
+    does). Deterministic ties by part key."""
+    from pyspark.sql.window import Window as W
+
+    li = SRC.load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = W.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+    r = per.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        F.sum("rev_cents")
+        .over(W.partitionBy())
+        .alias("tot_cents"),
+    )
+    cls = r.select(
+        "rev_cents",
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("tot_cents") * 80, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("tot_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("abc")
+    )
+
+
+@register(
+    "events_inter_arrival",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ),
+    m AS (SELECT event_type AS prio, gap_us AS days FROM g
+          WHERE gap_us IS NOT NULL),
+    h AS (SELECT prio, days, COUNT(*) AS c FROM m GROUP BY 1, 2),
+    cum AS (
+      SELECT prio, days, c,
+             SUM(c) OVER (PARTITION BY prio ORDER BY days) AS cum,
+             SUM(c) OVER (PARTITION BY prio) AS n
+      FROM h
+    ),
+    p50 AS (
+      SELECT prio, MIN(days) AS p50 FROM cum
+      WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1
+    ),
+    p95 AS (
+      SELECT prio, MIN(days) AS p95 FROM cum
+      WHERE cum >= (n * 95 + 99) // 100 GROUP BY 1
+    ),
+    nn AS (SELECT prio, CAST(MAX(n) AS BIGINT) AS n FROM cum GROUP BY 1)
+    SELECT nn.prio AS event_type, nn.n,
+           p50.p50 AS p50_us, p95.p95 AS p95_us
+    FROM nn JOIN p50 USING (prio) JOIN p95 USING (prio)
+    ORDER BY event_type
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process analysis: exact nearest-rank P50/P95 of the
+    per-user inter-event gap, grouped by the type of the LATER event —
+    one user-keyed lag window, then the histogram percentile kernel
+    (group_percentiles). All exact microsecond integers."""
+    from .operators import events as EV
+    from pyspark.sql.window import Window as W
+
+    ev = SRC.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    out = EV.group_percentiles(gaps, "event_type", "gap_us", ps=(50, 95))
+    return out.select(
+        "event_type", "n",
+        F.col("p50").alias("p50_us"), F.col("p95").alias("p95_us"),
+    ).orderBy("event_type")
+
+
+@register(
+    "doc_vocab_growth",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    tok AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM d),
+    first_doc AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    buckets AS (SELECT unnest(generate_series(1, 10)) AS b)
+    SELECT b AS decile,
+           CAST((n.nd * b) // 10 AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM first_doc
+                  WHERE fd <= (n.nd * b) // 10) AS BIGINT) AS vocab
+    FROM buckets, n ORDER BY decile
+    """,
+)
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct vocabulary size
+    after each decile of the corpus (docs ordered by id) — the
+    corpus-statistics curve that predicts vocab at 100 TB. Each token
+    contributes at its FIRST document (one distinct + min groupBy);
+    the curve is then a 10-bucket count over the |vocab|-sized
+    first-occurrence table joined to the broadcast decile dim — the
+    corpus is never re-scanned per decile (the oracle's correlated
+    COUNT per bucket is the textbook restatement)."""
+    docs = SRC.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            )
+        ).alias("tok"),
+    ).distinct()
+    first_doc = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    deciles = docs.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    grid = deciles.crossJoin(F.broadcast(nd)).select(
+        "decile",
+        F.expr("(nd * decile) div 10").cast("bigint").alias("n_docs"),
+    )
+    return (
+        first_doc.crossJoin(F.broadcast(grid))
+        .where(F.col("fd") <= F.col("n_docs"))
+        .groupBy("decile", "n_docs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+        .orderBy("decile")
+    )
