@@ -1266,7 +1266,11 @@ def cusum_changepoint(
     the SAME day with every quantity an exact BIGINT (no mean
     division ever happens). Work: one (type, day) rollup + two windows
     over the tiny daily series. Returns (event_type, change_day,
-    s_abs_micro, n_days); ties resolve to the earliest day.
+    s_abs_scaled, n_days) with s_abs_scaled an exact BIGINT — the
+    DECIMAL(38,0) statistic stays exact end-to-end (a double cast
+    would silently lose exactness past 2^53 for long/high-magnitude
+    series), and the ANSI-mode BIGINT cast fails loudly beyond int64
+    instead of corrupting quietly; ties resolve to the earliest day.
     """
     daily = (
         events.where(F.col(value_col).isNotNull())
@@ -1314,7 +1318,12 @@ def cusum_changepoint(
         .select(
             F.col("g").alias("event_type"),
             F.col("day").alias("change_day"),
-            F.col("s_abs").cast("decimal(38,0)").cast("double")
+            # exact end-to-end: the DECIMAL(38,0) statistic lands as
+            # BIGINT (a double cast would silently lose exactness past
+            # 2^53). Under ANSI mode the cast FAILS LOUDLY if a series
+            # is long/high-magnitude enough to exceed int64 (needs
+            # n * |cum_micro| > 9.2e18) instead of corrupting quietly.
+            F.col("s_abs").cast("decimal(38,0)").cast("bigint")
             .alias("s_abs_scaled"),
             F.col("n").alias("n_days"),
         )
@@ -1380,11 +1389,20 @@ def ab_test_readout(
         F.sum("conv").cast("bigint").alias("n_converted"),
         F.sum("rev").cast("bigint").alias("revenue_micro"),
     )
-    a = per.where(F.col("variant") == "A").select(
-        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
-    )
-    b = per.where(F.col("variant") == "B").select(
-        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    # ONE-row summary via conditional agg (never empty): if every user
+    # hashes into a single variant, the missing side's counts are NULL
+    # and z_micro surfaces as NULL next to the per-variant rows —
+    # an a-side x b-side join would instead produce ZERO z rows and
+    # silently drop the whole readout on a degenerate split.
+    ab = per.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users")))
+        .alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted")))
+        .alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users")))
+        .alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted")))
+        .alias("cb"),
     )
     # every division on explicit doubles: Spark 4 ANSI integer "/" is
     # integral division (pooled p collapsed to 0/1 and a degenerate
@@ -1392,7 +1410,7 @@ def ab_test_readout(
     na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
     nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
     pooled = (ca + cb) / (na + nb)
-    z = a.crossJoin(b).select(
+    z = ab.select(
         F.round(
             (
                 (ca / na - cb / nb)

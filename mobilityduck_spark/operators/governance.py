@@ -22,10 +22,11 @@ Scale shape (100 TB):
   change detection (lag) and interval close (lead) are two windows over
   that single partitioning. Output is bounded by the number of
   attribute CHANGES, not rows.
-- purge_audit: the tombstone set is derived once, broadcast, and every
-  audited table is scanned exactly once with a broadcast left-semi
-  marker + conditional agg. No table is scanned twice, nothing
-  shuffles on the fact side.
+- purge_audit: the tombstone set is derived once and every audited
+  table is scanned exactly once with a left-join marker + conditional
+  agg; join strategy is left to Catalyst/AQE (small tombstone sets
+  broadcast on their own; data-derived ones that exceed broadcast
+  memory shuffle instead of OOMing). No table is scanned twice.
 """
 
 from __future__ import annotations
@@ -60,16 +61,31 @@ def dq_audit(
     for name, df, pred in row_checks:
         by_table.setdefault(id(df), (df, []))[1].append((name, pred))
     for df, preds in by_table.values():
+        # coalesce(sum(when(...)), 0): sum over ZERO rows is NULL, and an
+        # empty table must audit as 0 bad rows, not NULL. Check names go
+        # through typed literals (array of structs + inline), never an
+        # expr() f-string — a quote or backtick in a name is data, not
+        # SQL.
         aggs = [
-            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(name)
-            for name, pred in preds
+            F.coalesce(
+                F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias(f"__c{i}")
+            for i, (_, pred) in enumerate(preds)
         ] + [F.count(F.lit(1)).alias("__n")]
         wide = df.agg(*aggs)
-        stacked = ", ".join(f"'{name}', `{name}`" for name, _ in preds)
         outs.append(
             wide.select(
-                F.expr(
-                    f"stack({len(preds)}, {stacked}) AS (check, n_bad)"
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("check"),
+                                F.col(f"__c{i}").alias("n_bad"),
+                            )
+                            for i, (name, _) in enumerate(preds)
+                        ]
+                    )
                 ),
                 F.col("__n").alias("n_rows"),
             )
@@ -100,8 +116,11 @@ def dq_audit(
         )
         outs.append(
             marked.agg(
-                F.sum(
-                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("n_bad"),
                 F.count(F.lit(1)).alias("n_rows"),
             ).select(F.lit(name).alias("check"), "n_bad", "n_rows")
@@ -131,10 +150,15 @@ def scd2_compact(
     Rows are ordered per key by (ts, tiebreak) — fully deterministic
     even when a key has several rows at one timestamp. A row opens a
     new interval iff its attribute differs from the previous row's
-    (SCD2 compaction: consecutive duplicates collapse). valid_to_us is
-    the next interval's open (half-open intervals), NULL-encoded as -1
-    for the current row so the output hashes without NULL-vs-sentinel
-    ambiguity across engines.
+    (SCD2 compaction: consecutive duplicates collapse). NULL attribute
+    values are first-class: change detection is null-safe
+    (row_number()==1 opens the first interval explicitly; eqNullSafe
+    compares values), so non-NULL -> NULL opens a NULL-valued interval
+    and consecutive NULL runs collapse — lag()-is-NULL alone cannot
+    distinguish "first row" from "previous value was NULL". valid_to_us
+    is the next interval's open (half-open intervals), NULL-encoded as
+    -1 for the current row so the output hashes without
+    NULL-vs-sentinel ambiguity across engines.
     """
     w = Window.partitionBy(key_col).orderBy("t_us", tiebreak_col)
     tagged = log.select(
@@ -144,8 +168,8 @@ def scd2_compact(
         tiebreak_col,
     ).withColumn(
         "is_change",
-        F.lag("attr").over(w).isNull()
-        | (F.lag("attr").over(w) != F.col("attr")),
+        (F.row_number().over(w) == 1)
+        | ~F.lag("attr").over(w).eqNullSafe(F.col("attr")),
     )
     changes = tagged.where(F.col("is_change")).select(
         key_col, F.col("t_us").alias("valid_from_us"), "attr", tiebreak_col
@@ -172,17 +196,21 @@ def purge_audit(
     how many distinct tombstoned ids actually appear there.
 
     tombstones: one column `id_col` of ids to be purged (deduplicated
-    here). Each audited table is scanned ONCE: a broadcast left join
-    marks tombstoned rows and a single conditional aggregate produces
+    here). Each audited table is scanned ONCE: a left join marks
+    tombstoned rows and a single conditional aggregate produces
     (table, n_purge, n_retain, n_ids_present). This is the evidence
     query a deletion pipeline runs BEFORE and AFTER the purge (after:
-    all n_purge must be 0).
+    all n_purge must be 0). The join strategy is left to Catalyst/AQE:
+    a data-derived tombstone set (e.g. every user matching a
+    predicate) can exceed broadcast/driver memory at 100 TB, so a
+    forced broadcast would OOM exactly when the audit matters most —
+    AQE broadcasts small sets on its own and shuffles large ones.
     """
     tomb = tombstones.select(F.col(id_col).alias("__tomb_id")).distinct()
     outs = []
     for name, df, col in tables:
         marked = df.select(F.col(col).alias("__k")).join(
-            F.broadcast(tomb),
+            tomb,
             F.col("__k") == F.col("__tomb_id"),
             "left",
         )

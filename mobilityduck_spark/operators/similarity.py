@@ -948,11 +948,13 @@ def label_centroid_stats(
         F.sum("n_vecs").alias("gn"),
         F.sum("sum_micro").alias("gsum"),
     )
+    # + 0.0 canonicalizes IEEE negative zero (engine-parity with the
+    # DuckDB oracle, whose ROUND preserves -0.0)
     dev = F.round(
         F.col("sum_micro").cast("double") / F.col("n_vecs")
         - F.col("gsum").cast("double") / F.col("gn"),
         6,
-    )
+    ) + F.lit(0.0)
     return (
         per.join(F.broadcast(glob), "dim")
         .select("label", "dim", "n_vecs", "sum_micro", dev.alias("dev_micro"))
@@ -1026,17 +1028,23 @@ def covariance_stats(
         .select(
             "i",
             "j",
-            F.round(
-                (
-                    (F.col("n") * F.col("s") - F.col("si") * F.col("sj"))
-                    .cast("double")
+            (
+                F.round(
+                    (
+                        (F.col("n") * F.col("s") - F.col("si") * F.col("sj"))
+                        .cast("double")
+                    )
+                    / (
+                        F.col("n").cast("double")
+                        * (F.col("n").cast("double") - 1.0)
+                    )
+                    / 1e12,
+                    6,
                 )
-                / (
-                    F.col("n").cast("double")
-                    * (F.col("n").cast("double") - 1.0)
-                )
-                / 1e12,
-                6,
+                # normalize IEEE negative zero: ROUND of a tiny negative
+                # value yields -0.0, which is value-equal to 0.0 but
+                # renders differently across engines; +0.0 canonicalizes
+                + F.lit(0.0)
             ).alias("cov"),
         )
         .orderBy("i", "j")

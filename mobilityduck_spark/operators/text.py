@@ -979,12 +979,15 @@ def token_entropy(
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(clnc).alias("sum_clnc_micro"),
     )
+    # + 0.0 canonicalizes IEEE negative zero (engine-parity with the
+    # DuckDB oracle, whose ROUND preserves -0.0); the quantized
+    # sum_clnc_micro can overshoot ln(n) by < 1e-6 for single-token docs
     ent = F.round(
         F.log(F.col("n_tokens").cast("double"))
         - (F.col("sum_clnc_micro").cast("double") / F.lit(1e6))
         / F.col("n_tokens").cast("double"),
         6,
-    )
+    ) + F.lit(0.0)
     return per_doc.select(
         id_col, "n_tokens", "n_distinct", "sum_clnc_micro",
         ent.alias("entropy"),

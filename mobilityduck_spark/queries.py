@@ -46,93 +46,37 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
-    # ---- new in round 8 — prove green on first exposure
-    "dq_audit",               # data-quality audit (planted violations)
-    "scd2_history",           # SCD2 validity-interval compaction
-    "gdpr_purge_audit",       # tombstone cascade audit
-    "events_attribution",     # last-touch attribution
-    "events_rfm",             # RFM quintiles via scalable exact NTILE
-    "doc_chunk_dedup",        # chunk-level dedup WITH reassembly
-    "graph_lpa_communities",  # weighted label propagation
-    "embed_covariance",       # exact covariance (PCA substrate)
-    "customer_entity_matches",  # blocked record linkage (planted typos)
-    "privacy_k_anonymity",    # quasi-identifier re-identification audit
-    "basket_part_pairs",      # market-basket pair mining + exact lift
-    "events_winsorized",      # histogram-exact P5/P95 winsorized stats
-    "scd2_pit_join",          # point-in-time dimension join
-    "doc_snapshot_diff",      # dataset-version diff audit
-    "events_psi_drift",       # PSI feature-drift monitor
-    "pipeline_reconciliation",  # migration-cutover aggregate diff
-    "events_cohort_ltv",      # cohort lifetime-value curves
-    "events_forecast_backtest",  # seasonal-naive MAE backtest
-    "events_changepoint",     # exact-integer CUSUM level shift
-    "orders_profile",         # catalog-style column profile
-    "events_ab_test",         # deterministic-bucket experiment readout
-    "bm_hausdorff",           # discrete trajectory Hausdorff distance
-    "orders_latency_sla",     # exact nearest-rank latency percentiles
-    "lineitem_abc_analysis",  # Pareto/ABC revenue classification
-    "events_inter_arrival",   # arrival-process gap percentiles
-    "doc_vocab_growth",       # Heaps-law vocabulary curve
-    # ---- late-r7 queries that postdate r7's priority list (registered
-    # after the list was written, so they may have missed the window)
-    "doc_containment_pairs",
-    "doc_eval_sample",
-    "embed_label_centroids",
-    "events_active_users",
-    "events_top_journeys",
-    # ---- staleness backfill: the r3/r4 batch again, in case the r7
-    # window was cut short. Every oracle replays green in pytest each
-    # round; surfacing them completes full-registry driver rotation.
-    "tpch_q1",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "doc_exact_dups",
-    "doc_ngram_jaccard",
-    "doc_dup_clusters",
-    "doc_contamination",
-    "doc_top_ngrams",
-    "embed_topk",
-    "embed_near_dups",
-    "doc_length_quantiles",
-    "tfloat_stats",
-    "value_at_instants",
-    "attime_duration",
-    "when_true_total",
-    "sessions_spanset",
-    "event_type_set",
-    "set_unnest",
-    "traj_length",
-    "stbox_grid_overlap",
-    "tpoint_value_at",
-    "doc_token_stats",
-    "doc_lang_quality",
-    "doc_minhash_pairs",
-    "doc_simhash_pairs",
-    "doc_split_assign",
-    "doc_repetition_scores",
-    "events_tumbling",
-    # ---- r7 additions (fresh sources, keep behind the backfill)
-    "events_user_features_asof",
-    "media_jpeg_color_stats",
+    # ---- the 8 r7 queries that have never had a driver row (r7's
+    # driver never ran; the r8 window filled with r8 additions) — the
+    # round-8 verdict directs these to head the list until each has a
+    # CORRECTNESS row
     "corpus_token_budget",
-    "doc_jaccard_histogram",
-    "doc_incremental_dedup",
     "doc_classifier_calibration",
+    "doc_incremental_dedup",
     "doc_incremental_near_dups",
+    "doc_jaccard_histogram",
+    "events_user_features_asof",
     "events_user_features_asof_multi",
+    "media_jpeg_color_stats",
+    # ---- changed in round 9 (signed-zero normalization, support knob,
+    # NULL-safe SCD2, new planted oracles) — re-prove under the driver
+    "embed_covariance",        # -0.0 normalization (r8's only red row)
+    "embed_label_centroids",   # same -0.0 class fix
+    "doc_token_entropy",       # same -0.0 class fix
+    "embed_topk",              # oracle -0.0 normalization
+    "embed_sq8_topk",          # oracle -0.0 normalization
+    "embed_filtered_topk",     # oracle -0.0 normalization
+    "embed_ivf_full_probe",    # shares _EMBED_TOPK_SQL
+    "basket_part_pairs",       # scale-invariant min_support_frac default
+    "scd2_history",            # NULL-safe change detection
+    "dq_audit",                # empty-table coalesce + name escaping
+    "gdpr_purge_audit",        # broadcast left to AQE
+    "events_ab_test",          # degenerate-split surfacing
+    "events_changepoint",      # exact DECIMAL statistic output
+    "graph_lpa_communities",   # LSH-band candidate edges
+    "doc_bpe_planted_merges",  # NEW: closed-form BPE oracle
+    "media_adpcm_stats",       # NEW: IMA-ADPCM planted-step oracle
+    # ---- staleness backfill in registration order follows implicitly
 ]
 
 
@@ -1750,7 +1694,7 @@ _EMBED_TOPK_SQL = """
              ROUND(
                (SELECT SUM(av::DOUBLE * bv::DOUBLE)
                 FROM (SELECT unnest(e.embedding) av, unnest(q.qv) bv))
-               / (ne.nrm * nq.nrm), 6) AS cos
+               / (ne.nrm * nq.nrm), 6) + 0.0 AS cos
       FROM embeddings e
       CROSS JOIN q
       JOIN n ne ON ne.vec_id = e.vec_id
@@ -3059,7 +3003,7 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.vec_id AS query_id, e.vec_id,
              ROUND((SELECT SUM(av * bv::DOUBLE)
                     FROM (SELECT unnest(e.deq) av, unnest(q.embedding) bv))
-                   / (n8.nrm * nq.nrm), 6) AS qcos
+                   / (n8.nrm * nq.nrm), 6) + 0.0 AS qcos
       FROM q8 e
       CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
       JOIN n8 ON n8.vec_id = e.vec_id
@@ -3764,7 +3708,7 @@ def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens, n_distinct, sum_clnc_micro,
            ROUND(ln(CAST(n_tokens AS DOUBLE))
                  - (CAST(sum_clnc_micro AS DOUBLE) / 1e6)
-                   / CAST(n_tokens AS DOUBLE), 6) AS entropy
+                   / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS entropy
     FROM d ORDER BY doc_id
     """,
 )
@@ -3994,7 +3938,7 @@ def events_user_features_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(
                (SELECT SUM(av::DOUBLE * bv::DOUBLE)
                 FROM (SELECT unnest(e.embedding) av, unnest(q.qv) bv))
-               / (ne.nrm * nq.nrm), 6) AS cos
+               / (ne.nrm * nq.nrm), 6) + 0.0 AS cos
       FROM e
       CROSS JOIN q
       JOIN ne ON ne.vec_id = e.vec_id
@@ -4486,7 +4430,7 @@ def events_user_features_asof_multi(
     )
     SELECT per.label, per.dim, per.n_vecs, per.sum_micro,
            ROUND(CAST(per.sum_micro AS DOUBLE) / per.n_vecs
-                 - CAST(g.gsum AS DOUBLE) / g.gn, 6) AS dev_micro
+                 - CAST(g.gsum AS DOUBLE) / g.gn, 6) + 0.0 AS dev_micro
     FROM per JOIN g USING (dim)
     ORDER BY per.label, per.dim
     """,
@@ -4791,9 +4735,13 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     c AS (
-      SELECT *, lag(a) OVER (PARTITION BY k ORDER BY t, tb) AS pa FROM o
+      SELECT *, lag(a) OVER w AS pa, row_number() OVER w AS rn
+      FROM o WINDOW w AS (PARTITION BY k ORDER BY t, tb)
     ),
-    ch AS (SELECT k, t, a, tb FROM c WHERE pa IS NULL OR pa <> a),
+    -- null-safe change detection: rn=1 opens the first interval even
+    -- when its value is NULL; IS DISTINCT FROM treats NULL as a value
+    ch AS (SELECT k, t, a, tb FROM c
+           WHERE rn = 1 OR pa IS DISTINCT FROM a),
     r AS (
       SELECT k, a, t AS valid_from_us,
              lead(t) OVER (PARTITION BY k ORDER BY t, tb) AS nxt
@@ -5183,7 +5131,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n FROM embeddings)
     SELECT p.i, p.j,
            ROUND(CAST(n.n * p.s - ma.s1 * mb.s1 AS DOUBLE)
-                 / (CAST(n.n AS DOUBLE) * (n.n - 1)) / 1e12, 6) AS cov
+                 / (CAST(n.n AS DOUBLE) * (n.n - 1)) / 1e12, 6) + 0.0 AS cov
     FROM p, n
     JOIN m ma ON ma.i = p.i
     JOIN m mb ON mb.i = p.j
@@ -5406,9 +5354,13 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     c AS (
-      SELECT *, lag(a) OVER (PARTITION BY k ORDER BY t, tb) AS pa FROM o
+      SELECT *, lag(a) OVER w AS pa, row_number() OVER w AS rn
+      FROM o WINDOW w AS (PARTITION BY k ORDER BY t, tb)
     ),
-    ch AS (SELECT k, t, a, tb FROM c WHERE pa IS NULL OR pa <> a),
+    -- null-safe change detection: rn=1 opens the first interval even
+    -- when its value is NULL; IS DISTINCT FROM treats NULL as a value
+    ch AS (SELECT k, t, a, tb FROM c
+           WHERE rn = 1 OR pa IS DISTINCT FROM a),
     r AS (
       SELECT k, a AS attr, t AS valid_from_us,
              COALESCE(lead(t) OVER (PARTITION BY k ORDER BY t, tb), -1)
@@ -5773,7 +5725,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sc
     )
     SELECT g AS event_type, day AS change_day,
-           CAST(s_abs AS DOUBLE) AS s_abs_scaled,
+           CAST(s_abs AS BIGINT) AS s_abs_scaled,
            CAST(n AS BIGINT) AS n_days
     FROM p WHERE rn = 1 ORDER BY event_type
     """,
@@ -5869,19 +5821,24 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(rev) AS BIGINT) AS revenue_micro
       FROM users GROUP BY 1
     ),
+    ab AS (
+      -- one-row conditional-agg summary (never empty): a degenerate
+      -- one-variant split yields NULL z_micro instead of zero rows
+      SELECT MAX(CASE WHEN variant = 'A' THEN n_users END) AS na,
+             MAX(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+             MAX(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+             MAX(CASE WHEN variant = 'B' THEN n_converted END) AS cb
+      FROM per
+    ),
     z AS (
       SELECT CAST(ROUND(
-               ((a.n_converted / CAST(a.n_users AS DOUBLE))
-                - (b.n_converted / CAST(b.n_users AS DOUBLE)))
+               ((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)))
                / sqrt(
-                   ((a.n_converted + b.n_converted)
-                    / CAST(a.n_users + b.n_users AS DOUBLE))
-                   * (1 - (a.n_converted + b.n_converted)
-                      / CAST(a.n_users + b.n_users AS DOUBLE))
-                   * (1.0 / a.n_users + 1.0 / b.n_users))
+                   ((ca + cb) / CAST(na + nb AS DOUBLE))
+                   * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                   * (1.0 / na + 1.0 / nb))
                * 1e6) AS BIGINT) AS z_micro
-      FROM (SELECT * FROM per WHERE variant = 'A') a,
-           (SELECT * FROM per WHERE variant = 'B') b
+      FROM ab
     )
     SELECT per.variant, per.n_users, per.n_converted, per.revenue_micro,
            z.z_micro

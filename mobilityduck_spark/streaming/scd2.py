@@ -31,18 +31,24 @@ STATE_SCHEMA = "attr string, from_us long"
 def _update(
     key, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    attr, from_us = state.get if state.exists else (None, None)
+    # "no open interval" (state.exists False) is tracked separately
+    # from the open interval's VALUE: a NULL attribute is a legal SCD2
+    # value (non-NULL -> NULL opens a NULL interval; NULL runs
+    # collapse), matching the batch operator's null-safe comparison.
+    has_open = state.exists
+    attr, from_us = state.get if has_open else (None, None)
     pdf = pd.concat(list(pdfs), ignore_index=True)
     pdf = pdf.sort_values(["t_us", "tb"], kind="mergesort")
     out_attr, out_from, out_to = [], [], []
     for t_us, a in zip(pdf["t_us"], pdf["attr"]):
-        if attr is None:
-            attr, from_us = str(a), int(t_us)
-        elif a != attr:
+        a = None if pd.isna(a) else str(a)
+        if not has_open:
+            attr, from_us, has_open = a, int(t_us), True
+        elif a != attr:  # Python != is null-safe: None != None is False
             out_attr.append(attr)
             out_from.append(int(from_us))
             out_to.append(int(t_us))
-            attr, from_us = str(a), int(t_us)
+            attr, from_us = a, int(t_us)
         # equal attr: SCD2 compaction — the open interval absorbs it
     state.update((attr, int(from_us)))
     if out_attr:

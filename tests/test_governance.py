@@ -45,7 +45,7 @@ def test_dq_audit_folds_checks_per_table(spark):
     )
     got = {r["check"]: r["n_bad"] for r in out.collect()}
     assert got == {"a": 1, "b": 0}
-    # both checks ride one scan: a single stack() projection, one agg
+    # both checks ride one scan: a single inline(array) projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan ") == 1
@@ -351,3 +351,75 @@ def test_ab_test_readout_deterministic_and_exact(spark):
         df, salt="s1", min_conversions=2
     ).collect()}
     assert out2 == {v: got[v]["n_users"] for v in got}
+
+
+def test_scd2_compact_null_attrs(spark):
+    # NULL is a first-class SCD2 value: non-NULL -> NULL opens a
+    # NULL-valued interval, consecutive NULLs collapse, and a key whose
+    # FIRST value is NULL still opens an interval (lag-is-NULL alone
+    # can't tell "first row" from "previous value was NULL")
+    rows = [
+        (1, _ts("2024-01-01"), "A", 1),
+        (1, _ts("2024-01-02"), None, 2),   # opens NULL interval
+        (1, _ts("2024-01-03"), None, 3),   # collapses into it
+        (1, _ts("2024-01-04"), "A", 4),    # closes the NULL interval
+        (2, _ts("2024-01-01"), None, 5),   # first value NULL
+        (2, _ts("2024-01-02"), "B", 6),
+    ]
+    log = spark.createDataFrame(
+        rows, "k bigint, ts timestamp, a string, tb bigint"
+    )
+    out = GV.scd2_compact(log, "k", "ts", "a", "tb")
+    us = lambda s: int(
+        _ts(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    key = lambda t: tuple(str(x) for x in t)  # noqa: E731
+    got = sorted(
+        (
+            (r["key"], r["attr"], r["valid_from_us"], r["valid_to_us"],
+             r["is_current"])
+            for r in out.collect()
+        ),
+        key=key,
+    )
+    assert got == sorted([
+        (1, "A", us("2024-01-01"), us("2024-01-02"), False),
+        (1, None, us("2024-01-02"), us("2024-01-04"), False),
+        (1, "A", us("2024-01-04"), -1, True),
+        (2, None, us("2024-01-01"), us("2024-01-02"), False),
+        (2, "B", us("2024-01-02"), -1, True),
+    ], key=key)
+
+
+def test_dq_audit_empty_table_and_special_names(spark):
+    empty = spark.createDataFrame([], "x bigint")
+    out = GV.dq_audit(
+        row_checks=[
+            # names carrying quotes/backticks are data, not SQL
+            ("bad 'quoted' `name`", empty, F.col("x") < 0),
+        ],
+        fk_checks=[(
+            "empty_fk", empty, "x",
+            spark.createDataFrame([(1,)], "pk bigint"), "pk",
+        )],
+    )
+    got = {r["check"]: (r["n_bad"], r["n_rows"]) for r in out.collect()}
+    # empty table audits as 0 bad rows, never NULL
+    assert got == {"bad 'quoted' `name`": (0, 0), "empty_fk": (0, 0)}
+
+
+def test_ab_test_degenerate_split_surfaces_rows(spark):
+    import datetime as dt2
+
+    # a single user lands in exactly one variant: the readout must
+    # still surface that variant's row, with NULL z (not zero rows)
+    df = spark.createDataFrame(
+        [(1, 7, dt2.datetime(2024, 1, 1), "purchase", 2.0)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = EV.ab_test_readout(df, salt="s1", min_conversions=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_users"] == 1 and r["n_converted"] == 1
+    assert r["z_micro"] is None

@@ -106,3 +106,64 @@ def test_scd2_stream_collapses_consecutive_duplicates(spark, tmp_path):
         (1, "A", us(1), us(3)),
         (1, "B", us(3), us(5)),
     ]
+
+
+def test_scd2_stream_null_attr_parity(spark, tmp_path):
+    """NULL attribute values behave identically in stream and batch:
+    non-NULL -> NULL closes the open interval and opens a NULL one,
+    NULL runs collapse, and a key whose FIRST value is NULL opens a
+    NULL interval rather than being swallowed by the no-state case."""
+    import datetime as dt
+
+    from mobilityduck_spark.operators import governance as GV
+    from mobilityduck_spark.streaming.scd2 import scd2_stream
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), "A", 1),
+        (1, dt.datetime(2024, 1, 2), None, 2),  # closes A, opens NULL
+        (1, dt.datetime(2024, 1, 3), None, 3),  # absorbed
+        (1, dt.datetime(2024, 1, 4), "B", 4),   # closes the NULL run
+        (2, dt.datetime(2024, 1, 1), None, 5),  # first value NULL
+        (2, dt.datetime(2024, 1, 2), "C", 6),   # closes it
+    ]
+    schema = "key bigint, ts timestamp, attr string, tb bigint"
+    src_dir = str(tmp_path / "scd2n_src")
+    for i in (0, 3):
+        spark.createDataFrame(
+            rows[i : i + 3], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows, schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        scd2_stream(stream, "key", "ts", "attr", "tb")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2n_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda t: tuple(str(x) for x in t)  # noqa: E731
+    got = sorted(
+        (
+            tuple(r)
+            for r in spark.table("scd2n_out")
+            .select("key", "attr", "valid_from_us", "valid_to_us")
+            .collect()
+        ),
+        key=key,
+    )
+    batch = spark.createDataFrame(rows, schema)
+    exp = sorted(
+        (
+            (r["key"], r["attr"], r["valid_from_us"], r["valid_to_us"])
+            for r in GV.scd2_compact(batch, "key", "ts", "attr", "tb")
+            .where(F.col("valid_to_us") != -1)
+            .collect()
+        ),
+        key=key,
+    )
+    assert got == exp
+    # the NULL-valued closed intervals are actually present
+    assert sum(1 for r in exp if r[1] is None) == 2
