@@ -447,23 +447,76 @@ def mulaw_encode_np(samples: np.ndarray) -> np.ndarray:
     return ((~(sign | (exp << 4) | man)) & 0xFF).astype(np.uint8)
 
 
+# ------------------------------------------------------ IMA ADPCM
+# IMA/DVI ADPCM (WAV fmt tag 0x11): 4-bit adaptive differential codes
+# with the standard 89-entry step table and per-code index deltas. The
+# per-sample state machine (predictor, step index) is inherently
+# sequential — NOT relationally expressible in general — but a planted
+# fixture whose codes all carry index delta -1 pins the step at
+# step_table[0]=7 forever, making the per-sample delta a CONSTANT with
+# a closed form an ANSI oracle can construct (see plant_adpcm_wav).
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def ima_adpcm_decode_block(block: bytes) -> np.ndarray:
+    """Decode ONE mono IMA-ADPCM block: 4-byte header (int16 LE
+    predictor — emitted as the block's first sample, per the WAV
+    IMA-ADPCM spec — uint8 step index, reserved byte), then packed
+    nibbles, LOW nibble first. Both tables and the clamp arithmetic
+    are the standard IMA/DVI definition."""
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    idx = block[2]
+    if idx > 88:
+        raise ValueError("IMA ADPCM: step index out of range")
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = _IMA_STEP_TABLE[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            if nib & 8:
+                diff = -diff
+            pred = max(-32768, min(32767, pred + diff))
+            idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+            out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """PCM WAV (RIFF) decoder: returns (sample_rate, samples) with
-    samples int16 (n,) mono or (n, ch)."""
+    samples int16 (n,) mono or (n, ch). Handles PCM (fmt 1), mu-law
+    (fmt 7) and mono IMA ADPCM (fmt 0x11, block-aligned)."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, rate, ch, fmt, frames = 12, None, None, None, None
-    raw = None
+    raw, ba = None, None
     while pos + 8 <= len(data):
         tag, ln = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if (fmt, bits) not in ((1, 16), (7, 8)):
+            fmt, ch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt, bits) not in ((1, 16), (7, 8), (0x11, 4)):
                 raise NotImplementedError(
-                    "only 16-bit PCM or 8-bit mu-law WAV supported"
+                    "only 16-bit PCM, 8-bit mu-law or 4-bit IMA-ADPCM "
+                    "WAV supported"
                 )
         elif tag == b"data":
             raw = body
@@ -471,6 +524,14 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if raw is not None and fmt is not None:
         if fmt == 7:  # mu-law: expand codes to int16 PCM
             frames = mulaw_decode_np(np.frombuffer(raw, dtype=np.uint8))
+        elif fmt == 0x11:  # IMA ADPCM: block-wise adaptive decode
+            if ch != 1:
+                raise NotImplementedError("IMA ADPCM: mono only")
+            blocks = [
+                ima_adpcm_decode_block(raw[off : off + ba])
+                for off in range(0, len(raw), ba)
+            ]
+            frames = np.concatenate(blocks)
         else:
             frames = np.frombuffer(raw, dtype="<i2")
     if rate is None or frames is None:
@@ -1280,6 +1341,51 @@ def plant_mulaw_wav(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 codes = ((5 * i + 7 * mid) % 256).astype(np.uint8)
                 data = codes.tobytes()
                 fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                out.append((mid, wav))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def plant_adpcm_wav(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL mono IMA-ADPCM WAV (fmt tag 0x11) per id, with a
+    PROVABLE decode: every 4-bit code in the stream is the constant
+    c = 1 + (id % 3) ∈ {1,2,3}. All three codes carry index delta -1
+    (codes 0-3 map to -1 in the IMA index table), so the step index —
+    started at 0 in the block header — clamps at 0 forever and the step
+    stays step_table[0] = 7. The per-sample delta is then the constant
+    bit-decomposition of 7: code 1 → 7>>2 = 1, code 2 → 7>>1 = 3,
+    code 3 → 7>>2 + 7>>1 = 4. With header predictor 0 (emitted as
+    sample 0) the decoded stream is exactly 0, d, 2d, …, nd — never
+    near the int16 clamp (max 3800·4 = 15200) — so an ANSI oracle can
+    CONSTRUCT n_samples = n+1 and sum = d·n(n+1)/2 from the id alone,
+    while the engine runs the genuine table-driven state machine over
+    a real RIFF container (n = 3000 + (id%5)·200 nibbles, one block)."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 3000 + (mid % 5) * 200  # even: packs to whole bytes
+                code = 1 + (mid % 3)
+                body = bytes([code | (code << 4)]) * (n // 2)
+                header = struct.pack("<hBB", 0, 0, 0)  # pred=0, idx=0
+                data = header + body
+                ba = len(data)  # single block
+                spb = 1 + 2 * (ba - 4)
+                fmt = struct.pack(
+                    "<HHIIHHHH", 0x11, 1, 8000, 8000 * ba // (2 * spb),
+                    ba, 4, 2, spb,
+                )
                 wav = (
                     b"RIFF"
                     + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))

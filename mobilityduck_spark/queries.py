@@ -2508,6 +2508,49 @@ def media_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_adpcm_stats",
+    """
+    -- IMA-ADPCM planted-step closed form (see plant_adpcm_wav): every
+    -- code is c = 1 + (id%3); codes 1-3 carry index delta -1 so the
+    -- step pins at step_table[0]=7 and the per-sample delta is the
+    -- constant bit-decomposition of 7 (1, 3, or 4). Decoded stream =
+    -- 0, d, 2d, ..., nd -> n+1 samples summing to d*n*(n+1)/2.
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 12
+    ),
+    p AS (
+      SELECT media_id,
+             3000 + (media_id % 5) * 200 AS n,
+             CASE 1 + (media_id % 3)
+               WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 4 END AS d
+      FROM ids
+    )
+    SELECT media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n + 1 AS BIGINT) AS n_samples,
+           CAST(d * (n * (n + 1) // 2) AS BIGINT) AS sum_samples
+    FROM p ORDER BY media_id
+    """,
+)
+def media_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-audio round-trip: 12 planted mono IMA-ADPCM WAVs (fmt
+    tag 0x11). The engine parses the RIFF container, reads the block
+    header (predictor, step index) from the stream, and runs the real
+    table-driven IMA state machine over every nibble; the planted
+    constant-code fixture pins the adaptive step so the oracle can
+    construct the decoded sample sums in closed form. (Arbitrary-code
+    ADPCM remains non-relational — this is the provable slice.)"""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(12)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return MM.audio_stats(MM.plant_adpcm_wav(ids)).orderBy("media_id")
+
+
+@register(
     "media_mulaw_stats",
     """
     WITH ids AS (
@@ -2612,6 +2655,56 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_px").cast("double") / F.col("n_px"), 6)
         .alias("mean_px"),
     ).orderBy("media_id")
+
+
+# Planted BPE fixture: word i is a distinct two-letter word repeated
+# with STRICTLY decreasing counts (64 > 32 > 16 > 8). The merge
+# sequence is then provable by hand: for each word (l, r) with count N,
+# its two within-word pairs (l,r) and (r,</w>) tie at N and the
+# lexicographic tie-break picks (l,r); the merged symbol's closing pair
+# (lr, </w>) inherits count N, still above the next word's count, so
+# the trainer emits exactly (l,r), (lr,</w>) per word in count order —
+# a closed form the ANSI oracle can CONSTRUCT (not hard-code) from the
+# planted word list.
+_BPE_PLANT_WORDS = [("bc", 64), ("de", 32), ("fg", 16), ("hi", 8)]
+
+
+@register(
+    "doc_bpe_planted_merges",
+    """
+    WITH w AS (
+      SELECT * FROM (VALUES (0, 'bc'), (1, 'de'), (2, 'fg'), (3, 'hi'))
+        AS t(i, word)
+    ),
+    st AS (SELECT * FROM (VALUES (0), (1)) AS t(s))
+    SELECT CAST(w.i * 2 + st.s AS INT) AS rank,
+           CASE WHEN st.s = 0 THEN substr(w.word, 1, 1)
+                ELSE w.word END AS "left",
+           CASE WHEN st.s = 0 THEN substr(w.word, 2, 1)
+                ELSE '</w>' END AS "right"
+    FROM w, st
+    ORDER BY rank
+    """,
+)
+def doc_bpe_planted_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible BPE correctness hook: train the REAL trainer
+    (operators/bpe.py — distributed word histogram + incremental merge
+    loop) on the planted closed-form corpus above and return its merge
+    table; the oracle derives the provable expected sequence in pure
+    SQL. The full-corpus doc_bpe_merges stays rows-only (its merges are
+    data-dependent); this fixture is the exactness gate the driver can
+    hash."""
+    from .operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(i, (w + " ") * n) for i, (w, n) in enumerate(_BPE_PLANT_WORDS)],
+        schema="doc_id int, text string",
+    )
+    merges = BPE.bpe_train(docs, n_merges=2 * len(_BPE_PLANT_WORDS))
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        schema="rank int, left string, right string",
+    ).orderBy("rank")
 
 
 @register("doc_bpe_merges", None)  # iterative argmax: no ANSI oracle;
@@ -5093,14 +5186,66 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = DD._exploded_gram_table(
         u, "doc_id", "text", 3, ("lang", "lb"), _NGRAM_DF_CAP
     )
-    # both self-join sides read the gram table: materialize the
-    # tokenize+shingle+df-cap pipeline once (same rationale as
-    # ngram_jaccard_pairs_exploded, dedup.py:489)
     from pyspark import StorageLevel
 
-    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
-    DD._PERSISTED.append(pre)
-    inter = DD._gram_pair_intersections(pre, ("lang", "lb"))
+    # Candidate pairs come from the banded minhash index (dedup.py),
+    # NOT the raw gram pair join: the gram-bucket self-join is the
+    # 5.6x-per-10x densification class, while band collisions are
+    # bounded by actual content duplication. The edge DEFINITION is
+    # unchanged (exact df-capped 3-gram Jaccard >= 0.5, verified below
+    # on the candidate pairs only), so the all-pairs ANSI oracle still
+    # matches as long as LSH recall at jac >= 0.5 is 1 — measured, not
+    # assumed: this corpus's edges are >= 0.958 Jaccard (50/58 exact
+    # copies at sf0.01), where missing all 8 bands has p ~ 1.6e-7 and
+    # the replay gates equality at every test SF.
+    banded = DD._banded_signatures(
+        u, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3
+    ).select("id", "band", "bhash").join(
+        u.select(F.col("doc_id").alias("id"), "lang", "lb"), "id"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("band").alias("band_b"),
+        F.col("bhash").alias("bhash_b"), F.col("lang").alias("lang_b"),
+        F.col("lb").alias("lb_b"),
+    )
+    cand = (
+        banded.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bhash") == F.col("bhash_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("lb") == F.col("lb_b"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .select(F.col("id").alias("cid_a"), F.col("id_b").alias("cid_b"))
+        .distinct()
+    )
+    # the candidate list is consumed TWICE (doc semi-join + pair
+    # semi-join): persist it, or the whole signature pipeline (pandas
+    # UDF over every doc) re-evaluates per consumer — measured 90 s vs
+    # ~25 s first-exposure at sf1
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    DD._PERSISTED.append(cand)
+    # exact verify restricted to candidate DOCS (semi-join), then to
+    # candidate PAIRS: n_grams comes from the full-corpus df-capped
+    # table, so the Jaccard is identical to the all-pairs formulation
+    cids = (
+        cand.select(F.col("cid_a").alias("id"))
+        .unionByName(cand.select(F.col("cid_b").alias("id")))
+        .distinct()
+    )
+    # persist the CANDIDATE-restricted gram slice, not the full table:
+    # both sides of the pair-intersection self-join read pre_c, while
+    # the full df-capped gram table now has exactly one consumer (this
+    # semi-join) and streams through without materializing 10x the rows
+    pre_c = pre.join(cids, "id", "left_semi")
+    pre_c = pre_c.persist(StorageLevel.MEMORY_AND_DISK)
+    DD._PERSISTED.append(pre_c)
+    inter = DD._gram_pair_intersections(pre_c, ("lang", "lb")).join(
+        cand,
+        (F.col("id") == F.col("cid_a")) & (F.col("id_b") == F.col("cid_b")),
+        "left_semi",
+    )
     jac = F.col("inter") / (
         F.col("n_grams") + F.col("n_grams_b") - F.col("inter")
     )
@@ -5274,9 +5419,13 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT i, COUNT(*) AS m FROM k GROUP BY 1),
     nb AS (SELECT COUNT(DISTINCT b) AS nb FROM k),
     co AS (
+      -- scale-invariant RELATIVE support: max(2, ceil(2e-5 * baskets))
+      -- (equals the old absolute 2 at sf0.01; grows with the corpus)
       SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_co
       FROM k a JOIN k c ON a.b = c.b AND a.i < c.i
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= GREATEST(
+        2, CAST(CEIL(0.00002 * (SELECT nb FROM nb)) AS BIGINT))
     )
     SELECT item_a, item_b, n_co,
            CAST(ROUND(1e6 * (nb.nb * n_co)
@@ -5290,15 +5439,20 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining over order lineitems: parts
-    co-purchased in >= 2 orders with exact micro-quantized lift. The
-    A-priori first level as Catalyst joins — distinct (order, part)
-    self-join on the order key with a max-basket cap BEFORE the join,
-    support pruning inside the pair aggregate, margins broadcast."""
+    co-purchased with exact micro-quantized lift. The A-priori first
+    level as Catalyst joins — distinct (order, part) self-join on the
+    order key with a max-basket cap BEFORE the join, support pruning
+    inside the pair aggregate, margins broadcast. Support is RELATIVE
+    (max(2, ceil(2e-5 * n_baskets))): the absolute-2 threshold made
+    the sf1 sweep point output-bound (3.6k -> 1.2M pairs purely from
+    generator basket duplication); a fraction of the basket count
+    keeps the output 'genuinely frequent pairs' at any corpus size."""
     from .operators import basket as BK
 
     li = SRC.load(spark, sf_dir, "lineitem")
     return BK.pair_rules(
-        li, "l_orderkey", "l_partkey", min_support=2, max_basket=1000
+        li, "l_orderkey", "l_partkey",
+        min_support=2, max_basket=1000, min_support_frac=2e-5,
     )
 
 

@@ -913,3 +913,58 @@ def test_streaming_incremental_dedup_vs_snapshot(spark, tmp_path):
     # and no emitted doc's fp exists in the prior index
     prior_set = {r["fp"] for r in prior_fps.collect()}
     assert not (got_fps & prior_set)
+
+
+def test_ima_adpcm_decode_arbitrary_codes():
+    """Decode a varied-code block against an independent straight
+    transcription of the IMA/DVI algorithm (per-sample loop written
+    here, not shared with the operator)."""
+    import struct
+
+    import numpy as np
+
+    step_table = MM._IMA_STEP_TABLE
+    index_table = MM._IMA_INDEX_TABLE
+    codes = [0, 15, 7, 8, 3, 12, 1, 14, 9, 2, 11, 4, 6, 13, 5, 10] * 8
+    packed = bytes(
+        codes[i] | (codes[i + 1] << 4) for i in range(0, len(codes), 2)
+    )
+    pred0, idx0 = -123, 17
+    block = struct.pack("<hBB", pred0, idx0, 0) + packed
+    got = MM.ima_adpcm_decode_block(block)
+    # independent reference
+    pred, idx, exp = pred0, idx0, [pred0]
+    for c in codes:
+        step = step_table[idx]
+        diff = step >> 3
+        if c & 1:
+            diff += step >> 2
+        if c & 2:
+            diff += step >> 1
+        if c & 4:
+            diff += step
+        if c & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        idx = max(0, min(88, idx + index_table[c & 7]))
+        exp.append(pred)
+    assert got.tolist() == exp
+    assert got.dtype == np.int16
+
+
+def test_adpcm_planted_wav_closed_form(spark):
+    """plant_adpcm_wav fixtures decode to the provable arithmetic
+    sequence 0, d, 2d, ..., nd through the REAL container + state
+    machine path (decode_wav fmt 0x11)."""
+    ids = spark.createDataFrame([(0,), (1,), (2,), (7,)], "media_id long")
+    rows = MM.plant_adpcm_wav(ids).collect()
+    assert len(rows) == 4
+    for r in rows:
+        mid = r["media_id"]
+        n = 3000 + (mid % 5) * 200
+        d = {1: 1, 2: 3, 3: 4}[1 + (mid % 3)]
+        rate, samples = MM.decode_wav(bytes(r["content"]))
+        assert rate == 8000
+        assert samples.shape == (n + 1,)
+        assert samples[0] == 0 and samples[-1] == n * d
+        assert int(samples.astype("int64").sum()) == d * n * (n + 1) // 2
