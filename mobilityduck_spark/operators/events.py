@@ -1471,3 +1471,101 @@ def group_percentiles(
         F.col("g").alias(group_col), "n",
         *[F.col(f"p{p}") for p in ps]
     ).orderBy(group_col)
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    z: float = 3.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: per (event_type,
+    hour-of-week) cell, flag events whose value deviates more than z
+    sigma from THAT CELL's mean — the detector that doesn't page you
+    for normal Monday-morning load just because the weekend was quiet
+    (a plain per-type z-score mixes all 168 hourly regimes into one
+    inflated variance).
+
+    hour-of-week is epoch-anchored ((epoch_us div 3600e6) mod 168 —
+    pure integer arithmetic, identical on any engine/timezone). The
+    moments machinery is value_outliers': BIGINT micro values, exact
+    DECIMAL(38,0) S/Q per cell, the decision (n*x - S)^2 > z^2 *
+    (n*Q - S^2) evaluated on exact integers through one fixed-shape
+    double product. Cells with n == 1 never flag (den = 0). One scan
+    for the <=|types|*168-row moment table (broadcast back), one scan
+    for the filter. Returns (event_id, event_type, how, value_micro,
+    z2) — z2 > z^2 > 0 always, so no signed-zero hazard.
+    """
+    x = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    # integer div, never float: a double quotient truncated to long can
+    # disagree with floor division by one ulp at epoch magnitudes
+    how = F.expr(f"unix_micros({ts_col}) div 3600000000") % 168
+    m = events.where(F.col(value_col).isNotNull()).select(
+        id_col, type_col, how.alias("how"), x.alias("x")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = m.groupBy(type_col, "how").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("s"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("q"),
+    )
+    num = (dec(F.col("n")) * dec(F.col("x")) - F.col("s")).cast("double")
+    den = (dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    return (
+        m.join(F.broadcast(stats), [type_col, "how"])
+        .where(num * num > F.lit(float(z * z)) * den)
+        .select(
+            id_col,
+            type_col,
+            "how",
+            F.col("x").alias("value_micro"),
+            F.round((num * num) / den, 6).alias("z2"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def incremental_rollup_merge(
+    history: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge yesterday's rollup
+    SNAPSHOT with today's DELTA without rescanning history — the
+    steady-state shape of every 100 TB metrics pipeline (history is
+    petabytes; the delta is one day). Both inputs are partial
+    aggregates of the same algebraic form (COUNT and micro-SUM are
+    commutative monoids), so the merge is a union + one re-aggregate
+    keyed shuffle; correctness is the algebraic identity
+    agg(A ∪ B) = merge(agg(A), agg(B)), which the registered query
+    proves by comparing against a full recompute oracle.
+
+    history/delta: raw event rows; each side aggregates independently
+    (in production the history side is the stored snapshot — here it
+    is derived so the oracle can see the same split). Returns one row
+    per key tuple: (*keys, n_events, sum_micro).
+    """
+    def part(df: DataFrame) -> DataFrame:
+        return df.where(F.col(value_col).isNotNull()).groupBy(
+            *keys
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+            ).alias("sum_micro"),
+        )
+
+    return (
+        part(history)
+        .unionByName(part(delta))
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_micro").cast("bigint").alias("sum_micro"),
+        )
+    )

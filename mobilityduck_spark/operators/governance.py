@@ -445,3 +445,56 @@ def table_profile(
         "min_value",
         "max_value",
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Partition-key skew diagnostics: the table every 100 TB job
+    should read BEFORE choosing a shuffle key. Returns the top_n
+    heaviest key values with exact counts and integer-ppm share, plus
+    the global context on every row (n_keys, total rows, max/total
+    concentration) — enough to decide between a plain hash partition,
+    salting, or AQE skew handling.
+
+    One groupBy(key) aggregate (map-side combined), one |keys|-row
+    rollup for the global stats (broadcast back), and a top-n pick by
+    (count desc, key asc) — deterministic total order, no full sort:
+    rank via one window over the |keys|-sized count table. All outputs
+    exact integers (share in ppm by integer division).
+    """
+    # the key is normalized to STRING before ranking so the
+    # (count desc, key asc) tie-break uses one collation on any engine
+    counts = df.where(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.max("n_rows").cast("bigint").alias("max_key_rows"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    # the rank window is over the |keys|-sized aggregate, not raw rows;
+    # at 100 TB |keys| can still be large — the filter pushes rank
+    # computation into one pass and only top_n rows survive
+    top = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_n
+    )
+    return (
+        top.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("key").cast("string").alias("key"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            # integer ppm (div), never a truncated double quotient
+            F.expr("n_rows * 1000000 div total").cast("bigint")
+            .alias("share_ppm"),
+            "n_keys",
+            "total",
+            F.expr("max_key_rows * 1000000 div total").cast("bigint")
+            .alias("max_share_ppm"),
+        )
+        .orderBy("rank")
+    )

@@ -355,3 +355,91 @@ def textrank_keywords(
         .orderBy(F.col("rank_micro").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def token_overlap_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Exact query-term overlap ranking: per (query, doc), the count of
+    DISTINCT query terms present in the doc's token set — the
+    zero-parameter lexical ranker (set intersection, no tf/idf/length
+    model) used as a second signal in rank fusion. Returns (query_id,
+    rnk, doc_id, overlap), row_number-ranked per query (overlap desc,
+    doc_id asc). Docs sharing no term don't rank.
+
+    Plan: distinct (doc, term) postings broadcast-semi-join the query
+    terms BEFORE any shuffle (corpus-volume reduction first, exactly
+    like bm25_topk), one (query, doc) count aggregate, one per-query
+    window over the surviving candidates."""
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+    qt = qdf.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    ).distinct()
+    toks = (
+        _doc_tokens(docs)
+        .select("doc_id", F.explode("w").alias("term"))
+        .distinct()
+    )
+    ov = toks.join(F.broadcast(qt), "term").groupBy(
+        "query_id", "doc_id"
+    ).agg(F.count(F.lit(1)).alias("overlap"))
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("doc_id")
+    )
+    return (
+        ov.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "rnk", "doc_id",
+            F.col("overlap").cast("bigint").alias("overlap"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings (each (query_id, doc_id,
+    rnk)): score(d) = sum over lists of 1/(rrf_k + rank), the standard
+    zero-tuning method for combining heterogeneous retrievers (lexical
+    + semantic, or any mix). Contributions are exact integers
+    (1000000 div (rrf_k + rnk)) so the fused score hashes identically
+    on any engine; re-rank by (score desc, doc_id asc).
+
+    Plan: each input is already top-k-bounded (|queries| x k rows), so
+    the union + (query, doc) sum + per-query window all run on
+    candidate-sized data — fusion adds no corpus-scale work."""
+    from pyspark.sql import Window as W
+
+    parts = [
+        r.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"1000000 div ({rrf_k} + rnk)")
+            .cast("bigint")
+            .alias("c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    sc = u.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_micro")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_id", "rrf_micro")
+        .orderBy("query_id", "rank")
+    )

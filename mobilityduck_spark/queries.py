@@ -76,6 +76,10 @@ _DRIVER_PRIORITY = [
     "graph_lpa_communities",   # LSH-band candidate edges
     "doc_bpe_planted_merges",  # NEW: closed-form BPE oracle
     "media_adpcm_stats",       # NEW: IMA-ADPCM planted-step oracle
+    "events_seasonal_outliers",  # NEW: hour-of-week cell z-scores
+    "orders_key_skew",           # NEW: partition-key skew diagnostics
+    "events_incremental_rollup",  # NEW: snapshot+delta merge identity
+    "doc_rrf_fusion",            # NEW: BM25 x overlap rank fusion
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -6253,3 +6257,230 @@ def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
         .orderBy("decile")
     )
+
+
+# =====================================================================
+# Round 9 additions: seasonality-aware anomalies, key-skew diagnostics,
+# incremental aggregate maintenance
+# =====================================================================
+@register(
+    "events_seasonal_outliers",
+    """
+    WITH m AS (
+      SELECT event_id, event_type,
+             (epoch_us(ts) // 3600000000) % 168 AS how,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, how, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS s,
+             SUM(CAST(x AS HUGEINT) * x) AS q
+      FROM m GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT m.event_id, m.event_type, m.how, m.x,
+             CAST(CAST(n AS HUGEINT) * x - s AS DOUBLE) AS num,
+             CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) AS den
+      FROM m JOIN s USING (event_type, how)
+    )
+    SELECT event_id, event_type, CAST(how AS BIGINT) AS how,
+           x AS value_micro, ROUND(num * num / den, 6) AS z2
+    FROM j WHERE num * num > 9.0 * den
+    ORDER BY event_id
+    """,
+)
+def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: z-score outliers against
+    the (event_type, hour-of-week) cell mean instead of the global
+    per-type mean — the detector that separates 'weekend volume is
+    always low' from 'something broke'. Exact moments per cell
+    (BIGINT micro values, DECIMAL(38,0)/HUGEINT S and Q); hour-of-week
+    is epoch-anchored integer arithmetic, timezone-free. One moments
+    scan (<= |types|*168 rows broadcast back) + one filter scan."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.seasonal_outliers(ev, z=3.0)
+
+
+@register(
+    "orders_key_skew",
+    """
+    WITH c AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS n_rows
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total,
+             MAX(n_rows) AS mx
+      FROM c
+    ),
+    t AS (
+      SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+      FROM c
+    )
+    SELECT CAST(rank AS INT) AS rank, key,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(total AS BIGINT) AS total,
+           CAST(mx * 1000000 // total AS BIGINT) AS max_share_ppm
+    FROM t, g WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def orders_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostics over orders.o_custkey: the exact
+    top-10 heaviest keys with integer-ppm shares plus global context
+    (key count, total, max concentration) — the table a 100 TB job
+    reads before picking a shuffle key or deciding to salt. One
+    map-side-combined groupBy, a |keys|-row rollup broadcast back, and
+    a deterministic (count desc, key asc) rank over the aggregate."""
+    from .operators import governance as GV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    return GV.key_skew_profile(orders, "o_custkey", top_n=10)
+
+
+@register(
+    "events_incremental_rollup",
+    """
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-(user, type) rollup
+    is maintained by MERGING yesterday's snapshot aggregate with
+    today's delta aggregate (union + one keyed re-aggregate — COUNT
+    and micro-SUM are commutative monoids), never rescanning history.
+    The oracle recomputes the rollup from ALL events in one pass, so a
+    green row IS the algebraic identity agg(A ∪ B) = merge(agg(A),
+    agg(B)) on real data. The snapshot/delta split is the data's
+    midpoint timestamp (derived identically on both engines)."""
+    from pyspark.sql import functions as F2
+
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    us = F2.unix_micros(F2.col("ts"))
+    bounds = ev.agg(
+        F2.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("mid")
+    )
+    with_mid = ev.crossJoin(F2.broadcast(bounds))
+    hist = with_mid.where(us < F2.col("mid"))
+    delta = with_mid.where(us >= F2.col("mid"))
+    return EV.incremental_rollup_merge(
+        hist, delta, ["user_id", "event_type"]
+    ).orderBy("user_id", "event_type")
+
+
+@register(
+    "doc_rrf_fusion",
+    r"""
+    WITH q(query_id, qtext) AS (VALUES
+      ('q1', 'hash join merge'), ('q2', 'window sort order'),
+      ('q3', 'spark stream query'), ('q4', 'dup table')),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(qtext, ' ')) AS term
+      FROM q
+    ),
+    qterms AS (SELECT DISTINCT term FROM qt),
+    d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(len(w)) AS BIGINT) AS sum_dl FROM d),
+    t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    tf AS (
+      SELECT t.doc_id, t.dl, t.term, COUNT(*) AS tf
+      FROM t JOIN qterms USING (term) GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+               * 1000000.0) AS BIGINT) AS term_micro
+      FROM tf
+      JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN s
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM sc GROUP BY 1, 2
+    ),
+    br AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id ASC)
+               AS rnk
+      FROM agg
+    ),
+    b10 AS (SELECT query_id, doc_id, rnk FROM br WHERE rnk <= 10),
+    dt AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM d),
+    ov AS (
+      SELECT qt.query_id, dt.doc_id, COUNT(*) AS overlap
+      FROM dt JOIN qt USING (term) GROUP BY 1, 2
+    ),
+    orr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY overlap DESC, doc_id ASC) AS rnk
+      FROM ov
+    ),
+    o10 AS (SELECT query_id, doc_id, rnk FROM orr WHERE rnk <= 10),
+    uall AS (
+      SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM b10
+      UNION ALL
+      SELECT query_id, doc_id, 1000000 // (60 + rnk) FROM o10
+    ),
+    f AS (
+      SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+      FROM uall GROUP BY 1, 2
+    ),
+    rr AS (
+      SELECT query_id, doc_id, rrf_micro,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_micro DESC, doc_id ASC)
+               AS rank
+      FROM f
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_micro
+    FROM rr WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over the same 4 probe
+    queries: Okapi BM25 top-10 (tf/idf/length model) fused with exact
+    query-term-overlap top-10 (set intersection, no model) via
+    RRF score = sum of 1/(60 + rank) — the standard zero-tuning
+    hybrid-retrieval combiner. Contributions are exact integer
+    micro-units (1000000 div (60 + rnk)), so the fused ranking hashes
+    identically across engines. Fusion itself runs on candidate-sized
+    data only (|queries| x 10 per list)."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    bm = RT.bm25_topk(docs, _BM25_QUERIES, k=10).select(
+        "query_id", "doc_id", "rnk"
+    )
+    ov = RT.token_overlap_topk(docs, _BM25_QUERIES, k=10).select(
+        "query_id", "doc_id", "rnk"
+    )
+    return RT.rrf_fuse([bm, ov], rrf_k=60, top_k=10)

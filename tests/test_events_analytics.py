@@ -313,3 +313,99 @@ def test_active_users_window_invariants(spark):
         assert r.dau <= r.wau <= n_users
     one = {r.day_us: (r.dau, r.wau) for r in EV.active_users(ev, window_days=1).collect()}
     assert all(d == w for d, w in one.values())
+
+
+# ------------------------------------------------- round 9 operators
+def test_seasonal_outliers_separates_regimes(spark):
+    import datetime as dt
+
+    from mobilityduck_spark.operators import events as EV
+
+    # two hour-of-week cells with different levels: value 100 in cell A,
+    # value 1 in cell B; one anomalous 100 planted INTO cell B must
+    # flag, while the same value in cell A must not (a global z-score
+    # would either flag both or neither)
+    base = dt.datetime(2024, 1, 1, 0, 0)   # epoch-anchored cell
+    rows = []
+    eid = 0
+    for k in range(20):   # cell A: weekly repeats at hour 0
+        rows.append((eid, base + dt.timedelta(weeks=k), "t", 100.0))
+        eid += 1
+    for k in range(20):   # cell B: weekly repeats at hour 5
+        v = 100.0 if k == 0 else 1.0      # one planted anomaly
+        rows.append((eid, base + dt.timedelta(weeks=k, hours=5), "t", v))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = EV.seasonal_outliers(df, z=3.0).collect()
+    assert [r["event_id"] for r in out] == [20]
+    assert out[0]["value_micro"] == 100_000_000
+
+
+def test_incremental_rollup_merge_equals_recompute(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    from mobilityduck_spark.operators import events as EV
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1), 1.5),
+        (1, "a", dt.datetime(2024, 1, 2), 2.5),
+        (1, "b", dt.datetime(2024, 1, 3), 4.0),
+        (2, "a", dt.datetime(2024, 1, 4), -1.0),
+        (2, "a", dt.datetime(2024, 1, 5), None),   # dropped
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, value double"
+    )
+    hist = ev.where(F2.col("ts") < dt.datetime(2024, 1, 3))
+    delta = ev.where(F2.col("ts") >= dt.datetime(2024, 1, 3))
+    merged = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["sum_micro"])
+        for r in EV.incremental_rollup_merge(
+            hist, delta, ["user_id", "event_type"]
+        ).collect()
+    }
+    full = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["sum_micro"])
+        for r in EV.incremental_rollup_merge(
+            ev, ev.limit(0), ["user_id", "event_type"]
+        ).collect()
+    }
+    assert merged == full
+    assert merged[(1, "a")] == (2, 4_000_000)
+    assert merged[(2, "a")] == (1, -1_000_000)
+
+
+def test_key_skew_profile_exact(spark):
+    from mobilityduck_spark.operators import governance as GV
+
+    rows = [(k,) for k in [7] * 6 + [3] * 3 + [9] * 1]
+    df = spark.createDataFrame(rows, "k bigint")
+    out = GV.key_skew_profile(df, "k", top_n=2).collect()
+    assert [(r["rank"], r["key"], r["n_rows"]) for r in out] == [
+        (1, "7", 6), (2, "3", 3),
+    ]
+    r1 = out[0]
+    assert r1["n_keys"] == 3 and r1["total"] == 10
+    assert r1["share_ppm"] == 600_000 and r1["max_share_ppm"] == 600_000
+
+
+def test_rrf_fuse_math_and_tiebreak(spark):
+    from mobilityduck_spark.operators import retrieval as RT
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2)], "query_id string, doc_id bigint, rnk int"
+    )
+    b = spark.createDataFrame(
+        [("q", 20, 1), ("q", 30, 2)], "query_id string, doc_id bigint, rnk int"
+    )
+    out = RT.rrf_fuse([a, b], rrf_k=60, top_k=10).collect()
+    got = {r["doc_id"]: (r["rank"], r["rrf_micro"]) for r in out}
+    # doc 20: 1M//62 + 1M//61 = 16129 + 16393 = 32522 (rank 1)
+    # doc 10: 1M//61 = 16393; doc 30: 1M//62 = 16129
+    assert got[20] == (1, 32522)
+    assert got[10] == (2, 16393)
+    assert got[30] == (3, 16129)
