@@ -475,13 +475,14 @@ def key_skew_profile(
         F.sum("n_rows").cast("bigint").alias("total"),
         F.max("n_rows").cast("bigint").alias("max_key_rows"),
     )
+    # top-n via orderBy().limit(): plans as TakeOrderedAndProject —
+    # per-partition partial top-n merged on the driver, NOT a global
+    # sort (an unpartitioned row_number window would funnel every key
+    # of a 100 TB table through one task). The rank is then assigned
+    # by a window over the surviving <= top_n rows only.
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
-    # the rank window is over the |keys|-sized aggregate, not raw rows;
-    # at 100 TB |keys| can still be large — the filter pushes rank
-    # computation into one pass and only top_n rows survive
-    top = counts.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= top_n
-    )
+    top = top.withColumn("rank", F.row_number().over(w))
     return (
         top.crossJoin(F.broadcast(glob))
         .select(

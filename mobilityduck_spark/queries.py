@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = [
     "orders_key_skew",           # NEW: partition-key skew diagnostics
     "events_incremental_rollup",  # NEW: snapshot+delta merge identity
     "doc_rrf_fusion",            # NEW: BM25 x overlap rank fusion
+    "embed_matryoshka_recall",   # NEW: truncated-dim retrieval fidelity
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -6484,3 +6485,85 @@ def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "rnk"
     )
     return RT.rrf_fuse([bm, ov], rrf_k=60, top_k=10)
+
+
+@register(
+    "embed_matryoshka_recall",
+    """
+    WITH dims(dim) AS (VALUES (16), (32), (64)),
+    e AS (
+      SELECT d.dim, vec_id, embedding[1:d.dim] AS v
+      FROM embeddings, dims d
+    ),
+    n AS (
+      SELECT dim, vec_id,
+             sqrt((SELECT SUM(x::DOUBLE * x) FROM (SELECT unnest(v) x)))
+               AS nrm
+      FROM e
+    ),
+    q AS (SELECT dim, vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT e.dim, q.query_id, e.vec_id,
+             ROUND((SELECT SUM(av::DOUBLE * bv::DOUBLE)
+                    FROM (SELECT unnest(e.v) av, unnest(q.qv) bv))
+                   / (ne.nrm * nq.nrm), 6) + 0.0 AS cos
+      FROM e
+      JOIN q ON q.dim = e.dim AND e.vec_id <> q.query_id
+      JOIN n ne ON ne.dim = e.dim AND ne.vec_id = e.vec_id
+      JOIN n nq ON nq.dim = q.dim AND nq.vec_id = q.query_id
+    ),
+    r AS (
+      SELECT dim, query_id, vec_id,
+             row_number() OVER (PARTITION BY dim, query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    ),
+    t AS (SELECT dim, query_id, vec_id FROM r WHERE rnk <= 10),
+    fl AS (SELECT query_id AS fq, vec_id AS fv FROM t WHERE dim = 64)
+    SELECT t.query_id, CAST(t.dim AS INT) AS dim,
+           CAST(COUNT(fl.fv) AS BIGINT) AS n_overlap
+    FROM t LEFT JOIN fl
+      ON fl.fq = t.query_id AND fl.fv = t.vec_id
+    GROUP BY 1, 2 ORDER BY t.query_id, dim
+    """,
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation fidelity: exact cosine top-10 computed on
+    the first 16 / 32 / 64 dimensions of every embedding, reported as
+    recall against the full-width top-10 per query — the evaluation a
+    pipeline runs before committing to truncated vectors for cheap
+    first-stage retrieval. All three rankings are exact brute-force
+    cosine (round-6 + id tiebreak, so rank boundaries are
+    deterministic); the output is an exact overlap COUNT per (query,
+    dim). dim=64 rows are the built-in sanity row (recall 10/10)."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+
+    def topk_at(dd: int) -> DataFrame:
+        e2 = emb.select(
+            "vec_id", F.slice("embedding", 1, dd).alias("embedding")
+        )
+        q2 = e2.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return SIM.brute_force_topk(e2, q2, k=10).select(
+            F.lit(dd).cast("int").alias("dim"), "query_id", "vec_id"
+        )
+
+    t = topk_at(16).unionByName(topk_at(32)).unionByName(topk_at(64))
+    fl = t.where(F.col("dim") == 64).select(
+        F.col("query_id").alias("fq"), F.col("vec_id").alias("fv")
+    )
+    return (
+        t.join(
+            fl,
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("vec_id") == F.col("fv")),
+            "left",
+        )
+        .groupBy("query_id", "dim")
+        .agg(F.count(F.col("fv")).cast("bigint").alias("n_overlap"))
+        .orderBy("query_id", "dim")
+    )

@@ -372,3 +372,40 @@ def test_rfm_ntile_has_no_unpartitioned_data_window(spark):
         plan,
     )
     assert not bad, f"unpartitioned data window found: {bad}"
+
+
+def test_round9_queries_no_cartesian(spark):
+    """Round-9 operators: no cartesian/nested-loop over data rows —
+    1-row scalar anchors (global stats, midpoint bounds) legitimately
+    use a broadcast nested loop; anything joining data rows must not."""
+    for name in [
+        "events_seasonal_outliers",
+        "orders_key_skew",
+        "events_incremental_rollup",
+        "doc_rrf_fusion",
+        "media_adpcm_stats",
+        "doc_bpe_planted_merges",
+    ]:
+        df = Q.queries()[name](spark, SF)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "CartesianProduct" not in plan, name
+        # doc_rrf_fusion inherits bm25's 1-row corpus-stats anchor
+        # (a legitimate broadcast NL join); seasonal has no anchor
+        if name == "events_seasonal_outliers":
+            assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_key_skew_topn_is_take_ordered(spark):
+    """The skew profiler's top-n must plan as TakeOrderedAndProject
+    (per-partition partial top-n), never a global sort of the |keys|
+    aggregate through one task."""
+    df = Q.queries()["orders_key_skew"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_seasonal_outliers_broadcasts_moments(spark):
+    df = Q.queries()["events_seasonal_outliers"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, "cell moments must broadcast back"
+    assert c["sortmerge_joins"] == 0
