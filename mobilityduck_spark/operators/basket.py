@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pair_rules"]
+__all__ = ["pair_rules", "item_cosine"]
 
 
 def pair_rules(
@@ -89,4 +89,58 @@ def pair_rules(
             .alias("lift_micro"),
         )
         .orderBy("item_a", "item_b")
+    )
+
+
+def item_cosine(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """Item-item cosine similarity over basket co-occurrence — the
+    collaborative-filtering neighbor table: for items a, b with basket
+    sets A, B, cosine = |A ∩ B| / sqrt(|A| * |B|). Returns (item_a,
+    item_b, n_co, n_a, n_b, cos_micro) with item_a < item_b and
+    n_co >= min_co.
+
+    The hashed score is micro-quantized from one fixed-order IEEE
+    chain n_co / sqrt(n_a * n_b) where every operand is an exact
+    BIGINT, so both engines compute the identical double. Same scale
+    guards as pair_rules: mega-baskets dropped BEFORE the self-join,
+    margins joined on the item key (AQE broadcasts a dim-sized item
+    vocabulary on its own)."""
+    items = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = items.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    items = items.join(sizes, "b").where(
+        F.col("bn") <= max_basket
+    ).select("b", "i")
+    margins = items.groupBy("i").agg(F.count(F.lit(1)).alias("m"))
+    a = items.select("b", F.col("i").alias("item_a"))
+    bb = items.select(F.col("b").alias("b2"), F.col("i").alias("item_b"))
+    co = (
+        a.join(bb, (a["b"] == bb["b2"]) & (a["item_a"] < bb["item_b"]))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= min_co)
+    )
+    ma = margins.select(F.col("i").alias("item_a"), F.col("m").alias("n_a"))
+    mb = margins.select(F.col("i").alias("item_b"), F.col("m").alias("n_b"))
+    return (
+        co.join(ma, "item_a")
+        .join(mb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.lit(1e6) * F.col("n_co")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+            ).cast("bigint").alias("cos_micro"),
+        )
     )

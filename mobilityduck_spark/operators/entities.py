@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_matches", "k_anonymity"]
+__all__ = ["blocked_matches", "k_anonymity",
+           "sorted_neighborhood_matches", "l_diversity"]
 
 
 def blocked_matches(
@@ -95,4 +96,98 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") < k)
         .orderBy("n", *names)
+    )
+
+
+def sorted_neighborhood_matches(
+    entities: DataFrame,
+    id_col: str,
+    name_col: str,
+    attr_cols: tuple[str, ...],
+    window: int = 6,
+    prefix_len: int = 14,
+    max_name_dist: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage — the classic complement to
+    exact blocking (blocked_matches): sort by the lowercased name,
+    compare each record to its next `window` neighbors, keep pairs
+    within `max_name_dist` edits whose `attr_cols` all agree. Returns
+    (id_a, id_b, name_dist, gap) with id_a < id_b and gap the sorted
+    rank distance.
+
+    Scale shape (100 TB): NO global sort and NO ranked self-join — the
+    window is partitioned by a `prefix_len`-char prefix of the sort key
+    (each prefix bounds a group; a typo-class edit that preserves the
+    prefix cannot cross a boundary, which is the sort-key design
+    contract callers pick prefix_len for), and each record ships its
+    `window` successors via lead() structs, so candidate generation is
+    ONE window over one shuffle with per-record fan-out bounded by the
+    window size."""
+    from pyspark.sql.window import Window
+
+    base = entities.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(name_col)).alias("nm"),
+        *[F.col(c).alias(c) for c in attr_cols],
+    ).withColumn("pfx", F.substring("nm", 1, prefix_len))
+    w = Window.partitionBy("pfx").orderBy("nm", "id")
+    nbr = F.struct(
+        F.col("nm").alias("nm"),
+        F.col("id").alias("id"),
+        *[F.col(c).alias(c) for c in attr_cols],
+    )
+    leads = F.array(*[
+        F.struct(
+            F.lead(nbr, i).over(w).alias("n"),
+            F.lit(i).cast("int").alias("gap"),
+        )
+        for i in range(1, window + 1)
+    ])
+    pairs = (
+        base.select("id", "nm", *attr_cols, leads.alias("ls"))
+        .select("id", "nm", *attr_cols, F.explode("ls").alias("e"))
+        .where(F.col("e.n").isNotNull())
+    )
+    cond = F.levenshtein("nm", "e.n.nm") <= max_name_dist
+    for c in attr_cols:
+        cond = cond & (F.col(c) == F.col(f"e.n.{c}"))
+    return (
+        pairs.where(cond)
+        .select(
+            F.least("id", "e.n.id").alias("id_a"),
+            F.greatest("id", "e.n.id").alias("id_b"),
+            F.levenshtein("nm", "e.n.nm").cast("int").alias("name_dist"),
+            F.col("e.gap").alias("gap"),
+        )
+    )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list, sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure sibling of
+    k_anonymity: a quasi-identifier group can be k-anonymous yet leak
+    its members' sensitive attribute when the group holds fewer than l
+    DISTINCT sensitive values. Reports every group with
+    n_sensitive < l, its size and its diversity, least-diverse first.
+    ONE groupBy on the quasi tuple with a count_distinct — output
+    bounded by the number of at-risk groups."""
+    cols, names = [], []
+    for q in quasi_cols:
+        if isinstance(q, str):
+            cols.append(F.col(q).alias(q))
+            names.append(q)
+        else:
+            alias, c = q
+            cols.append(c.alias(alias))
+            names.append(alias)
+    return (
+        df.select(*cols, F.col(sensitive_col).alias("_s"))
+        .groupBy(*names)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_s").alias("n_sensitive"),
+        )
+        .where(F.col("n_sensitive") < l)
+        .orderBy("n_sensitive", "n", *names)
     )

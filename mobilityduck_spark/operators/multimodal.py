@@ -1575,3 +1575,66 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+def plant_phash_png(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL 32x32 grayscale PNG per id with analytically-known
+    content for the perceptual-hash dedup oracle: base = media_id // 10,
+    variant = media_id % 10, pixel(x, y) = (3x + 7y + 11*base) % 199 +
+    20*variant. Variants of the same base are BYTE-DIFFERENT images
+    (uniform brightness shift, re-compressed) whose average-hash is
+    provably identical — a uniform shift moves every block mean and the
+    global mean by the same amount, so every strict block>global
+    comparison is preserved. That is exactly the perceptual (not
+    byte-exact) duplicate class an image dedup pass must catch, and the
+    ANSI oracle can recompute every hash bit from the pixel formula.
+    Keep variant <= 2 so pixels stay below 256 (198 + 40)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                base, variant = mid // 10, mid % 10
+                x = np.arange(32, dtype=np.int64)[None, :]
+                y = np.arange(32, dtype=np.int64)[:, None]
+                px = ((3 * x + 7 * y + 11 * base) % 199 + 20 * variant)
+                out.append((mid, encode_png(px.astype(np.uint8))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) per image: decode real bytes, crop to a
+    grid-divisible region, block-average down to grid x grid, threshold
+    each block STRICTLY above the global mean. The comparison is kept
+    integer-exact (grid^2 * block_sum > total_sum) so an ANSI oracle can
+    reproduce every bit without float drift. Returns the hash as a
+    grid^2-char '0'/'1' string (row-major), which both engines can
+    build without 64-bit shift-overflow gymnastics.
+
+    Scale shape (100 TB): embarrassingly parallel mapInPandas — bytes
+    never leave the Arrow batch; the downstream duplicate grouping is a
+    single hash-partitioned shuffle on a high-entropy key."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_real(bytes(content), "image").astype(np.int64)
+                h, w = px.shape
+                hc, wc = (h // grid) * grid, (w // grid) * grid
+                crop = px[:hc, :wc]
+                bsum = crop.reshape(
+                    grid, hc // grid, grid, wc // grid
+                ).sum(axis=(1, 3))
+                tsum = int(bsum.sum())
+                bits = (grid * grid * bsum > tsum).astype(np.uint8)
+                rows.append(
+                    (int(mid), "".join("1" if b else "0"
+                                       for b in bits.ravel()))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(op, schema="media_id long, ahash string")

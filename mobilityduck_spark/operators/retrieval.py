@@ -443,3 +443,48 @@ def rrf_fuse(
         .select("query_id", "rank", "doc_id", "rrf_micro")
         .orderBy("query_id", "rank")
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-k terms per doc by
+    tf/df (ties broken lexically), with the reported score the exact
+    rational tf * N / df — raw-ratio idf instead of log-idf so the
+    hashed output never contains a transcendental (ln is monotone in
+    the single-term case; the raw ratio is this engine's documented
+    ranking rule). The per-term ordering key tf/df is ONE IEEE
+    division, correctly rounded and bit-identical across engines.
+
+    Plan: one corpus explode -> (doc, term) tf histogram; df derives
+    from the tf table (vocab-sized, never a second corpus pass); the
+    join back is an equi-join on the term key (AQE picks broadcast when
+    the vocab fits); top-k is a window partitioned by doc_id —
+    per-doc partitions, skew-free at any corpus size."""
+    from pyspark.sql.window import Window
+
+    toks = _doc_tokens(docs).select(
+        "doc_id", F.explode("w").alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = _doc_tokens(docs).count()
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .select(
+            "doc_id",
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf").cast("double") * F.lit(float(n_docs))
+                / F.col("df"),
+                6,
+            ).alias("tfidf"),
+        )
+        .where(F.col("rnk") <= k)
+    )

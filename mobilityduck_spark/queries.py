@@ -81,6 +81,13 @@ _DRIVER_PRIORITY = [
     "events_incremental_rollup",  # NEW: snapshot+delta merge identity
     "doc_rrf_fusion",            # NEW: BM25 x overlap rank fusion
     "embed_matryoshka_recall",   # NEW: truncated-dim retrieval fidelity
+    # ---- new in the round-9 session: first driver exposure
+    "media_phash_dups",          # NEW: image perceptual-hash dedup
+    "orders_cdc_apply",          # NEW: CDC/MERGE last-writer-wins apply
+    "doc_tfidf_keywords",        # NEW: per-doc TF-IDF keyword top-k
+    "customer_snm_matches",      # NEW: sorted-neighborhood linkage
+    "privacy_l_diversity",       # NEW: attribute-disclosure audit
+    "basket_item_cosine",        # NEW: item-item cosine neighbors
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -6567,3 +6574,372 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.col("fv")).cast("bigint").alias("n_overlap"))
         .orderBy("query_id", "dim")
     )
+
+
+@register(
+    "media_phash_dups",
+    """
+    WITH bases AS (
+      SELECT doc_id AS b FROM documents ORDER BY doc_id LIMIT 12
+    ),
+    imgs AS (
+      SELECT bs.b * 10 + v.v AS media_id, bs.b, 20 * v.v AS shift
+      FROM bases bs, (VALUES (0), (1)) AS v(v)
+    ),
+    xs AS (SELECT unnest(range(0, 32)) AS x),
+    ys AS (SELECT unnest(range(0, 32)) AS y),
+    px AS (
+      SELECT i.media_id, ys.y // 4 AS by, xs.x // 4 AS bx,
+             (3 * xs.x + 7 * ys.y + 11 * i.b) % 199 + i.shift AS v
+      FROM imgs i, xs, ys
+    ),
+    blk AS (
+      SELECT media_id, by, bx, SUM(v) AS bsum
+      FROM px GROUP BY media_id, by, bx
+    ),
+    tot AS (SELECT media_id, SUM(bsum) AS tsum FROM blk GROUP BY media_id),
+    bits AS (
+      SELECT b.media_id, b.by * 8 + b.bx AS k,
+             CASE WHEN 64 * b.bsum > t.tsum THEN '1' ELSE '0' END AS bit
+      FROM blk b JOIN tot t USING (media_id)
+    ),
+    hashes AS (
+      SELECT media_id, string_agg(bit, '' ORDER BY k) AS ahash
+      FROM bits GROUP BY media_id
+    ),
+    grp AS (
+      SELECT media_id, ahash,
+             MIN(media_id) OVER (PARTITION BY ahash) AS group_id,
+             COUNT(*) OVER (PARTITION BY ahash) AS group_size
+      FROM hashes
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, ahash,
+           CAST(group_id AS BIGINT) AS group_id,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM grp WHERE group_size >= 2
+    ORDER BY group_id, media_id
+    """,
+)
+def media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash dedup — the image-modality sibling of the
+    text MinHash/SimHash passes: 24 planted PNGs (12 bases x 2
+    brightness variants; byte-DIFFERENT files, provably hash-identical
+    content — see operators/multimodal.py plant_phash_png) are decoded
+    by the real pure-stdlib PNG path, average-hashed with an
+    integer-exact threshold (64*block_sum > total_sum; no float bits),
+    and grouped on the 64-bit hash. The DuckDB oracle recomputes every
+    hash bit relationally from the pixel formula, so a defilter,
+    block-average, or threshold bug anywhere flips bits and breaks the
+    match. Scale shape: hashing is embarrassingly parallel mapInPandas;
+    duplicate grouping is ONE hash-partitioned window on a high-entropy
+    key (the production plan at 10^9 images — no pairwise compare,
+    no sort)."""
+    from pyspark.sql.window import Window
+
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    bases = (
+        docs.select("doc_id").orderBy("doc_id").limit(12)
+        .select(F.col("doc_id").alias("b"))
+    )
+    ids = bases.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"), "b"
+    ).select((F.col("b") * 10 + F.col("v")).alias("media_id"))
+    hashes = MM.ahash_images(MM.plant_phash_png(ids))
+    w = Window.partitionBy("ahash")
+    return (
+        hashes.select(
+            "media_id",
+            "ahash",
+            F.min("media_id").over(w).alias("group_id"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        )
+        .where(F.col("group_size") >= 2)
+        .orderBy("group_id", "media_id")
+    )
+
+
+@register(
+    "orders_cdc_apply",
+    """
+    WITH snap AS (
+      SELECT o_orderkey AS k, 0 AS seq, 'U' AS op, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pc
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, 'X1' AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 10000 AS pc
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 20 = 2
+      UNION ALL
+      SELECT o_orderkey, 3, 'U', 'N', CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+      FROM orders WHERE o_orderkey % 4 = 3
+      UNION ALL
+      SELECT o_orderkey, 4, 'U', 'X2',
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 20000
+      FROM orders WHERE o_orderkey % 20 = 1
+      UNION ALL
+      SELECT o_orderkey, 5, 'U', 'R', 0
+      FROM orders WHERE o_orderkey % 40 = 2
+    ),
+    allrows AS (SELECT * FROM snap UNION ALL SELECT * FROM log),
+    ranked AS (
+      SELECT k, seq, op, st, pc,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+             MAX(seq) OVER (PARTITION BY k) AS applied_seq
+      FROM allrows
+    )
+    SELECT CAST(k AS BIGINT) AS o_orderkey, st AS o_orderstatus,
+           CAST(pc AS BIGINT) AS price_cents,
+           CAST(applied_seq AS BIGINT) AS applied_seq
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / MERGE-INTO apply: a snapshot (orders with keys %4!=3 held
+    out) plus a five-source change log — update, delete, late insert,
+    higher-seq re-update, and a delete-then-resurrect — reduced to the
+    final table state by operators/governance.py cdc_apply. The engine
+    plan is ONE hash aggregate (max_by(struct, seq) with map-side
+    partial combine, no per-key sort); the oracle replays the same log
+    with ROW_NUMBER last-writer-wins semantics, so any argmax,
+    tombstone-ordering, or resurrect bug diverges. Exercises every
+    MERGE edge: update-over-update (seq 4 > 1), delete wins (seq 2),
+    delete then re-insert (seq 5 > 2), insert of an absent key (seq 3).
+    Scale shape: the shuffle carries one candidate row per key per
+    mapper; a 100 TB snapshot + skinny delta never sorts."""
+    from .operators import governance as GOV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    snap = orders.where(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("pc"),
+    )
+
+    def src(pred, seq, op, st, pc):
+        return orders.where(pred).select(
+            "o_orderkey",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            st.alias("st"),
+            pc.alias("pc"),
+        )
+
+    k = F.col("o_orderkey")
+    log = (
+        src(k % 10 == 1, 1, "U", F.lit("X1"), cents + 10000)
+        .unionByName(src(k % 20 == 2, 2, "D",
+                         F.lit(None).cast("string"),
+                         F.lit(None).cast("bigint")))
+        .unionByName(src(k % 4 == 3, 3, "U", F.lit("N"), cents))
+        .unionByName(src(k % 20 == 1, 4, "U", F.lit("X2"), cents + 20000))
+        .unionByName(src(k % 40 == 2, 5, "U", F.lit("R"),
+                         F.lit(0).cast("bigint")))
+    )
+    return (
+        GOV.cdc_apply(snap, log, ["o_orderkey"])
+        .select(
+            "o_orderkey",
+            F.col("st").alias("o_orderstatus"),
+            F.col("pc").alias("price_cents"),
+            "applied_seq",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "doc_tfidf_keywords",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM d),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+             ) AS rnk,
+             ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / df.df, 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+    FROM scored WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms per doc by
+    tf/df, raw-ratio idf — see operators/retrieval.py tfidf_keywords
+    for the transcendental-free ranking contract). One corpus explode,
+    vocab-sized df derived from the tf histogram (never a second
+    corpus pass), per-doc window for the top-k."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return RT.tfidf_keywords(docs, k=3).orderBy("doc_id", "rnk")
+
+
+@register(
+    "customer_snm_matches",
+    """
+    WITH u AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             concat(substr(c_name, 1, length(c_name) - 1), 'x'),
+             c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey % 20 = 4
+    ),
+    b AS (
+      SELECT c_custkey AS id, lower(c_name) AS nm,
+             c_nationkey AS nat,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+             substr(lower(c_name), 1, 14) AS pfx
+      FROM u
+    ),
+    r AS (
+      SELECT b.*,
+             ROW_NUMBER() OVER (PARTITION BY pfx ORDER BY nm, id) AS rk
+      FROM b
+    )
+    SELECT LEAST(a.id, c.id) AS id_a, GREATEST(a.id, c.id) AS id_b,
+           CAST(levenshtein(a.nm, c.nm) AS INT) AS name_dist,
+           CAST(c.rk - a.rk AS INT) AS gap
+    FROM r a JOIN r c
+      ON a.pfx = c.pfx AND c.rk - a.rk BETWEEN 1 AND 6
+    WHERE levenshtein(a.nm, c.nm) <= 1
+      AND a.nat = c.nat AND a.bal_cents = c.bal_cents
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_snm_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (the second classic blocking
+    strategy, complementing customer_entity_matches' exact blocking):
+    the same %20==4 last-char-typo plants are caught by sorted ORDER
+    alone — a last-digit-4 name and its mutated twin sit at most 6
+    sorted positions apart (the digits 5-9 between them), so a
+    window=6 neighborhood plus attribute agreement (nationkey, exact
+    balance cents) recovers every plant with no blocking attribute at
+    all. Engine plan: ONE prefix-partitioned window shipping lead()
+    structs (operators/entities.py sorted_neighborhood_matches — no
+    global sort, no ranked self-join); the oracle formulates the same
+    neighborhood as a rank self-join, so the two independent
+    formulations must agree pair-for-pair."""
+    from .operators import entities as EN
+
+    cust = SRC.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    planted = cust.where(F.col("c_custkey") % 20 == 4).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("x")
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    u = cust.unionByName(planted).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        .alias("bal_cents"),
+    )
+    return EN.sorted_neighborhood_matches(
+        u, "c_custkey", "c_name", ("nat", "bal_cents"),
+        window=6, prefix_len=14, max_name_dist=1,
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT c_mktsegment) < 3
+    ORDER BY n_sensitive, n, c_nationkey, bal_band
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) over customer quasi-identifiers (nation,
+    1000-unit balance band) with market segment as the sensitive
+    attribute: a k-anonymous group whose members all share one segment
+    still discloses it. ONE groupBy with a count_distinct; output
+    bounded by at-risk groups (operators/entities.py l_diversity)."""
+    from .operators import entities as EN
+
+    cust = SRC.load(spark, sf_dir, "customer")
+    return EN.l_diversity(
+        cust,
+        [
+            "c_nationkey",
+            ("bal_band", F.floor(F.col("c_acctbal") / 1000.0)
+             .cast("bigint")),
+        ],
+        "c_mktsegment",
+        l=3,
+    ).select(
+        "c_nationkey", "bal_band",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_sensitive").cast("bigint").alias("n_sensitive"),
+    )
+
+
+@register(
+    "basket_item_cosine",
+    """
+    WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    sz AS (SELECT b, COUNT(*) AS bn FROM it GROUP BY 1),
+    k AS (SELECT it.b, it.i FROM it JOIN sz USING (b) WHERE sz.bn <= 1000),
+    m AS (SELECT i, COUNT(*) AS m FROM k GROUP BY 1),
+    co AS (
+      SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_co
+      FROM k a JOIN k c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, CAST(n_co AS BIGINT) AS n_co,
+           CAST(m_a.m AS BIGINT) AS n_a, CAST(m_b.m AS BIGINT) AS n_b,
+           CAST(ROUND(1e6 * n_co
+                      / sqrt(CAST(m_a.m AS DOUBLE) * m_b.m)) AS BIGINT)
+             AS cos_micro
+    FROM co
+    JOIN m m_a ON m_a.i = co.item_a
+    JOIN m m_b ON m_b.i = co.item_b
+    ORDER BY item_a, item_b
+    """,
+)
+def basket_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine neighbors over order baskets (collaborative-
+    filtering neighbor table; operators/basket.py item_cosine): exact
+    |A∩B|/sqrt(|A||B|) from the capped basket self-join, micro-
+    quantized from an all-integer operand chain. Same quadratic guards
+    as basket_part_pairs (basket-size cap before the join, in-aggregate
+    support pruning)."""
+    from .operators import basket as BK
+
+    li = SRC.load(spark, sf_dir, "lineitem")
+    return BK.item_cosine(
+        li, "l_orderkey", "l_partkey", min_co=2, max_basket=1000
+    ).orderBy("item_a", "item_b")

@@ -54,3 +54,49 @@ def test_k_anonymity_groups_and_generalization(spark):
     got = {(r["age"], r["sex"], r["band"]): r["n"] for r in out}
     # (30,M,band=1) has 2 members -> safe; the three singletons are at risk
     assert got == {(30, "F", 0): 1, (40, "M", 0): 1}
+
+
+def test_sorted_neighborhood_catches_last_char_typo(spark):
+    # names sort adjacently once attribute agreement filters the
+    # digit-neighbor noise; typo twin is 2 sorted positions away here
+    rows = [
+        (1, "customer#001", 7, 100),
+        (2, "customer#002", 7, 200),
+        (3, "customer#003", 7, 300),
+        (1001, "customer#00x", 7, 100),  # typo twin of id 1
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, nat int, bal bigint")
+    out = sorted(
+        (r["id_a"], r["id_b"], r["name_dist"], r["gap"])
+        for r in EN.sorted_neighborhood_matches(
+            df, "id", "name", ("nat", "bal"), window=6, prefix_len=8
+        ).collect()
+    )
+    assert out == [(1, 1001, 1, 3)]
+
+
+def test_sorted_neighborhood_window_bound(spark):
+    # the twin sits window+1 positions away -> sorted-neighborhood
+    # recall limit: NOT reported (the documented SNM trade-off)
+    rows = [(i, f"customer#00{i}", 1, 9) for i in range(1, 9)] + [
+        (1001, "customer#00x", 1, 9)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, nat int, bal bigint")
+    out = EN.sorted_neighborhood_matches(
+        df, "id", "name", ("nat", "bal"), window=2, prefix_len=8,
+    ).collect()
+    # with window=2 only ids 7,8 reach the twin (digit neighbors also
+    # pair with each other here — identical attrs by construction)
+    got = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert (1, 1001) not in got
+    assert [p for p in got if p[1] == 1001] == [(7, 1001), (8, 1001)]
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    df = spark.createDataFrame(
+        [(30, "flu"), (30, "flu"), (30, "flu"),
+         (40, "flu"), (40, "cold"), (40, "hiv")],
+        "age int, dx string",
+    )
+    out = EN.l_diversity(df, ["age"], "dx", l=3).collect()
+    assert [(r["age"], r["n"], r["n_sensitive"]) for r in out] == [(30, 3, 1)]

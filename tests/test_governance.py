@@ -423,3 +423,49 @@ def test_ab_test_degenerate_split_surfaces_rows(spark):
     r = out[0]
     assert r["n_users"] == 1 and r["n_converted"] == 1
     assert r["z_micro"] is None
+
+
+def test_cdc_apply_merge_edges(spark):
+    from mobilityduck_spark.operators import governance as GOV
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k int, st string, v int",
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", "a2", 11),   # plain update
+            (1, 2, "U", "a3", 12),   # update-over-update: seq 2 wins
+            (2, 1, "D", None, None),  # delete wins over snapshot
+            (3, 1, "D", None, None),  # delete...
+            (3, 2, "U", "c2", 31),   # ...then resurrect at higher seq
+            (4, 1, "U", "d", 40),    # insert of an absent key
+        ],
+        "k int, seq long, op string, st string, v int",
+    )
+    out = {
+        r["k"]: (r["st"], r["v"], r["applied_seq"])
+        for r in GOV.cdc_apply(snap, log, ["k"]).collect()
+    }
+    assert out == {
+        1: ("a3", 12, 2),
+        3: ("c2", 31, 2),
+        4: ("d", 40, 1),
+    }  # key 2 tombstoned away
+
+
+def test_cdc_apply_plan_is_one_hash_aggregate(spark):
+    from mobilityduck_spark.operators import governance as GOV
+
+    snap = spark.createDataFrame([(1, "a")], "k int, st string")
+    log = spark.createDataFrame(
+        [(1, 1, "U", "b")], "k int, seq long, op string, st string"
+    )
+    plan = GOV.cdc_apply(snap, log, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one-pass argmax: a single exchange, partial max_by map-side,
+    # never a Window (the struct buffer plans as SortAggregate — the
+    # partition-LOCAL sort before the exchange, not a row_number over
+    # the shuffled data)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "max_by" in plan

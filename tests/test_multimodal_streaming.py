@@ -968,3 +968,52 @@ def test_adpcm_planted_wav_closed_form(spark):
         assert samples.shape == (n + 1,)
         assert samples[0] == 0 and samples[-1] == n * d
         assert int(samples.astype("int64").sum()) == d * n * (n + 1) // 2
+
+
+def test_ahash_brightness_invariance_and_sensitivity():
+    """aHash contract: a uniform brightness shift never changes the
+    hash (every strict block-vs-global comparison is preserved); a
+    structural change (one bright block) must flip at least one bit."""
+    import numpy as np
+
+    from mobilityduck_spark.operators.multimodal import encode_png
+
+    def ahash_of(px):
+        # mirror the engine kernel on a local array
+        h, w = px.shape
+        b = px[: h // 8 * 8, : w // 8 * 8].astype(np.int64)
+        bs = b.reshape(8, b.shape[0] // 8, 8, b.shape[1] // 8).sum(axis=(1, 3))
+        return "".join(
+            "1" if 64 * v > bs.sum() else "0" for v in bs.ravel()
+        )
+
+    x = np.arange(32)[None, :]
+    y = np.arange(32)[:, None]
+    base = ((3 * x + 7 * y + 11 * 5) % 199).astype(np.int64)
+    shifted = base + 20
+    assert ahash_of(base) == ahash_of(shifted)
+    structural = base.copy()
+    structural[0:4, 0:4] = 255
+    assert ahash_of(base) != ahash_of(structural)
+    # and the engine decode path reproduces the local kernel bit-exactly
+    from mobilityduck_spark.operators.multimodal import decode_png
+
+    assert (decode_png(encode_png(base.astype(np.uint8)))
+            == base).all()
+
+
+def test_item_cosine_exact_small(spark):
+    from mobilityduck_spark.operators import basket as BK
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+            (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = {
+        (r["item_a"], r["item_b"]): (r["n_co"], r["n_a"], r["n_b"],
+                                     r["cos_micro"])
+        for r in BK.item_cosine(df, "b", "i", min_co=1).collect()
+    }
+    # a: {1,2,3}, b: {1,2,4}, c: {3,4}
+    assert out[("a", "b")] == (2, 3, 3, 666667)   # 2/3
+    assert out[("a", "c")] == (1, 3, 2, 408248)   # 1/sqrt(6)
+    assert out[("b", "c")] == (1, 3, 2, 408248)
