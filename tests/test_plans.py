@@ -409,3 +409,34 @@ def test_seasonal_outliers_broadcasts_moments(spark):
     c = plan_counts(df)
     assert c["broadcast_joins"] >= 1, "cell moments must broadcast back"
     assert c["sortmerge_joins"] == 0
+
+
+def test_round9_session_queries_no_cartesian(spark):
+    """The six session-9 additions: no cartesian/nested-loop over data
+    rows. orders_cdc_apply and privacy_l_diversity are join-free;
+    customer_snm_matches is window-only (the scalable SNM contract —
+    no ranked self-join); basket_item_cosine's joins are all
+    key equi-joins."""
+    for name in [
+        "media_phash_dups",
+        "orders_cdc_apply",
+        "doc_tfidf_keywords",
+        "customer_snm_matches",
+        "privacy_l_diversity",
+        "basket_item_cosine",
+    ]:
+        df = Q.queries()[name](spark, SF)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_snm_plan_is_window_not_self_join(spark):
+    """sorted_neighborhood_matches must plan as ONE window over one
+    exchange — no join operator at all (the rank-self-join is the
+    oracle's formulation, not the engine's)."""
+    df = Q.queries()["customer_snm_matches"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "Window" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, j

@@ -167,3 +167,79 @@ def test_scd2_stream_null_attr_parity(spark, tmp_path):
     assert got == exp
     # the NULL-valued closed intervals are actually present
     assert sum(1 for r in exp if r[1] is None) == 2
+
+
+def test_cdc_stream_equals_batch_apply(spark, tmp_path):
+    """Replaying the CDC log through the stream and keeping each key's
+    LAST emission must equal batch cdc_apply (after dropping
+    tombstones); a late lower-seq change must never regress the view."""
+    from mobilityduck_spark.operators import governance as GV
+    from mobilityduck_spark.streaming.cdc import cdc_stream
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k int, st string, v int",
+    )
+    log_rows = [
+        # (k, seq, op, st, v) — batch 1 then batch 2; batch 2 carries a
+        # LATE lower-seq change for key 1 that must not win
+        [(1, 1, "U", "a2", 11), (2, 1, "D", None, None),
+         (3, 2, "U", "c2", 31), (4, 1, "U", "d", 40)],
+        [(1, 3, "U", "a4", 13), (1, 2, "U", "a3", 12),
+         (3, 1, "D", None, None), (5, 1, "U", "e", 50)],
+    ]
+    base = dt.datetime(2024, 1, 1)
+    src_dir = str(tmp_path / "cdc_src")
+    schema = "key long, ts timestamp, seq long, op string, st string, v long"
+    for i, rows in enumerate(log_rows):
+        spark.createDataFrame(
+            [(k, base + dt.timedelta(minutes=i), s, o, st, v)
+             for (k, s, o, st, v) in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    # snapshot rides the stream as seq-0 upserts (bootstrap batch)
+    spark.createDataFrame(
+        [(k, base, 0, "U", st, v) for (k, st, v) in
+         [(1, "a", 10), (2, "b", 20), (3, "c", 30)]],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        cdc_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.table("cdc_out").collect()
+    last = {}
+    for r in emitted:
+        if r["key"] not in last or r["seq"] > last[r["key"]][0]:
+            last[r["key"]] = (r["seq"], r["op"], r["st"], r["v"])
+    got = {
+        k: (st, v, seq)
+        for k, (seq, op, st, v) in last.items() if op != "D"
+    }
+
+    batch_log = spark.createDataFrame(
+        [r for rows in log_rows for r in rows],
+        "k int, seq long, op string, st string, v int",
+    )
+    exp = {
+        r["k"]: (r["st"], r["v"], r["applied_seq"])
+        for r in GV.cdc_apply(snap, batch_log, ["k"]).collect()
+    }
+    assert got == exp
+    # the late (1, seq=2) change must have been swallowed by state:
+    # emissions for a key are strictly increasing in seq (file pickup
+    # order is not guaranteed, so which prefixes appear can vary, but
+    # seq 2 never can) and the view ends at the true winner
+    key1_seqs = [r["seq"] for r in emitted if r["key"] == 1]
+    assert 2 not in key1_seqs
+    assert max(key1_seqs) == 3
