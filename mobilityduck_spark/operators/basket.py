@@ -98,6 +98,7 @@ def item_cosine(
     item_col: str,
     min_co: int = 2,
     max_basket: int = 1000,
+    min_co_frac: float | None = None,
 ) -> DataFrame:
     """Item-item cosine similarity over basket co-occurrence — the
     collaborative-filtering neighbor table: for items a, b with basket
@@ -110,7 +111,10 @@ def item_cosine(
     BIGINT, so both engines compute the identical double. Same scale
     guards as pair_rules: mega-baskets dropped BEFORE the self-join,
     margins joined on the item key (AQE broadcasts a dim-sized item
-    vocabulary on its own)."""
+    vocabulary on its own); `min_co_frac` raises the threshold to
+    max(min_co, ceil(frac * n_baskets)) — the scale-invariant RELATIVE
+    support that keeps the neighbor table "genuinely co-bought pairs"
+    as the corpus grows."""
     items = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
@@ -125,8 +129,20 @@ def item_cosine(
         a.join(bb, (a["b"] == bb["b2"]) & (a["item_a"] < bb["item_b"]))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_co"))
-        .where(F.col("n_co") >= min_co)
     )
+    if min_co_frac is not None:
+        n_baskets = items.select("b").distinct().agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        co = co.crossJoin(F.broadcast(n_baskets)).where(
+            F.col("n_co")
+            >= F.greatest(
+                F.lit(min_co),
+                F.ceil(F.lit(min_co_frac) * F.col("nb")),
+            )
+        ).drop("nb")
+    else:
+        co = co.where(F.col("n_co") >= min_co)
     ma = margins.select(F.col("i").alias("item_a"), F.col("m").alias("n_a"))
     mb = margins.select(F.col("i").alias("item_b"), F.col("m").alias("n_b"))
     return (

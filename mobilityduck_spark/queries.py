@@ -6913,11 +6913,15 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz AS (SELECT b, COUNT(*) AS bn FROM it GROUP BY 1),
     k AS (SELECT it.b, it.i FROM it JOIN sz USING (b) WHERE sz.bn <= 1000),
     m AS (SELECT i, COUNT(*) AS m FROM k GROUP BY 1),
+    nb AS (SELECT COUNT(DISTINCT b) AS nb FROM k),
     co AS (
+      -- scale-invariant RELATIVE co-occurrence threshold (see
+      -- basket_part_pairs): max(2, ceil(2e-5 * baskets))
       SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_co
       FROM k a JOIN k c ON a.b = c.b AND a.i < c.i
       GROUP BY 1, 2
-      HAVING COUNT(*) >= 2
+      HAVING COUNT(*) >= GREATEST(
+        2, CAST(CEIL(0.00002 * (SELECT nb FROM nb)) AS BIGINT))
     )
     SELECT item_a, item_b, CAST(n_co AS BIGINT) AS n_co,
            CAST(m_a.m AS BIGINT) AS n_a, CAST(m_b.m AS BIGINT) AS n_b,
@@ -6941,5 +6945,6 @@ def basket_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = SRC.load(spark, sf_dir, "lineitem")
     return BK.item_cosine(
-        li, "l_orderkey", "l_partkey", min_co=2, max_basket=1000
+        li, "l_orderkey", "l_partkey", min_co=2, max_basket=1000,
+        min_co_frac=2e-5,
     ).orderBy("item_a", "item_b")
