@@ -1638,3 +1638,72 @@ def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "ahash"])
 
     return media.mapInPandas(op, schema="media_id long, ahash string")
+
+
+def plant_fp_wav(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL PCM WAV per id for the audio-fingerprint dedup
+    oracle: base = media_id // 10, variant = media_id % 10,
+    n = 4000 + (base%5)*400 samples of
+    sample(i) = ((7919·i + 104729·base) % 16384 − 8192) · (1+variant).
+    Variants of one base are byte-DIFFERENT files (every sample
+    scaled) whose energy fingerprint is provably identical — a uniform
+    amplitude scale k multiplies every frame energy and the total
+    energy by k², preserving every strict frame>mean comparison. That
+    is the loudness-normalization duplicate class an audio dedup pass
+    must catch. Scale ≤ 2 keeps |sample| ≤ 16382 < 2^15 (no clip)."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                base, variant = mid // 10, mid % 10
+                n = 4000 + (base % 5) * 400
+                i = np.arange(n, dtype=np.int64)
+                s = (((7919 * i + 104729 * base) % 16384 - 8192)
+                     * (1 + variant)).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                out.append((mid, wav))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def fingerprint_audio(media: DataFrame, frames: int = 64) -> DataFrame:
+    """Energy fingerprint per audio item — the audio sibling of
+    ahash_images: decode real WAV bytes, crop to a frame-divisible
+    length, split into `frames` equal frames, threshold each frame's
+    energy (sum of squared samples, exact int64) STRICTLY above the
+    mean via the integer comparison frames·e_j > e_total. Returns the
+    fingerprint as a '0'/'1' string. Invariant to uniform amplitude
+    scaling (energies scale together), sensitive to structure.
+
+    Scale shape: embarrassingly parallel mapInPandas; downstream dup
+    grouping is one hash-partitioned shuffle on a high-entropy key."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, samples = decode_real(bytes(content), "audio")
+                s = samples.astype(np.int64)
+                ln = (s.size // frames) * frames
+                e = (s[:ln] ** 2).reshape(frames, ln // frames).sum(axis=1)
+                tot = int(e.sum())
+                rows.append(
+                    (int(mid), "".join(
+                        "1" if frames * v > tot else "0" for v in e
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return media.mapInPandas(op, schema="media_id long, afp string")

@@ -88,6 +88,8 @@ _DRIVER_PRIORITY = [
     "customer_snm_matches",      # NEW: sorted-neighborhood linkage
     "privacy_l_diversity",       # NEW: attribute-disclosure audit
     "basket_item_cosine",        # NEW: item-item cosine neighbors
+    "media_audio_dups",          # NEW: audio energy-fingerprint dedup
+    "events_grouping_sets",      # NEW: mixed-granularity GROUPING SETS
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -6948,3 +6950,141 @@ def basket_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey", min_co=2, max_basket=1000,
         min_co_frac=2e-5,
     ).orderBy("item_a", "item_b")
+
+
+@register(
+    "media_audio_dups",
+    """
+    WITH bases AS (
+      SELECT doc_id AS b FROM documents ORDER BY doc_id LIMIT 10
+    ),
+    au AS (
+      SELECT bs.b * 10 + v.v AS media_id, bs.b, 1 + v.v AS scale,
+             4000 + (bs.b % 5) * 400 AS n
+      FROM bases bs, (VALUES (0), (1)) AS v(v)
+    ),
+    idx AS (SELECT unnest(range(0, 5600)) AS i),
+    s AS (
+      SELECT a.media_id, a.n, idx.i // (a.n // 64) AS frame,
+             ((7919 * idx.i + 104729 * a.b) % 16384 - 8192) * a.scale AS v
+      FROM au a, idx
+      WHERE idx.i < 64 * (a.n // 64)
+    ),
+    fr AS (
+      SELECT media_id, frame, SUM(v * v) AS e
+      FROM s GROUP BY media_id, frame
+    ),
+    tot AS (SELECT media_id, SUM(e) AS te FROM fr GROUP BY media_id),
+    bits AS (
+      SELECT f.media_id, f.frame,
+             CASE WHEN 64 * f.e > t.te THEN '1' ELSE '0' END AS bit
+      FROM fr f JOIN tot t USING (media_id)
+    ),
+    fps AS (
+      SELECT media_id, string_agg(bit, '' ORDER BY frame) AS afp
+      FROM bits GROUP BY media_id
+    ),
+    grp AS (
+      SELECT media_id, afp,
+             MIN(media_id) OVER (PARTITION BY afp) AS group_id,
+             COUNT(*) OVER (PARTITION BY afp) AS group_size
+      FROM fps
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, afp,
+           CAST(group_id AS BIGINT) AS group_id,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM grp WHERE group_size >= 2
+    ORDER BY group_id, media_id
+    """,
+)
+def media_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint dedup — the audio sibling of media_phash_dups:
+    20 planted PCM WAVs (10 bases x 2 amplitude scales; byte-different
+    files, provably fingerprint-identical — see
+    operators/multimodal.py plant_fp_wav) decoded by the real RIFF
+    parser, energy-fingerprinted with an integer-exact threshold
+    (64·frame_energy > total_energy), grouped on the fingerprint. The
+    oracle recomputes every bit from the sample formula, so a header-
+    parse, frame-split, or threshold bug breaks the match. Loudness-
+    normalized duplicates are exactly what this catches at corpus
+    scale: hashing is mapInPandas, grouping is ONE hash-partitioned
+    window on a high-entropy key."""
+    from pyspark.sql.window import Window
+
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    bases = (
+        docs.select("doc_id").orderBy("doc_id").limit(10)
+        .select(F.col("doc_id").alias("b"))
+    )
+    ids = bases.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"), "b"
+    ).select((F.col("b") * 10 + F.col("v")).alias("media_id"))
+    fps = MM.fingerprint_audio(MM.plant_fp_wav(ids))
+    w = Window.partitionBy("afp")
+    return (
+        fps.select(
+            "media_id",
+            "afp",
+            F.min("media_id").over(w).alias("group_id"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        )
+        .where(F.col("group_size") >= 2)
+        .orderBy("group_id", "media_id")
+    )
+
+
+@register(
+    "events_grouping_sets",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hr,
+             value
+      FROM events
+    )
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(dow, -1) AS dow, COALESCE(hr, -1) AS hr,
+           CAST(GROUPING(event_type, dow, hr) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type, hr),
+                            (event_type), ())
+    ORDER BY gid, event_type, dow, hr
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general mixed-granularity form completing
+    the ROLLUP (doc_rollup_stats) / CUBE (events_cube_stats) family:
+    per-type-by-day-of-week AND per-type-by-hour AND per-type AND grand
+    total in ONE scan, a set list neither ROLLUP nor CUBE can express
+    (no (dow) or (dow, hr) sets). Catalyst's Expand fans each row to
+    its 4 sets before partial aggregation, so the shuffle carries only
+    group keys — one table read replaces four reports at 100 TB.
+    Day/hour keys are epoch-anchored integer arithmetic (timezone-free
+    on any engine); values are micro-quantized BEFORE the sum so
+    aggregation order can't perturb the hash."""
+    ev = SRC.load(spark, sf_dir, "events")
+    ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 86400000000") % 7).alias("dow"),
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hr"),
+        F.round(F.col("value") * 1000000, 0).cast("bigint").alias("vu"),
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(dow, -1L) AS dow, COALESCE(hr, -1L) AS hr,
+               CAST(GROUPING_ID(event_type, dow, hr) AS BIGINT) AS gid,
+               COUNT(*) AS n_events,
+               SUM(vu) AS value_micro
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type, hr),
+                                (event_type), ())
+        ORDER BY gid, event_type, dow, hr
+        """
+    )

@@ -1017,3 +1017,32 @@ def test_item_cosine_exact_small(spark):
     assert out[("a", "b")] == (2, 3, 3, 666667)   # 2/3
     assert out[("a", "c")] == (1, 3, 2, 408248)   # 1/sqrt(6)
     assert out[("b", "c")] == (1, 3, 2, 408248)
+
+
+def test_audio_fingerprint_scale_invariance_and_sensitivity():
+    import numpy as np
+
+    def fp_of(s, frames=64):
+        s = s.astype(np.int64)
+        ln = (s.size // frames) * frames
+        e = (s[:ln] ** 2).reshape(frames, ln // frames).sum(axis=1)
+        return "".join("1" if frames * v > e.sum() else "0" for v in e)
+
+    i = np.arange(4400, dtype=np.int64)
+    base = (7919 * i + 104729 * 3) % 16384 - 8192
+    assert fp_of(base) == fp_of(2 * base)        # loudness-normalized dup
+    structural = base.copy()
+    structural[:200] = 0                          # silence the first frames
+    assert fp_of(base) != fp_of(structural)
+    # engine WAV round-trip reproduces the local kernel bit-exactly
+    import struct
+
+    from mobilityduck_spark.operators.multimodal import decode_wav
+
+    data = base.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    rate, got = decode_wav(wav)
+    assert rate == 16000 and (got.astype(np.int64) == base).all()

@@ -440,3 +440,20 @@ def test_snm_plan_is_window_not_self_join(spark):
     assert "Window" in plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert j not in plan, j
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """GROUPING SETS must fold all four set aggregations into ONE scan
+    through one Expand — never four reads of the table."""
+    df = Q.queries()["events_grouping_sets"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert plan.count("Expand") >= 1
+    assert plan.lower().count("events.parquet") <= plan.lower().count("parquet") and \
+        plan.count("FileScan") == 1, "one scan feeds every grouping set"
+
+
+def test_audio_dups_window_only(spark):
+    df = Q.queries()["media_audio_dups"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
