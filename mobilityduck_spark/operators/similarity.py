@@ -1146,3 +1146,114 @@ def pca_power_top(
     if v[np.argmax(np.abs(v))] < 0:
         v = -v
     return [float(x) for x in v]
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS "IVF<n>,PQ<m>"
+    with by_residual=False): the coarse quantizer prunes the corpus to
+    `n_probe` cells per query, and ADC scores ONLY the candidates over
+    their 4-byte-per-subspace codes — the float corpus is read zero
+    times at search.
+
+    Plan shape at 100 TB: the index (cell + codes per vector) is built
+    once; a query batch routes via a tiny queries×centroids broadcast
+    (window top-n_probe), then ONE equi-join on cell against the codes
+    table (dynamic partition pruning skips unprobed cells when the
+    index is at rest, see save_ivf_index), with the ADC dot tables
+    riding the broadcast probe side. Per-candidate work is m
+    element_at lookups in whole-stage codegen — no floats, no
+    reconstruction, no cross join against the corpus."""
+    assigned, centroids = build_ivf_index(
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    cents = pq_train(emb, vec_col=vec_col, m=m, k=kc, id_col=id_col)
+    codes = pq_codes(assigned, cents, id_col, vec_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+
+    # ---- route: n_probe nearest cells per query (ivf_search contract)
+    qc = queries.crossJoin(F.broadcast(centroids))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col(query_vec_col), F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        l2.asc(), F.col("cell").asc()
+    )
+    mq, nk, dsub = cents.shape
+    cmat = cents.copy()
+
+    @F.pandas_udf("array<array<double>>")
+    def _dot_tables(qv: pd.Series) -> pd.Series:
+        out = []
+        for v in qv:
+            q = np.asarray(v, dtype=np.float64)
+            out.append([
+                (cmat[s] @ q[s * dsub : (s + 1) * dsub]).tolist()
+                for s in range(mq)
+            ])
+        return pd.Series(out)
+
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select(
+            query_id_col, "cell",
+            _dot_tables(F.col(query_vec_col)).alias("_dt"),
+            norm(F.col(query_vec_col)).alias("_qn"),
+        )
+    )
+
+    # ---- ADC over candidates only (pq_topk's scoring expressions)
+    flat = cents.reshape(mq * nk, dsub)
+    rnorm2 = (flat * flat).sum(1).reshape(mq, nk)
+    n2_tab = F.array(*[
+        F.array(*[F.lit(float(x)) for x in rnorm2[s]]) for s in range(mq)
+    ])
+    num = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_dt"),
+                   lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rn = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("codes"), n2_tab,
+                       lambda c, t: F.element_at(t, c + 1)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = codes.join(F.broadcast(probes), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            F.when((rn > 0) & (F.col("_qn") > 0), num / (rn * F.col("_qn")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pq_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -90,6 +90,8 @@ _DRIVER_PRIORITY = [
     "basket_item_cosine",        # NEW: item-item cosine neighbors
     "media_audio_dups",          # NEW: audio energy-fingerprint dedup
     "events_grouping_sets",      # NEW: mixed-granularity GROUPING SETS
+    "embed_ivfpq_recall",        # NEW: IVF-PQ routed-ADC recall gate
+    "orders_incremental_join_view",  # NEW: delta-join view maintenance
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7088,3 +7090,103 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, event_type, dow, hr
         """
     )
+
+
+@register(
+    "embed_ivfpq_recall",
+    """
+    SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id
+    FROM embeddings
+    WHERE vec_id % 40 = 0 AND vec_id < 2000
+    ORDER BY query_id
+    """,
+)
+def embed_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall gate (planted-copy scheme, the composition of
+    embed_ivf_probe_recall and embed_pq_recall): every 4th embedding
+    gets an exact copy at vec_id + 1,000,000. An identical vector
+    routes to the SAME coarse cell (deterministic assignment kernel)
+    and quantizes to the SAME m sub-codes, and the query probes its
+    own nearest cells — so the planted copy is always among the ADC
+    candidates and must surface in the top-3 (code collisions measured
+    zero on this corpus; ties break by id). Exercises the full
+    production path: route -> cell equi-join -> ADC over codes. The
+    oracle is the planted list itself."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    plants = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(plants)
+    qdf = emb.filter(
+        (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    topk = SIM.ivfpq_topk(corpus, qdf, k=3, n_centroids=16, n_probe=2,
+                          m=8, kc=16)
+    return (
+        topk.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
+        .select("query_id", "vec_id")
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "orders_incremental_join_view",
+    """
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l.cents) AS BIGINT) AS msum
+    FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+    ORDER BY o.o_custkey
+    """,
+)
+def orders_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (delta-join algebra; see
+    operators/governance.py incremental_join_view): the revenue-per-
+    customer view over orders⋈lineitem is maintained from a snapshot
+    plus deltas on BOTH sides — new orders (%10==7, arriving with
+    their first line), late lines on existing orders (%10==3,
+    linenumber>=5), and the overlap — so all three delta terms
+    (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) are provably non-empty. The oracle is the
+    FULL recompute over the unions: a green row proves
+    V(A∪ΔA, B∪ΔB) = V(A,B) ⊕ Δ-terms, the identity that lets a
+    100 TB view absorb a skinny delta without re-reading the corpus."""
+    from .operators import governance as GOV
+
+    orders = SRC.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = SRC.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            * 100, 0,
+        ).cast("bigint").alias("measure"),
+    )
+    d_o = F.col("o_orderkey") % 10 == 7
+    d_l = ((F.col("o_orderkey") % 10 == 7) & (F.col("l_linenumber") >= 2)) | (
+        (F.col("o_orderkey") % 10 == 3) & (F.col("l_linenumber") >= 5)
+    )
+    view = GOV.incremental_join_view(
+        orders.where(~d_o),
+        orders.where(d_o),
+        li.where(~d_l).drop("l_linenumber"),
+        li.where(d_l).drop("l_linenumber"),
+        "o_orderkey",
+        ["o_custkey"],
+    )
+    return view.orderBy("o_custkey")

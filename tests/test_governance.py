@@ -469,3 +469,44 @@ def test_cdc_apply_plan_is_one_hash_aggregate(spark):
     # the shuffled data)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan and "max_by" in plan
+
+
+def test_incremental_join_view_all_terms_nonempty(spark):
+    """The delta-join identity only proves something if every term
+    contributes: check each of the four partials is non-empty on the
+    registered split, and the merged view equals the full recompute."""
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import governance as GOV
+    from mobilityduck_spark.sources import tables as SRC
+
+    sf = "/root/testdata/sf0.001"
+    orders = SRC.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = SRC.load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.lit(1).alias("measure"),
+    )
+    d_o = F.col("o_orderkey") % 10 == 7
+    d_l = ((F.col("o_orderkey") % 10 == 7) & (F.col("l_linenumber") >= 2)) | (
+        (F.col("o_orderkey") % 10 == 3) & (F.col("l_linenumber") >= 5)
+    )
+    a_old, a_new = orders.where(~d_o), orders.where(d_o)
+    b_old = li.where(~d_l).drop("l_linenumber")
+    b_new = li.where(d_l).drop("l_linenumber")
+    for name, (a, b) in {
+        "dA_B": (a_new, b_old), "A_dB": (a_old, b_new),
+        "dA_dB": (a_new, b_new),
+    }.items():
+        assert a.join(b, "o_orderkey").count() > 0, name
+    inc = GOV.incremental_join_view(
+        a_old, a_new, b_old, b_new, "o_orderkey", ["o_custkey"]
+    )
+    full = (
+        orders.join(li.drop("l_linenumber"), "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("measure").alias("msum"))
+    )
+    got = {r["o_custkey"]: (r["n_rows"], r["msum"]) for r in inc.collect()}
+    exp = {r["o_custkey"]: (r["n_rows"], r["msum"]) for r in full.collect()}
+    assert got == exp
