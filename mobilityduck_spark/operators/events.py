@@ -1569,3 +1569,58 @@ def incremental_rollup_merge(
             F.sum("sum_micro").cast("bigint").alias("sum_micro"),
         )
     )
+
+
+def walkforward_split(
+    events: DataFrame,
+    n_folds: int = 4,
+    embargo_us: int = 86_400_000_000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Walk-forward (expanding-window) time-series cross-validation
+    assignment with an embargo — the leakage-safe temporal CV a
+    time-dependent model must use instead of a random split: the time
+    span is cut into n_folds equal test windows; for test fold f, a
+    row is TRAIN iff it precedes the fold's window by more than
+    `embargo_us` (the embargo purges rows whose influence leaks across
+    the boundary through windowed features), TEST iff inside the
+    window, and excluded otherwise (never future rows). Returns one
+    row per (event, fold) with the role — the explode is bounded by
+    n_folds, a constant.
+
+    Scale shape (100 TB): the fold boundaries derive from ONE 1-row
+    min/max aggregate broadcast back; assignment is a scan-speed
+    expression over the crossed fold sequence (events × n_folds rows,
+    linear); no shuffle at all beyond the anchor."""
+    b = events.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("t0"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("t1"),
+    )
+    tagged = events.withColumn(
+        "_tus", F.unix_micros(F.col(ts_col))
+    ).crossJoin(F.broadcast(b))
+    # fold f's test window is [t0 + f*w, t0 + (f+1)*w) with
+    # w = ceil(span+1 / n_folds) so the max timestamp lands in the
+    # last fold (integer arithmetic, engine-portable)
+    w = F.ceil((F.col("t1") - F.col("t0") + 1) / F.lit(n_folds)).cast("long")
+    folds = tagged.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_folds - 1))
+        ).alias("fold"),
+    )
+    lo = F.col("t0") + F.col("fold") * w
+    hi = F.col("t0") + (F.col("fold") + 1) * w
+    role = (
+        F.when((F.col("_tus") >= lo) & (F.col("_tus") < hi), F.lit("test"))
+        .when(F.col("_tus") < lo - F.lit(embargo_us), F.lit("train"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        folds.select(
+            "*", F.col("fold").cast("int").alias("_f"), role.alias("role")
+        )
+        .where(F.col("role").isNotNull())
+        .drop("t0", "t1", "_tus", "fold")
+        .withColumnRenamed("_f", "fold")
+    )

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "embed_ivfpq_recall",        # NEW: IVF-PQ routed-ADC recall gate
     "orders_incremental_join_view",  # NEW: delta-join view maintenance
     "media_tiff_stats",          # NEW: baseline-TIFF container round-trip
+    "events_walkforward_split",  # NEW: embargoed time-series CV split
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7235,3 +7236,50 @@ def media_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"))
     )
     return MM.tiff_stats(MM.plant_gradient_tiff(ids)).orderBy("media_id")
+
+
+@register(
+    "events_walkforward_split",
+    """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+    ),
+    w AS (
+      SELECT t0, CAST(CEIL((t1 - t0 + 1) / 4.0) AS BIGINT) AS w FROM b
+    ),
+    f AS (SELECT unnest(range(0, 4)) AS fold),
+    r AS (
+      SELECT e.event_id, f.fold, epoch_us(e.ts) AS tus,
+             w.t0 + f.fold * w.w AS lo,
+             w.t0 + (f.fold + 1) * w.w AS hi
+      FROM events e, f, w
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id, CAST(fold AS INT) AS fold,
+           CASE WHEN tus >= lo AND tus < hi THEN 'test'
+                WHEN tus < lo - 86400000000 THEN 'train' END AS role
+    FROM r
+    WHERE (tus >= lo AND tus < hi) OR tus < lo - 86400000000
+    ORDER BY event_id, fold
+    """,
+)
+def events_walkforward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward time-series CV with a 1-day embargo (4 folds) —
+    the leakage-safe temporal split a time-dependent model needs
+    instead of a random one (operators/events.py walkforward_split):
+    each fold's TEST window is one quarter of the span; TRAIN rows
+    must precede it by more than the embargo, so windowed features
+    computed near the boundary can't leak. One 1-row min/max anchor
+    broadcast back; assignment is a scan-speed expression over the
+    constant-bounded (event × fold) sequence — no data shuffle."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return (
+        EV.walkforward_split(ev, n_folds=4, embargo_us=86_400_000_000)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "fold",
+            "role",
+        )
+        .orderBy("event_id", "fold")
+    )

