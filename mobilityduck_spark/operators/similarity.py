@@ -1257,3 +1257,42 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the k most-similar corpus vectors whose label DIFFERS
+    from the anchor's — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable). Exact cosine over
+    the label-filtered corpus; ties break on id.
+
+    Scale shape: this is the exact baseline (one broadcast of the
+    bounded anchor batch over a corpus scan — the same contract as
+    brute_force_topk); at 10^9 vectors mine through the IVF-PQ index
+    instead (route → cell equi-join → ADC) and apply the same label
+    predicate to the candidate set before the top-k window."""
+    joined = emb.crossJoin(F.broadcast(queries)).where(
+        F.col(label_col) != F.col(query_label_col)
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

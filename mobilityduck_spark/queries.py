@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "orders_incremental_join_view",  # NEW: delta-join view maintenance
     "media_tiff_stats",          # NEW: baseline-TIFF container round-trip
     "events_walkforward_split",  # NEW: embargoed time-series CV split
+    "embed_hard_negatives",      # NEW: contrastive hard-negative mining
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7283,3 +7284,59 @@ def events_walkforward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id", "fold")
     )
+
+
+@register(
+    "embed_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 5
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt((SELECT SUM(v::DOUBLE * v::DOUBLE)
+                   FROM (SELECT unnest(embedding) v))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             ROUND(
+               (SELECT SUM(av::DOUBLE * bv::DOUBLE)
+                FROM (SELECT unnest(e.embedding) av, unnest(q.qv) bv))
+               / (ne.nrm * nq.nrm), 6) + 0.0 AS cos
+      FROM embeddings e
+      CROSS JOIN q
+      JOIN n ne ON ne.vec_id = e.vec_id
+      JOIN n nq ON nq.vec_id = q.query_id
+      WHERE e.label <> q.ql
+    )
+    SELECT query_id, vec_id, label, cos, rank FROM (
+      SELECT query_id, vec_id, label, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    for each anchor, the 5 most-similar vectors with a DIFFERENT label
+    — the contrastive-training negatives that matter. Exact cosine
+    over the label-filtered corpus, the predicate applied BEFORE the
+    top-k window (a post-filter would silently return fewer than k).
+    The brute-force form is the exact baseline; the 10^9-vector path
+    mines through the IVF-PQ candidates with the same predicate."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return SIM.hard_negatives(emb, qdf, k=5).select(
+        "query_id", "vec_id", "label", "cos", "rank"
+    ).orderBy("query_id", "rank")
