@@ -32,6 +32,12 @@ HEADLINE = [
     "doc_chunk_dedup",   # min(struct) winner groupBy + ordered reassembly
     "events_rfm",        # two-level-rank NTILE, no global sort
     "graph_lpa_communities",  # persisted edges, per-round equi-joins
+    # round-9 session representatives
+    "orders_cdc_apply",  # one-exchange max_by argmax (no window, no join)
+    "customer_snm_matches",   # prefix-partitioned lead() window, join-free
+    "embed_ivfpq_recall",     # route → cell equi-join → codegen ADC
+    "orders_incremental_join_view",  # 4 domain-sized partials, 1 merge
+    "events_grouping_sets",   # one scan, one Expand, 4 grouping sets
 ]
 
 
