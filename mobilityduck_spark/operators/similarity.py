@@ -1296,3 +1296,49 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def sampled_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    salt: str = "neg1",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Deterministic uniform negative sampling — the random-negative
+    baseline next to hard_negatives: for each anchor, k corpus items
+    with a DIFFERENT label chosen by an engine-portable md5 race over
+    (anchor, candidate, salt). Deterministic across engines, partitions
+    and reruns (the property `rand()` cannot give), so the sample is
+    reproducible training data, not a lottery. Returns
+    (query_id, vec_id, label, rank).
+
+    Scale shape: candidate ranking is a per-anchor window over the
+    label-filtered (anchor × corpus) relation — exact baseline for
+    bounded anchor batches; at 10^9 items sample within the anchor's
+    IVF cell complement or pre-bucket candidates by md5 prefix so the
+    race runs on a hash-bounded slice."""
+    pairs = emb.select(
+        F.col(id_col), F.col(label_col)
+    ).crossJoin(F.broadcast(queries.select(query_id_col, query_label_col)))
+    pairs = pairs.where(F.col(label_col) != F.col(query_label_col))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(
+                F.col(query_id_col).cast("string"), F.lit("-"),
+                F.col(id_col).cast("string"), F.lit("-" + salt),
+            )), 1, 8,
+        ), 16, 10,
+    ).cast("long")
+    w = Window.partitionBy(query_id_col).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, label_col,
+                F.col("rank").cast("int").alias("rank"))
+    )

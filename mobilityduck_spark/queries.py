@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = [
     "media_tiff_stats",          # NEW: baseline-TIFF container round-trip
     "events_walkforward_split",  # NEW: embargoed time-series CV split
     "embed_hard_negatives",      # NEW: contrastive hard-negative mining
+    "embed_sampled_negatives",   # NEW: deterministic random negatives
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7340,3 +7341,45 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, qdf, k=5).select(
         "query_id", "vec_id", "label", "cos", "rank"
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "embed_sampled_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS ql
+      FROM embeddings WHERE vec_id < 5
+    ),
+    pairs AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             CAST(('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || '-' ||
+                   CAST(e.vec_id AS VARCHAR) || '-neg1'), 1, 8)) AS UBIGINT)
+               AS u
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.ql
+    )
+    SELECT query_id, vec_id, label, rank FROM (
+      SELECT query_id, vec_id, label,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY u ASC, vec_id ASC) AS INT)
+               AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def embed_sampled_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling (operators/similarity.py
+    sampled_negatives) — the reproducible random-negative baseline next
+    to embed_hard_negatives: an md5 race over (anchor, candidate)
+    yields the same k different-label negatives on any engine,
+    partitioning, or rerun. The oracle replays the identical race in
+    DuckDB."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+    )
+    return SIM.sampled_negatives(emb, qdf, k=5).orderBy("query_id", "rank")
