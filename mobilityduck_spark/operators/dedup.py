@@ -911,3 +911,101 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .orderBy("inner_id", "outer_id")
     )
+
+
+def ssjoin_prefix(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    df_cap: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact set-similarity join with PPJoin-style PREFIX FILTERING —
+    an algorithmically tighter candidate generator than the df-capped
+    full token join (ngram_jaccard_pairs): order every document's
+    distinct tokens by global rarity (df asc, token asc) and index only
+    each document's first |x| - ceil(t*|x|) + 1 tokens; the prefix
+    theorem guarantees any pair with Jaccard >= t shares at least one
+    PREFIX token, so the candidate equi-join runs on the rare end of
+    the vocabulary where buckets are small. Verification is per-pair
+    array_intersect over the two bounded token lists — no second
+    token-level shuffle. Tokens with df > df_cap are dropped from the
+    similarity universe on BOTH engines (corpus stopwords are a
+    quadratic bucket no ordering saves; same cap contract as the gram
+    ops). The threshold test is the exact integer comparison
+    1e6*inter >= t_micro*(union), so no float boundary can flip a pair.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jac_micro), doc_a <
+    doc_b, Jaccard >= threshold over the df-capped distinct-token sets.
+
+    Scale shape (100 TB): one vocab-sized df aggregate; per-doc sort is
+    array_sort over bounded token lists (no global window); the ONLY
+    pairwise join is on prefix tokens (rare by construction, hard-capped
+    by df_cap); verification touches candidates only."""
+    t_micro = int(round(threshold * 1_000_000))
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(TX.tokens(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= df_cap
+    )
+    tok = tok.join(dfreq, "w")
+    lists = tok.groupBy("doc").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("w")))
+        ).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "doc", "n",
+        F.transform(F.col("toks"), lambda s: s["w"]).alias("ws"),
+    )
+    # prefix length |x| - ceil(t|x|) + 1 (>=1 for any t <= 1)
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    prefix = lists.select(
+        "doc", F.explode(F.slice("ws", 1, plen)).alias("w")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), F.col("a.w") == F.col("b.w"))
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    la = lists.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"),
+        F.col("ws").alias("ws_a"),
+    )
+    lb = lists.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"),
+        F.col("ws").alias("ws_b"),
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    verified = (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            inter.cast("bigint").alias("n_common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+        .where(
+            F.lit(1_000_000) * F.col("n_common")
+            >= F.lit(t_micro)
+            * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return verified.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        F.round(
+            F.lit(1e6) * F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).cast("bigint").alias("jac_micro"),
+    )

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = [
     "events_walkforward_split",  # NEW: embargoed time-series CV split
     "embed_hard_negatives",      # NEW: contrastive hard-negative mining
     "embed_sampled_negatives",   # NEW: deterministic random negatives
+    "doc_ssjoin_pairs",          # NEW: PPJoin prefix-filtered Jaccard
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7383,3 +7384,53 @@ def embed_sampled_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("query_label"),
     )
     return SIM.sampled_negatives(emb, qdf, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "doc_ssjoin_pairs",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS doc, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE w <> ''
+    ),
+    dfreq AS (
+      SELECT w, COUNT(*) AS df FROM tok GROUP BY w HAVING COUNT(*) <= 256
+    ),
+    kept AS (SELECT tok.doc, tok.w FROM tok JOIN dfreq USING (w)),
+    sz AS (SELECT doc, COUNT(*) AS n FROM kept GROUP BY doc),
+    co AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.w = b.w AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(ROUND(1e6 * c / (sa.n + sb.n - c)) AS BIGINT) AS jac_micro
+    FROM co
+    JOIN sz sa ON sa.doc = co.doc_a
+    JOIN sz sb ON sb.doc = co.doc_b
+    WHERE 1000000 * c >= 600000 * (sa.n + sb.n - c)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def doc_ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join at Jaccard >= 0.6 via PPJoin
+    prefix filtering (operators/dedup.py ssjoin_prefix): candidates
+    come ONLY from rare-end prefix tokens (the prefix theorem makes
+    this lossless), verification is per-pair array_intersect. The
+    oracle computes the same exact pair set by brute-force token
+    self-join — two INDEPENDENT formulations of the same semantics, so
+    a lost candidate (prefix bug) or a wrong intersection shows up as
+    a row diff. Integer threshold test on both engines (no float
+    boundary)."""
+    from .operators import dedup as DD
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return DD.ssjoin_prefix(docs, threshold=0.6, df_cap=256).orderBy(
+        "doc_a", "doc_b"
+    )

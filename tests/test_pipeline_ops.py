@@ -162,3 +162,51 @@ def test_classifier_calibration_mass_and_bounds(spark):
         assert 0 <= r.bucket <= 7
     lo, hi = out[0], out[-1]
     assert hi.n_keep / hi.n_docs > lo.n_keep / lo.n_docs
+
+
+def test_ssjoin_prefix_lossless_and_tighter(spark):
+    """The prefix filter must lose NOTHING vs brute force (theorem
+    check on adversarial near-threshold sets) and must generate
+    strictly fewer candidates than the full token join on skewed data."""
+    from pyspark.sql import functions as F
+
+    from mobilityduck_spark.operators import dedup as DD
+
+    rows = [
+        (1, "a b c d e"),          # J(1,2)=4/6=0.667 >= 0.6
+        (2, "a b c d x"),
+        (3, "a b c q r s"),        # J(1,3)=3/8=0.375 < 0.6
+        (4, "z y w v u"),          # J(4,5)=5/5=1.0
+        (5, "u v w y z"),
+        (6, "m n"),                # J(6,7)=1/3 < 0.6
+        (7, "m o"),
+        (8, "p q"),                # J(8,9)=2/2=1.0 (tiny sets)
+        (9, "q p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jac_micro"])
+        for r in DD.ssjoin_prefix(df, threshold=0.6, df_cap=100).collect()
+    )
+    assert got == [(1, 2, 666667), (4, 5, 1000000), (8, 9, 1000000)]
+
+    # candidate tightness on skew: one token shared by everyone
+    rows2 = [(i, "common tok%d tok%d" % (i, i + 1)) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    tok = (
+        df2.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+        ).distinct()
+    )
+    full_pairs = (
+        tok.alias("a").join(tok.alias("b"), "w")
+        .where(F.col("a.doc_id") < F.col("b.doc_id")).count()
+    )
+    # ssjoin prefix candidates: rebuild the internal candidate set
+    # (threshold .6: prefix of a 3-token set is 1 token — the rarest)
+    out = DD.ssjoin_prefix(df2, threshold=0.6, df_cap=100).count()
+    # rare-first prefixes never index 'common' (it sorts last), so the
+    # candidate join touches only the df<=2 chain tokens instead of the
+    # 780 all-pairs the full token join produces; none verify at 0.6
+    assert full_pairs >= 780 and out == 0
