@@ -97,6 +97,7 @@ _DRIVER_PRIORITY = [
     "embed_hard_negatives",      # NEW: contrastive hard-negative mining
     "embed_sampled_negatives",   # NEW: deterministic random negatives
     "doc_ssjoin_pairs",          # NEW: PPJoin prefix-filtered Jaccard
+    "customer_entity_clusters",  # NEW: ER matches -> CC entity clusters
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7434,3 +7435,85 @@ def doc_ssjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ssjoin_prefix(docs, threshold=0.6, df_cap=256).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@register(
+    "customer_entity_clusters",
+    """
+    WITH RECURSIVE
+    u AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             concat(substr(c_name, 1, length(c_name) - 1), 'x'),
+             c_nationkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 20 = 4
+    ),
+    base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal) AS BIGINT) AS bal_band,
+             c_custkey AS id, lower(c_name) AS nm
+      FROM u
+    ),
+    edges AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM base a JOIN base b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.bal_band = b.bal_band
+       AND a.id < b.id
+      WHERE levenshtein(a.nm, b.nm) <= 2
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS t FROM edges
+      UNION
+      SELECT id_b AS s, id_a AS t FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM sym
+      UNION
+      SELECT sym.t, reach.lbl FROM reach JOIN sym ON sym.s = reach.node
+    )
+    SELECT CAST(node AS BIGINT) AS entity_id,
+           CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node ORDER BY entity_id
+    """,
+)
+def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER pipeline's end state: blocked candidate matches
+    (customer_entity_matches' planted-typo edges) resolved into ENTITY
+    CLUSTERS by distributed connected components (min-label
+    propagation + pointer jumping — O(log d) rounds of equi-joins),
+    one (entity_id, cluster_id) row per matched record. The oracle is
+    the recursive-CTE transitive closure over the identical edge set —
+    iterative computation checked against exact SQL semantics, the
+    doc_dup_clusters contract applied to structured entities."""
+    from .operators import components as CC
+    from .operators import entities as EN
+
+    cust = SRC.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    planted = cust.where(F.col("c_custkey") % 20 == 4).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("x")
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    u = cust.unionByName(planted).withColumn(
+        "bal_band", F.floor(F.col("c_acctbal")).cast("bigint")
+    )
+    edges = EN.blocked_matches(
+        u, "c_custkey", "c_name",
+        ("c_nationkey", "c_mktsegment", "bal_band"),
+        max_name_dist=2,
+    ).select("id_a", "id_b")
+    comp = CC.connected_components(edges, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").cast("bigint").alias("entity_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    ).orderBy("entity_id")
