@@ -1624,3 +1624,105 @@ def walkforward_split(
         .drop("t0", "t1", "_tus", "fold")
         .withColumnRenamed("_f", "fold")
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key over an irregular sample
+    timeline — the temporal-DB aggregate (TimescaleDB time_weight)
+    a plain AVG gets wrong whenever sampling is uneven: each value
+    holds from its timestamp until the key's next event (LOCF
+    weighting; the final event carries zero weight). Exactness
+    contract: micro-quantized values times exact microsecond durations
+    accumulate in DECIMAL(38,0); the single final division is the only
+    double. Returns (key, n_events, dur_us, twap_micro).
+
+    Scale shape: ONE key-partitioned window (lead) feeding a groupBy
+    on the same key — Spark reuses the exchange, so one shuffle
+    total; output is |keys|-sized."""
+    seg = events.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.round(F.col(value_col) * 1_000_000, 0).cast("long").alias("vu"),
+    ).select(
+        "key", "vu",
+        (F.lead("t_us").over(
+            Window.partitionBy("key").orderBy("t_us", "vu")
+        ) - F.col("t_us")).alias("dur"),
+    )
+    agg = seg.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(F.sum("dur"), F.lit(0)).cast("bigint").alias("dur_us"),
+        F.sum(
+            F.col("vu").cast("decimal(38,0)") * F.coalesce(F.col("dur"), F.lit(0))
+        ).alias("wsum"),
+    )
+    twap = F.when(
+        F.col("dur_us") > 0,
+        F.round(F.col("wsum").cast("double") / F.col("dur_us")),
+    ).otherwise(F.lit(None)).cast("bigint")
+    return agg.select("key", "n_events", "dur_us", twap.alias("twap_micro"))
+
+
+def m4_downsample(
+    events: DataFrame,
+    n_buckets: int = 24,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 time-series downsampling — the error-free visualization
+    reduction (Jugel et al., VLDB 2014): per (key, time bucket) emit
+    min, max, first and last values; a line chart drawn from the M4
+    tuples is pixel-identical to one drawn from all points. First/last
+    are made deterministic under timestamp ties by resolving to the
+    MIN value among rows at the bucket's boundary timestamps (an
+    explicit, engine-portable tie rule). Bucket ids derive from the
+    key-independent global [min, max] span (one 1-row anchor).
+
+    Scale shape: one scan + one (key, bucket) aggregate; the boundary
+    values fold into the same aggregate via a window over the same
+    partitioning (exchange reused); output is keys × buckets."""
+    b = events.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("t0"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("t1"),
+    )
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.round(F.col(value_col) * 1_000_000, 0).cast("long").alias("vu"),
+    ).crossJoin(F.broadcast(b))
+    w = F.ceil((F.col("t1") - F.col("t0") + 1) / F.lit(n_buckets)).cast("long")
+    bucketed = base.select(
+        "key", "t_us", "vu", (F.col("t_us") - F.col("t0")).alias("dt"),
+        w.alias("w"),
+    ).select(
+        "key", "t_us", "vu",
+        F.expr("dt div w").alias("bucket"),
+    )
+    wk = Window.partitionBy("key", "bucket")
+    marked = bucketed.select(
+        "key", "bucket", "t_us", "vu",
+        F.min("t_us").over(wk).alias("tmin"),
+        F.max("t_us").over(wk).alias("tmax"),
+    )
+    return (
+        marked.groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("vu").alias("v_min"),
+            F.max("vu").alias("v_max"),
+            F.min(F.when(F.col("t_us") == F.col("tmin"), F.col("vu")))
+            .alias("v_first"),
+            F.min(F.when(F.col("t_us") == F.col("tmax"), F.col("vu")))
+            .alias("v_last"),
+        )
+        .select(
+            "key", F.col("bucket").cast("int").alias("bucket"), "n",
+            "v_min", "v_max", "v_first", "v_last",
+        )
+    )

@@ -98,6 +98,8 @@ _DRIVER_PRIORITY = [
     "embed_sampled_negatives",   # NEW: deterministic random negatives
     "doc_ssjoin_pairs",          # NEW: PPJoin prefix-filtered Jaccard
     "customer_entity_clusters",  # NEW: ER matches -> CC entity clusters
+    "events_twap",               # NEW: time-weighted average (LOCF)
+    "events_m4_downsample",      # NEW: error-free M4 chart reduction
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7517,3 +7519,88 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("entity_id"),
         F.col("component").cast("bigint").alias("cluster_id"),
     ).orderBy("entity_id")
+
+
+@register(
+    "events_twap",
+    """
+    WITH s AS (
+      SELECT user_id AS key, epoch_us(ts) AS t_us,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vu
+      FROM events
+    ),
+    seg AS (
+      SELECT key, vu,
+             LEAD(t_us) OVER (PARTITION BY key ORDER BY t_us, vu) - t_us
+               AS dur
+      FROM s
+    )
+    SELECT CAST(key AS BIGINT) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS dur_us,
+           CASE WHEN COALESCE(SUM(dur), 0) > 0 THEN
+             CAST(ROUND(
+               CAST(SUM(CAST(vu AS HUGEINT) * COALESCE(dur, 0)) AS DOUBLE)
+               / SUM(dur)) AS BIGINT)
+           END AS twap_micro
+    FROM seg GROUP BY key ORDER BY key
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (operators/events.py
+    time_weighted_avg) — the temporal aggregate plain AVG gets wrong
+    on irregular timelines: each value holds until the next event
+    (LOCF weighting). Micro-values × exact microsecond durations
+    accumulate in DECIMAL(38,0); one shuffle (window + groupBy share
+    the key partitioning)."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return (
+        EV.time_weighted_avg(ev, key_col="user_id")
+        .select(
+            F.col("key").cast("bigint").alias("key"),
+            "n_events", "dur_us", "twap_micro",
+        )
+        .orderBy("key")
+    )
+
+
+@register(
+    "events_m4_downsample",
+    """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+    ),
+    base AS (
+      SELECT e.event_type AS key, epoch_us(e.ts) AS t_us,
+             CAST(ROUND(e.value * 1000000, 0) AS BIGINT) AS vu,
+             (epoch_us(e.ts) - b.t0)
+               // CAST(CEIL((b.t1 - b.t0 + 1) / 24.0) AS BIGINT) AS bucket
+      FROM events e, b
+    ),
+    bounds AS (
+      SELECT key, bucket, MIN(t_us) AS tmin, MAX(t_us) AS tmax
+      FROM base GROUP BY key, bucket
+    )
+    SELECT base.key, CAST(base.bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(vu) AS v_min, MAX(vu) AS v_max,
+           MIN(CASE WHEN t_us = bounds.tmin THEN vu END) AS v_first,
+           MIN(CASE WHEN t_us = bounds.tmax THEN vu END) AS v_last
+    FROM base JOIN bounds USING (key, bucket)
+    GROUP BY base.key, base.bucket
+    ORDER BY key, bucket
+    """,
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling per (event type, 24 time buckets) — the
+    error-free visualization reduction (min/max/first/last per bucket
+    draws pixel-identical charts; operators/events.py m4_downsample).
+    Tie rule for first/last at boundary timestamps: MIN value, stated
+    and engine-portable. One scan + one keyed aggregate with the
+    boundary window sharing the exchange."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.m4_downsample(ev, n_buckets=24).orderBy("key", "bucket")

@@ -446,3 +446,47 @@ def test_walkforward_split_embargo_and_no_future(spark):
     tests = [r for r in got if r["role"] == "test"]
     assert len(tests) == 100
     assert len({r["event_id"] for r in tests}) == 100
+
+
+def test_twap_exact_small_and_uneven(spark):
+    """TWAP vs hand computation on an uneven timeline: value 10 held
+    2 s, value 20 held 8 s -> twap 18, while plain AVG says 15; a
+    single-event key yields NULL (zero duration)."""
+    import datetime as dt
+
+    from mobilityduck_spark.operators import events as EV
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(seconds=2), 20.0),
+        (1, base + dt.timedelta(seconds=10), 99.0),  # last: zero weight
+        (2, base, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["key"]: (r["n_events"], r["dur_us"], r["twap_micro"])
+        for r in EV.time_weighted_avg(df, key_col="user_id").collect()
+    }
+    assert got[1] == (3, 10_000_000, 18_000_000)
+    assert got[2] == (1, 0, None)
+
+
+def test_m4_downsample_pins_extremes_and_boundaries(spark):
+    import datetime as dt
+
+    from mobilityduck_spark.operators import events as EV
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(seconds=i), v)
+        for i, v in enumerate([5.0, 1.0, 9.0, 3.0])
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r["key"], r["bucket"]): (r["n"], r["v_min"], r["v_max"],
+                                  r["v_first"], r["v_last"])
+        for r in EV.m4_downsample(df, n_buckets=2).collect()
+    }
+    assert out[("a", 0)] == (2, 1_000_000, 5_000_000, 5_000_000, 1_000_000)
+    assert out[("a", 1)] == (2, 3_000_000, 9_000_000, 9_000_000, 3_000_000)
