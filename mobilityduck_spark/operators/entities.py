@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["blocked_matches", "k_anonymity",
-           "sorted_neighborhood_matches", "l_diversity"]
+           "sorted_neighborhood_matches", "l_diversity",
+           "generalization_ladder"]
 
 
 def blocked_matches(
@@ -190,4 +191,42 @@ def l_diversity(
         )
         .where(F.col("n_sensitive") < l)
         .orderBy("n_sensitive", "n", *names)
+    )
+
+
+def generalization_ladder(
+    df: DataFrame,
+    quasi_cols: list,
+    numeric_col: str,
+    widths: list,
+    k: int = 5,
+) -> DataFrame:
+    """Generalization-ladder audit for k-anonymity tuning: for each
+    candidate band width of the numeric quasi-identifier, report how
+    many groups and rows stay at risk (group size < k) — the table a
+    privacy officer reads to pick the coarsest safe generalization
+    instead of re-running the audit per width. ONE scan: each row
+    fans out to |widths| (a constant) banded copies via explode, then
+    one (width, quasi, band) aggregate and one |widths|-sized rollup.
+    Returns (width, n_risky_groups, n_risky_rows), widest first."""
+    wlit = F.array(*[F.lit(int(x)).cast("long") for x in widths])
+    banded = df.select(
+        *[F.col(c) for c in quasi_cols],
+        F.col(numeric_col).alias("_v"),
+        F.explode(wlit).alias("width"),
+    ).select(
+        "width", *quasi_cols,
+        F.floor(F.col("_v") / F.col("width")).cast("long").alias("band"),
+    )
+    groups = banded.groupBy("width", *quasi_cols, "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        groups.where(F.col("n") < k)
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_risky_groups"),
+            F.sum("n").cast("bigint").alias("n_risky_rows"),
+        )
+        .orderBy(F.col("width").desc())
     )

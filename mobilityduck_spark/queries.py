@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = [
     "customer_entity_clusters",  # NEW: ER matches -> CC entity clusters
     "events_twap",               # NEW: time-weighted average (LOCF)
     "events_m4_downsample",      # NEW: error-free M4 chart reduction
+    "privacy_generalization_ladder",  # NEW: k-anon width tuning audit
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7604,3 +7605,41 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.m4_downsample(ev, n_buckets=24).orderBy("key", "bucket")
+
+
+@register(
+    "privacy_generalization_ladder",
+    """
+    WITH w AS (SELECT unnest([10000, 1000, 100]) AS width),
+    banded AS (
+      SELECT w.width, c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / w.width) AS BIGINT) AS band
+      FROM customer c, w
+    ),
+    g AS (
+      SELECT width, c_nationkey, c_mktsegment, band, COUNT(*) AS n
+      FROM banded GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(width AS BIGINT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_risky_groups,
+           CAST(SUM(n) AS BIGINT) AS n_risky_rows
+    FROM g WHERE n < 5
+    GROUP BY width ORDER BY width DESC
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder k-anonymity tuning (operators/entities.py
+    generalization_ladder): risk counts for three balance-band widths
+    in ONE scan (constant-bounded explode), so the privacy officer
+    picks the coarsest safe width without re-running the audit per
+    candidate."""
+    from .operators import entities as EN
+
+    cust = SRC.load(spark, sf_dir, "customer")
+    return EN.generalization_ladder(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        "c_acctbal",
+        widths=[10000, 1000, 100],
+        k=5,
+    )
