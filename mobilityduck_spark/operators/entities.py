@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["blocked_matches", "k_anonymity",
            "sorted_neighborhood_matches", "l_diversity",
-           "generalization_ladder"]
+           "generalization_ladder", "t_closeness"]
 
 
 def blocked_matches(
@@ -229,4 +229,62 @@ def generalization_ladder(
             F.sum("n").cast("bigint").alias("n_risky_rows"),
         )
         .orderBy(F.col("width").desc())
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    t_micro: int = 300_000,
+) -> DataFrame:
+    """t-closeness audit over a categorical sensitive attribute — the
+    third rung after k_anonymity and l_diversity: a group can be large
+    AND diverse yet still leak when its sensitive-value DISTRIBUTION
+    deviates from the table's. For categorical attributes with the
+    equal-distance ground metric, the Earth-Mover's Distance reduces
+    to total variation: TV(g) = (1/2) * sum_v |p_g(v) - p(v)|. Reports
+    every group with TV > t (micro-units), farthest first.
+
+    Exactness: TV is assembled from integer counts as
+    |n_gv * N - n_v * n_g| summed over v, then ONE division by
+    (2 * n_g * N) — a single fixed-shape double per group, identical
+    across engines. Plan: one (quasi, sensitive) aggregate; margins
+    derive from it (no second scan); output bounded by groups."""
+    cells = df.select(
+        *quasi_cols, F.col(sensitive_col).alias("_s")
+    ).groupBy(*quasi_cols, "_s").agg(F.count(F.lit(1)).alias("n_gv"))
+    gsz = cells.groupBy(*quasi_cols).agg(F.sum("n_gv").alias("n_g"))
+    vsz = cells.groupBy("_s").agg(F.sum("n_gv").alias("n_v"))
+    tot = cells.agg(F.sum("n_gv").alias("nn"))
+    # every (group, value) pair — including zero cells, which contribute
+    # n_v * n_g to the numerator (a group MISSING a common value is
+    # exactly as leaky as one over-representing a rare one)
+    grid = gsz.crossJoin(vsz).join(
+        cells, [*quasi_cols, "_s"], "left"
+    ).select(
+        *quasi_cols, "_s", "n_g", "n_v",
+        F.coalesce(F.col("n_gv"), F.lit(0)).alias("n_gv"),
+    ).crossJoin(F.broadcast(tot))
+    num = F.abs(
+        F.col("n_gv").cast("decimal(38,0)") * F.col("nn")
+        - F.col("n_v").cast("decimal(38,0)") * F.col("n_g")
+    )
+    agg = grid.groupBy(*quasi_cols).agg(
+        F.max("n_g").alias("n"),
+        F.max("nn").alias("nn"),
+        F.sum(num).alias("tvnum"),
+    )
+    tv = F.round(
+        F.lit(1e6) * F.col("tvnum").cast("double")
+        / (F.lit(2.0) * F.col("n") * F.col("nn"))
+    ).cast("bigint")
+    return (
+        agg.select(
+            *quasi_cols,
+            F.col("n").cast("bigint").alias("n"),
+            tv.alias("tv_micro"),
+        )
+        .where(F.col("tv_micro") > t_micro)
+        .orderBy(F.col("tv_micro").desc(), *quasi_cols)
     )

@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = [
     "events_twap",               # NEW: time-weighted average (LOCF)
     "events_m4_downsample",      # NEW: error-free M4 chart reduction
     "privacy_generalization_ladder",  # NEW: k-anon width tuning audit
+    "privacy_t_closeness",       # NEW: distribution-skew privacy audit
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7642,4 +7643,67 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_acctbal",
         widths=[10000, 1000, 100],
         k=5,
+    )
+
+
+@register(
+    "privacy_t_closeness",
+    """
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             c_mktsegment AS s, COUNT(*) AS n_gv
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    gsz AS (
+      SELECT c_nationkey, bal_band, SUM(n_gv) AS n_g
+      FROM cells GROUP BY 1, 2
+    ),
+    vsz AS (SELECT s, SUM(n_gv) AS n_v FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(n_gv) AS nn FROM cells),
+    grid AS (
+      SELECT g.c_nationkey, g.bal_band, v.s, g.n_g, v.n_v,
+             COALESCE(c.n_gv, 0) AS n_gv
+      FROM gsz g CROSS JOIN vsz v
+      LEFT JOIN cells c
+        ON c.c_nationkey = g.c_nationkey AND c.bal_band = g.bal_band
+       AND c.s = v.s
+    ),
+    agg AS (
+      SELECT c_nationkey, bal_band, MAX(n_g) AS n,
+             SUM(ABS(CAST(n_gv AS HUGEINT) * (SELECT nn FROM tot)
+                     - CAST(n_v AS HUGEINT) * n_g)) AS tvnum
+      FROM grid GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_band, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(1e6 * CAST(tvnum AS DOUBLE)
+                      / (2.0 * n * (SELECT nn FROM tot))) AS BIGINT)
+             AS tv_micro
+    FROM agg
+    WHERE CAST(ROUND(1e6 * CAST(tvnum AS DOUBLE)
+                     / (2.0 * n * (SELECT nn FROM tot))) AS BIGINT)
+          > 300000
+    ORDER BY tv_micro DESC, c_nationkey, bal_band
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.3) over (nation, 2000-unit balance band)
+    with market segment sensitive — the distribution-skew leak that
+    k-anonymity and l-diversity both miss (operators/entities.py
+    t_closeness): total-variation distance between each group's
+    segment distribution and the table's, assembled from exact integer
+    counts with ONE double division per group. Zero cells included —
+    a group missing a common segment is as leaky as one
+    over-representing a rare one."""
+    from .operators import entities as EN
+
+    cust = SRC.load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint")
+        .alias("bal_band"),
+        "c_mktsegment",
+    )
+    return EN.t_closeness(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment",
+        t_micro=300_000,
     )

@@ -100,3 +100,24 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     )
     out = EN.l_diversity(df, ["age"], "dx", l=3).collect()
     assert [(r["age"], r["n"], r["n_sensitive"]) for r in out] == [(30, 3, 1)]
+
+
+def test_t_closeness_exact_tv_and_zero_cells(spark):
+    """Hand-computed total-variation distances for two groups against
+    the global sensitive distribution, including the ZERO cells (group
+    A has no cold/hiv rows — those cells still contribute)."""
+    rows = [("A", "flu")] * 4 + [
+        ("B", "flu"), ("B", "cold"), ("B", "cold"), ("B", "hiv"),
+        ("B", "hiv"), ("B", "hiv"),
+    ]
+    df = spark.createDataFrame(rows, "grp string, dx string")
+    out = {
+        r["grp"]: (r["n"], r["tv_micro"])
+        for r in EN.t_closeness(df, ["grp"], "dx", t_micro=0).collect()
+    }
+    # N=10: p = (flu .5, cold .2, hiv .3)
+    # A (n=4, all flu): TV = .5*(|1-.5|+|0-.2|+|0-.3|) = .5
+    # B (n=6: flu 1/6, cold 2/6, hiv 3/6):
+    #   TV = .5*(|1/6-.5|+|1/3-.2|+|.5-.3|) = .5*(1/3+2/15+1/5) = 1/3
+    assert out["A"] == (4, 500_000)
+    assert out["B"] == (6, 333_333)
