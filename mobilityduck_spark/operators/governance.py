@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dq_audit", "scd2_compact", "purge_audit", "cdc_apply",
-           "incremental_join_view"]
+           "incremental_join_view", "encoding_advisor"]
 
 
 def dq_audit(
@@ -604,3 +604,48 @@ def incremental_join_view(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.sum("msum").cast("bigint").alias("msum"),
     )
+
+
+def encoding_advisor(
+    df: DataFrame, cols: list, dict_overhead_bytes: int = 4
+) -> DataFrame:
+    """Storage-encoding advisor for string columns — the layout-tuning
+    pass a lakehouse runs before rewriting a big table: per column,
+    exact cardinality and byte totals plus the two candidate sizes a
+    writer chooses between — PLAIN (every value spelled out) and
+    DICTIONARY (each distinct value once + a fixed-width code per row)
+    — and the verdict. One conditional-aggregate scan computes every
+    column's stats (no per-column jobs); distinct-value byte mass
+    comes from a (col, value) aggregate whose size is bounded by the
+    vocabulary, not the row count."""
+    stacked = df.select(
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ])
+        )
+    )
+    per_val = stacked.groupBy("col", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = per_val.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum(F.length("v") * F.col("cnt")).cast("bigint")
+        .alias("plain_bytes"),
+        F.sum(F.length("v")).cast("bigint").alias("dict_value_bytes"),
+    )
+    dict_bytes = (
+        F.col("dict_value_bytes")
+        + F.lit(dict_overhead_bytes) * F.col("n_rows")
+    ).cast("bigint")
+    return agg.select(
+        "col", "n_rows", "ndv", "plain_bytes",
+        dict_bytes.alias("dict_bytes"),
+        F.when(dict_bytes < F.col("plain_bytes"), F.lit("dictionary"))
+        .otherwise(F.lit("plain")).alias("verdict"),
+    ).orderBy("col")

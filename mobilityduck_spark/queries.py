@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = [
     "events_m4_downsample",      # NEW: error-free M4 chart reduction
     "privacy_generalization_ladder",  # NEW: k-anon width tuning audit
     "privacy_t_closeness",       # NEW: distribution-skew privacy audit
+    "orders_encoding_advisor",   # NEW: dictionary-vs-plain layout audit
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7706,4 +7707,52 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EN.t_closeness(
         cust, ["c_nationkey", "bal_band"], "c_mktsegment",
         t_micro=300_000,
+    )
+
+
+@register(
+    "orders_encoding_advisor",
+    """
+    WITH stacked AS (
+      SELECT 'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+    ),
+    per_val AS (
+      SELECT col, v, COUNT(*) AS cnt FROM stacked GROUP BY col, v
+    ),
+    agg AS (
+      SELECT col,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS ndv,
+             CAST(SUM(length(v) * cnt) AS BIGINT) AS plain_bytes,
+             CAST(SUM(length(v)) AS BIGINT) AS dict_value_bytes
+      FROM per_val GROUP BY col
+    )
+    SELECT col, n_rows, ndv, plain_bytes,
+           CAST(dict_value_bytes + 4 * n_rows AS BIGINT) AS dict_bytes,
+           CASE WHEN dict_value_bytes + 4 * n_rows < plain_bytes
+                THEN 'dictionary' ELSE 'plain' END AS verdict
+    FROM agg ORDER BY col
+    """,
+)
+def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor (operators/governance.py
+    encoding_advisor) over four orders string columns spanning the
+    cardinality spectrum: o_orderstatus (3 values — dictionary wins),
+    o_orderpriority (5), o_clerk (thousands), o_comment (unique-ish —
+    plain wins). Exact byte accounting from one stacked scan + a
+    vocabulary-bounded aggregate; the verdict is the same inequality a
+    parquet writer evaluates."""
+    from .operators import governance as GOV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    return GOV.encoding_advisor(
+        orders,
+        ["o_orderpriority", "o_orderstatus", "o_custkey", "o_orderkey"],
     )
