@@ -103,6 +103,8 @@ _DRIVER_PRIORITY = [
     "privacy_generalization_ladder",  # NEW: k-anon width tuning audit
     "privacy_t_closeness",       # NEW: distribution-skew privacy audit
     "orders_encoding_advisor",   # NEW: dictionary-vs-plain layout audit
+    "events_pivot_types",        # NEW: closed-domain PIVOT feature matrix
+    "embed_ivfpq_residual_recall",  # NEW: by_residual IVF-PQ recall gate
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7755,4 +7757,95 @@ def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GOV.encoding_advisor(
         orders,
         ["o_orderpriority", "o_orderstatus", "o_custkey", "o_orderkey"],
+    )
+
+
+@register(
+    "events_pivot_types",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS n_click,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+             AS n_view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS n_purchase,
+           CAST(COUNT(CASE WHEN event_type NOT IN
+                ('click', 'view', 'purchase') THEN 1 END) AS BIGINT)
+             AS n_other
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT to wide per-user type counts — the feature-matrix reshape
+    every training pipeline runs before a model join. Uses Spark's
+    native pivot with an EXPLICIT value list (pivot without one adds a
+    full extra distinct-scan job to discover columns — the documented
+    production rule); unmatched types fold into n_other via a
+    pre-projection so the pivot domain is closed. The oracle is the
+    equivalent conditional aggregation — one scan, one shuffle both
+    ways."""
+    ev = SRC.load(spark, sf_dir, "events")
+    known = ["click", "view", "purchase"]
+    folded = ev.select(
+        "user_id",
+        F.when(F.col("event_type").isin(known), F.col("event_type"))
+        .otherwise(F.lit("other")).alias("t"),
+    )
+    wide = (
+        folded.groupBy("user_id")
+        .pivot("t", known + ["other"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint")
+            .alias(f"n_{c}")
+            for c in known + ["other"]
+        ],
+    ).orderBy("user_id")
+
+
+@register(
+    "embed_ivfpq_residual_recall",
+    """
+    SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id
+    FROM embeddings
+    WHERE vec_id % 40 = 0 AND vec_id < 2000
+    ORDER BY query_id
+    """,
+)
+def embed_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-quantized IVF-PQ recall gate (planted-copy scheme;
+    operators/similarity.py ivfpq_residual_topk — the FAISS
+    by_residual=True composition with exact inner-product ADC
+    decomposition q·v̂ = q·c + Σ q_s·codebook[code]): an identical
+    planted vector routes to the same cell, leaves the same residual,
+    quantizes to the same codes, and scores identically to the query's
+    own row — so it must surface in the top-3. Exercises the residual
+    subtraction, per-probe q·c constant, and the codes-only equi-join
+    search path."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    plants = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(plants)
+    qdf = emb.filter(
+        (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    topk = SIM.ivfpq_residual_topk(
+        corpus, qdf, k=3, n_centroids=16, n_probe=2, m=8, kc=16
+    )
+    return (
+        topk.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
+        .select("query_id", "vec_id")
+        .orderBy("query_id")
     )
