@@ -1726,3 +1726,169 @@ def m4_downsample(
             "v_min", "v_max", "v_first", "v_last",
         )
     )
+
+
+def acf(
+    events: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Autocorrelation of the daily event-count series per event type,
+    at day lags `lags`: Pearson r over the (x_d, x_{d-lag}) pairs that
+    BOTH exist (gap days pair with nothing — calendar-aligned join
+    semantics, not row-shift). The five moment sums are exact integers
+    (counts), cast to DOUBLE only in the final closed form, so both
+    engines run one identical IEEE expression; zero-variance series
+    yield NULL. Returns (event_type, lag, n_pairs, acf).
+
+    Plan (100 TB): one groupBy to the (type, day) domain — the only
+    shuffle that sees event-sized data — then a |days x types|-sized
+    self equi-join per lag (the lag list explodes from a literal
+    array, no join) and a domain-sized final aggregate."""
+    d = events.groupBy(
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lagged = d.select(
+        "etype",
+        "day",
+        F.col("c").alias("x"),
+        F.explode(
+            F.array(*[F.lit(int(v)).cast("int") for v in lags])
+        ).alias("lag"),
+    )
+    pairs = lagged.alias("a").join(
+        d.alias("b"),
+        (F.col("b.etype") == F.col("a.etype"))
+        & (F.col("b.day") == F.date_sub(F.col("a.day"), F.col("a.lag"))),
+    ).select(
+        F.col("a.etype").alias("etype"),
+        F.col("a.lag").alias("lag"),
+        F.col("a.x").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    s = pairs.groupBy("etype", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return s.select(
+        F.col("etype").alias("event_type"),
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(
+                    (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6
+                )
+                + F.lit(0.0),
+            )
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+def cuped_readout(
+    events: DataFrame,
+    salt: str = "exp1",
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUPED-adjusted A/B readout: per-user post-period revenue
+    (metric) and pre-period revenue (covariate) around the data's
+    midpoint day, variants by the same deterministic md5 bucketing as
+    ab_test_readout, theta = cov(pre, post) / var(pre) POOLED across
+    variants (the standard single-theta CUPED), and per-variant
+    adjusted means. Sums are exact cent-quantized integers; theta and
+    the means are one fixed-shape double expression (round-6 + 0.0).
+    Returns per variant (variant, n_users, sum_post_cents,
+    sum_pre_cents, mean_post, mean_adj, theta).
+
+    Plan (100 TB): one |users|-sized conditional aggregate (the only
+    event-sized shuffle), one 1-row pooled-moment anchor broadcast
+    back over the 2-row variant rollup. The midpoint split is a 1-row
+    min/max anchor, not a config constant — no timezone drift."""
+    span = events.agg(
+        F.min(F.col(ts_col).cast("date")).alias("d0"),
+        F.max(F.col(ts_col).cast("date")).alias("d1"),
+    ).select(
+        F.expr("date_add(d0, CAST(FLOOR(datediff(d1, d0) / 2.0) AS INT))")
+        .alias("split_day")
+    )
+    ev = events.crossJoin(F.broadcast(span))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    is_conv = F.col(type_col) == conversion_type
+    is_post = F.col(ts_col).cast("date") >= F.col("split_day")
+    users = ev.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(
+            F.when(is_conv & is_post, cents).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(is_conv & ~is_post, cents).otherwise(F.lit(0))
+        ).alias("c"),
+    ).withColumn(
+        "variant",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("u").cast("string"), F.lit(salt))),
+                    1, 2,
+                ),
+                16, 10,
+            ).cast("int") % 2 == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    pooled = users.agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("c").alias("psc"),
+        F.sum("x").alias("psx"),
+        F.sum(F.col("c") * F.col("x")).alias("pscx"),
+        F.sum(F.col("c") * F.col("c")).alias("pscc"),
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("bigint").alias("sum_post_cents"),
+        F.sum("c").cast("bigint").alias("sum_pre_cents"),
+    )
+    j = per.crossJoin(F.broadcast(pooled))
+    pn = F.col("pn").cast("double")
+    psc, psx = F.col("psc").cast("double"), F.col("psx").cast("double")
+    pscx = F.col("pscx").cast("double")
+    pscc = F.col("pscc").cast("double")
+    varc = pn * pscc - psc * psc
+    theta = F.when(
+        varc > 0, (pn * pscx - psc * psx) / varc
+    ).otherwise(F.lit(0.0))
+    mean_post = (
+        F.col("sum_post_cents").cast("double")
+        / F.col("n_users").cast("double")
+    )
+    mean_pre = (
+        F.col("sum_pre_cents").cast("double")
+        / F.col("n_users").cast("double")
+    )
+    gmean_pre = psc / pn
+    return j.select(
+        "variant",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "sum_post_cents",
+        "sum_pre_cents",
+        (F.round(mean_post, 6) + F.lit(0.0)).alias("mean_post"),
+        (F.round(mean_post - theta * (mean_pre - gmean_pre), 6)
+         + F.lit(0.0)).alias("mean_adj"),
+        (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
+    ).orderBy("variant")

@@ -190,3 +190,63 @@ def label_propagation(
             )
         ).select("node", (-F.col("m.nl")).alias("lab"))
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node of degree < k (simultaneously) until a fixpoint; the
+    survivors form the k-core. Returns (node, core_deg) — each core
+    member with its degree WITHIN the core.
+
+    Plan (100 TB): each round is one groupBy(node) degree count over
+    the live symmetric edge list plus two broadcast-or-shuffle semi
+    joins that drop edges touching a peeled node — all node-key
+    equi-joins, no windows, no driver-side data. The fixpoint test is
+    a scalar count per round (the same driver-side convergence check
+    LPA/CC use). Rounds are bounded by the graph's degeneracy ordering
+    depth, not |V|: real-world graphs converge in tens of rounds; the
+    live edge list shrinks monotonically so late rounds are cheap.
+
+    Each round's survivor edge list is localCheckpoint'ed (eager):
+    every round references its predecessor three times, so WITHOUT
+    lineage truncation the logical plan grows 3^rounds and the driver
+    OOMs just PLANNING round ~8 — the iterative-algorithm analog of
+    the DuckDB MATERIALIZED-CTE note on the oracle side. On a real
+    cluster this becomes reliableCheckpoint/write-to-object-store;
+    the truncation point, not the storage tier, is what matters."""
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).unionAll(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    )
+    live = sym.localCheckpoint(eager=True)
+    n_prev = None
+    for _ in range(max_rounds):
+        keep = (
+            live.groupBy("s").count()
+            .filter(F.col("count") >= k)
+            .select(F.col("s").alias("node"))
+        )
+        n = keep.count()
+        if n_prev is not None and n == n_prev:
+            break
+        n_prev = n
+        live = (
+            live.join(keep.select(F.col("node").alias("s")), "s", "semi")
+            .join(keep.select(F.col("node").alias("t")), "t", "semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.groupBy("s").count()
+        .filter(F.col("count") >= k)
+        .select(
+            F.col("s").alias("node"),
+            F.col("count").cast("bigint").alias("core_deg"),
+        )
+    )

@@ -105,6 +105,13 @@ _DRIVER_PRIORITY = [
     "orders_encoding_advisor",   # NEW: dictionary-vs-plain layout audit
     "events_pivot_types",        # NEW: closed-domain PIVOT feature matrix
     "embed_ivfpq_residual_recall",  # NEW: by_residual IVF-PQ recall gate
+    "embed_binary_recall",       # NEW: 1-bit sign-code Hamming recall
+    "graph_kcore",               # NEW: iterative-peeling 3-core
+    "part_skyline",              # NEW: two-phase windowed Pareto frontier
+    "events_acf",                # NEW: day-lag autocorrelation screen
+    "events_ab_cuped",           # NEW: CUPED variance-reduced readout
+    "orders_bloom_semijoin",     # NEW: Bloom-bitmap semi-join reduction
+    "doc_zipf_slope",            # NEW: rank-frequency OLS health check
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -7848,4 +7855,576 @@ def embed_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
         .select("query_id", "vec_id")
         .orderBy("query_id")
+    )
+
+
+@register(
+    "embed_binary_recall",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt((SELECT SUM(v::DOUBLE * v::DOUBLE) FROM (SELECT unnest(embedding) v))) AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN x.e >= 0 AND x.i <= 32
+                        THEN (1::BIGINT << CAST(x.i - 1 AS INT)) ELSE 0 END), 0) AS BIGINT)
+              FROM (SELECT unnest(embedding) e, generate_subscripts(embedding, 1) i) x) AS w0,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN x.e >= 0 AND x.i > 32
+                        THEN (1::BIGINT << CAST(x.i - 33 AS INT)) ELSE 0 END), 0) AS BIGINT)
+              FROM (SELECT unnest(embedding) e, generate_subscripts(embedding, 1) i) x) AS w1
+      FROM embeddings
+    ),
+    qc AS (SELECT c.vec_id AS query_id, w0 AS q0, w1 AS q1 FROM c WHERE vec_id < 5),
+    ham AS (
+      SELECT qc.query_id, c.vec_id,
+             CAST(bit_count(xor(c.w0, qc.q0)) + bit_count(xor(c.w1, qc.q1)) AS INT) AS hamming
+      FROM c CROSS JOIN qc WHERE c.vec_id <> qc.query_id
+    ),
+    short AS (
+      SELECT query_id, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC) AS srank
+        FROM ham) WHERE srank <= 32
+    ),
+    rr AS (
+      SELECT s.query_id, s.vec_id,
+             ROUND((SELECT SUM(av::DOUBLE * bv::DOUBLE)
+                    FROM (SELECT unnest(e.embedding) av, unnest(q.qv) bv))
+                   / (ne.nrm * nq.nrm), 6) + 0.0 AS cos
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+      JOIN n ne ON ne.vec_id = s.vec_id
+      JOIN n nq ON nq.vec_id = s.query_id
+    ),
+    bt AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM rr) WHERE rnk <= 10
+    ),
+    ex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 (ROUND((SELECT SUM(av::DOUBLE * bv::DOUBLE)
+                         FROM (SELECT unnest(e.embedding) av, unnest(q.qv) bv))
+                        / (ne.nrm * nq.nrm), 6) + 0.0) DESC, e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q
+        JOIN n ne ON ne.vec_id = e.vec_id
+        JOIN n nq ON nq.vec_id = q.query_id
+        WHERE e.vec_id <> q.query_id) WHERE rnk <= 10
+    )
+    SELECT ex.query_id, CAST(COUNT(bt.vec_id) AS BIGINT) AS n_overlap
+    FROM ex LEFT JOIN bt ON bt.query_id = ex.query_id AND bt.vec_id = ex.vec_id
+    GROUP BY 1 ORDER BY ex.query_id
+    """,
+)
+def embed_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization retrieval fidelity: Hamming
+    distance over 64-bit sign codes shortlists 32 candidates per query
+    at scan speed (bit_count(xor) on two packed BIGINT half-words — no
+    float math, no Python), exact cosine reranks the shortlist to
+    top-10, and the output is the exact overlap COUNT against the
+    full-precision brute-force top-10 — the go/no-go evaluation a
+    pipeline runs before committing to 1-bit first-stage retrieval
+    (32x smaller vectors, XOR-speed scans at 10^9 rows). Both rankings
+    are deterministic (integer Hamming / round-6 cosine + id
+    tiebreaks)."""
+    from .operators import similarity as SIM
+
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bt = SIM.binary_topk(emb, qdf, k=10, shortlist=32).select(
+        F.col("query_id").alias("bq"), F.col("vec_id").alias("bv")
+    )
+    ex = SIM.brute_force_topk(emb, qdf, k=10).select("query_id", "vec_id")
+    return (
+        ex.join(
+            bt,
+            (F.col("query_id") == F.col("bq"))
+            & (F.col("vec_id") == F.col("bv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("bv")).cast("bigint").alias("n_overlap"))
+        .orderBy("query_id")
+    )
+
+
+_ONION_EDGES_SQL = """
+    WITH params AS (
+      SELECT 12 * CAST(CEIL(COUNT(*) / 600.0) AS BIGINT) AS w FROM customer
+    ),
+    cl AS (
+      SELECT CAST(a.i AS BIGINT) AS a, CAST(b.i AS BIGINT) AS b
+      FROM generate_series(0, 11) a(i)
+      JOIN generate_series(0, 11) b(i) ON a.i < b.i
+    ),
+    ri AS (SELECT unnest(generate_series(0, w - 1)) AS i, w FROM params),
+    ring_e AS (
+      SELECT least(1000 + i, 1000 + (i + 1) % w) AS a,
+             greatest(1000 + i, 1000 + (i + 1) % w) AS b
+      FROM ri
+    ),
+    ring_cl AS (
+      SELECT CAST((i + 4 * s.j) % 12 AS BIGINT) AS a, 1000 + i AS b
+      FROM ri, generate_series(0, 2) s(j)
+    ),
+    lv AS (SELECT ri.i, ri.w, s.j FROM ri, generate_series(1, 5) s(j)),
+    lv_e AS (
+      SELECT 1000 + (j - 1) * w + i AS a, 1000 + j * w + i AS b FROM lv
+      UNION ALL
+      SELECT 1000 + (j - 1) * w
+               + (CASE WHEN j = 1 THEN (i + 5) % w ELSE (i + 1) % w END) AS a,
+             1000 + j * w + i AS b
+      FROM lv
+    ),
+    onion_e AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM cl
+        UNION ALL SELECT a, b FROM ring_e
+        UNION ALL SELECT a, b FROM ring_cl
+        UNION ALL SELECT a, b FROM lv_e
+      )
+    )
+"""
+
+
+def _kcore_unrolled_sql(k: int = 3, rounds: int = 7) -> str:
+    """Unrolled simultaneous-peel oracle (the CC transitive-closure
+    idiom): round t keeps nodes with degree >= k in round t-1's edge
+    set. The onion fixture peels in exactly 5 rounds; 7 gives margin
+    and idempotent extra rounds cost nothing. MATERIALIZED is load-
+    bearing: DuckDB inlines plain CTEs, and a 7-deep chain that
+    references its predecessor three times would expand 3^7-fold."""
+    sql = _ONION_EDGES_SQL + ", e0 AS MATERIALIZED (SELECT a, b FROM onion_e)"
+    for t in range(1, rounds + 1):
+        sql += f"""
+        , d{t} AS MATERIALIZED (
+            SELECT n, COUNT(*) AS deg FROM (
+              SELECT a AS n FROM e{t-1} UNION ALL SELECT b AS n FROM e{t-1}
+            ) GROUP BY 1),
+        k{t} AS MATERIALIZED (SELECT n FROM d{t} WHERE deg >= {k}),
+        e{t} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{t-1} e
+            JOIN k{t} ka ON ka.n = e.a JOIN k{t} kb ON kb.n = e.b)"""
+    sql += f"""
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT a AS n FROM e{rounds} UNION ALL SELECT b AS n FROM e{rounds})
+    GROUP BY 1 HAVING COUNT(*) >= {k} ORDER BY node"""
+    return sql
+
+
+def _onion_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'onion' benchmark graph anchored to the customer
+    table size: a 12-clique, a width-W ring strapped to it (3 spokes
+    per ring node), and 5 peelable tentacle levels hanging off the
+    ring (2 up-links each, so level j survives exactly until level
+    j+1 is peeled). W = 12*ceil(|customer|/600), so the fixture and
+    its peel work scale with SF while the peel DEPTH stays fixed at 5.
+    Built from a 1-row count anchor + explode(sequence(...)) — no
+    joins, no Python."""
+    cust = SRC.load(spark, sf_dir, "customer")
+    params = cust.agg(
+        (F.lit(12) * F.ceil(F.count(F.lit(1)) / F.lit(600.0)))
+        .cast("long")
+        .alias("w")
+    )
+    cl_a = params.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(11).cast("long")))
+        .alias("a")
+    )
+    cl = cl_a.where(F.col("a") < 11).select(
+        "a",
+        F.explode(F.sequence(F.col("a") + 1, F.lit(11).cast("long")))
+        .alias("b"),
+    )
+    ri = params.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("w") - 1)
+        ).alias("i"),
+        "w",
+    )
+    ring_e = ri.select(
+        F.least(
+            F.lit(1000) + F.col("i"),
+            F.lit(1000) + (F.col("i") + 1) % F.col("w"),
+        ).alias("a"),
+        F.greatest(
+            F.lit(1000) + F.col("i"),
+            F.lit(1000) + (F.col("i") + 1) % F.col("w"),
+        ).alias("b"),
+    )
+    ring_cl = ri.select(
+        "i",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(2).cast("long")))
+        .alias("j"),
+    ).select(
+        ((F.col("i") + 4 * F.col("j")) % 12).alias("a"),
+        (F.lit(1000) + F.col("i")).alias("b"),
+    )
+    lv = ri.select(
+        "i",
+        "w",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.lit(5).cast("long")))
+        .alias("j"),
+    )
+    up1 = lv.select(
+        (F.lit(1000) + (F.col("j") - 1) * F.col("w") + F.col("i")).alias("a"),
+        (F.lit(1000) + F.col("j") * F.col("w") + F.col("i")).alias("b"),
+    )
+    up2 = lv.select(
+        (
+            F.lit(1000)
+            + (F.col("j") - 1) * F.col("w")
+            + F.when(
+                F.col("j") == 1, (F.col("i") + 5) % F.col("w")
+            ).otherwise((F.col("i") + 1) % F.col("w"))
+        ).alias("a"),
+        (F.lit(1000) + F.col("j") * F.col("w") + F.col("i")).alias("b"),
+    )
+    return (
+        cl.unionByName(ring_e)
+        .unionByName(ring_cl)
+        .unionByName(up1)
+        .unionByName(up2)
+        .distinct()
+    )
+
+
+@register("graph_kcore", _kcore_unrolled_sql(k=3, rounds=7))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition by distributed iterative peeling over the
+    deterministic onion fixture graph: every peel round is one keyed
+    degree aggregation + two semi equi-joins on the live edge list
+    (no windows, no driver-side data; scalar fixpoint count per round
+    — the LPA/CC convergence idiom). The fixture peels in exactly 5
+    rounds to a clique+ring core whose degrees DEPEND on the data
+    scale (clique deg = 11 + W/4), so the oracle catches both a wrong
+    peel order and a wrong final degree; the unrolled-CTE oracle
+    replays the same simultaneous-peel semantics in SQL."""
+    from .operators import graph as G
+
+    return G.kcore(_onion_graph_edges(spark, sf_dir), k=3).orderBy("node")
+
+
+@register(
+    "part_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p_partkey, price_cents, p_size
+    FROM p r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p o
+      WHERE o.price_cents <= r.price_cents AND o.p_size >= r.p_size
+        AND (o.price_cents < r.price_cents OR o.p_size > r.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalog — the parts for which no
+    other part is both cheaper and at-least-as-large (minimize price,
+    maximize size): the classic skyline operator. The engine runs the
+    two-phase windowed skyline (per-salt local frontier, then a
+    bounded global re-prune — two windows, zero joins); the oracle is
+    the quadratic NOT-EXISTS dominance definition, which is exactly
+    what the distributed plan must never do at scale."""
+    from .operators import skyline as SK
+
+    p = SRC.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    return SK.skyline_min_max(
+        p, "price_cents", "p_size", "p_partkey"
+    ).orderBy("p_partkey")
+
+
+@register(
+    "events_acf",
+    """
+    WITH d AS (
+      SELECT event_type AS etype, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.etype, l.lag, a.c AS x, b.c AS y
+      FROM d a
+      JOIN (VALUES (1), (2), (3)) l(lag) ON TRUE
+      JOIN d b ON b.etype = a.etype AND b.day = a.day - l.lag
+    ),
+    s AS (
+      SELECT etype, lag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT etype AS event_type, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN ROUND(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                  6) + 0.0
+           END AS acf
+    FROM s ORDER BY event_type, lag
+    """,
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-lag autocorrelation (lags 1-3) of each event type's daily
+    count series — the seasonality screen a feature pipeline runs
+    before committing lag features. Calendar-aligned pairs (a gap day
+    pairs with nothing), exact integer moment sums, and one
+    fixed-shape double expression for r."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.acf(ev, lags=(1, 2, 3))
+
+
+@register(
+    "events_ab_cuped",
+    """
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE)
+               + CAST(FLOOR(date_diff('day', CAST(MIN(ts) AS DATE),
+                                      CAST(MAX(ts) AS DATE)) / 2.0) AS INT)
+               AS split_day
+      FROM events
+    ),
+    users AS (
+      SELECT user_id AS u,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= (SELECT split_day FROM span)
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+               AS x,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) < (SELECT split_day FROM span)
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+               AS c
+      FROM events GROUP BY 1
+    ),
+    v AS (
+      SELECT u, x, c,
+             CASE WHEN CAST(('0x' || substring(md5(u::VARCHAR || 'exp1'),
+                                               1, 2)) AS INT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM users
+    ),
+    pooled AS (
+      SELECT COUNT(*) AS pn, SUM(c) AS psc, SUM(x) AS psx,
+             SUM(c * x) AS pscx, SUM(c * c) AS pscc
+      FROM v
+    ),
+    per AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sum_post_cents,
+             CAST(SUM(c) AS BIGINT) AS sum_pre_cents
+      FROM v GROUP BY 1
+    )
+    SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+           sum_post_cents, sum_pre_cents,
+           ROUND(CAST(sum_post_cents AS DOUBLE) / CAST(n_users AS DOUBLE),
+                 6) + 0.0 AS mean_post,
+           ROUND(CAST(sum_post_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 - (CASE WHEN CAST(pn AS DOUBLE) * CAST(pscc AS DOUBLE)
+                              - CAST(psc AS DOUBLE) * CAST(psc AS DOUBLE) > 0
+                         THEN (CAST(pn AS DOUBLE) * CAST(pscx AS DOUBLE)
+                               - CAST(psc AS DOUBLE) * CAST(psx AS DOUBLE))
+                              / (CAST(pn AS DOUBLE) * CAST(pscc AS DOUBLE)
+                                 - CAST(psc AS DOUBLE) * CAST(psc AS DOUBLE))
+                         ELSE 0.0 END)
+                   * (CAST(sum_pre_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      - CAST(psc AS DOUBLE) / CAST(pn AS DOUBLE)),
+                 6) + 0.0 AS mean_adj,
+           ROUND(CASE WHEN CAST(pn AS DOUBLE) * CAST(pscc AS DOUBLE)
+                           - CAST(psc AS DOUBLE) * CAST(psc AS DOUBLE) > 0
+                      THEN (CAST(pn AS DOUBLE) * CAST(pscx AS DOUBLE)
+                            - CAST(psc AS DOUBLE) * CAST(psx AS DOUBLE))
+                           / (CAST(pn AS DOUBLE) * CAST(pscc AS DOUBLE)
+                              - CAST(psc AS DOUBLE) * CAST(psc AS DOUBLE))
+                      ELSE 0.0 END, 6) + 0.0 AS theta
+    FROM per CROSS JOIN pooled
+    ORDER BY variant
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: pre-period per-user revenue
+    as the control covariate, pooled theta = cov(pre, post)/var(pre),
+    per-variant adjusted means — the standard trick that cuts
+    experiment runtimes by the covariate's R². Deterministic md5
+    variants, exact cent-quantized sums, one fixed-shape double
+    closed form on both engines."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.cuped_readout(ev, salt="exp1")
+
+
+@register(
+    "orders_bloom_semijoin",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume/revenue for one market segment, computed
+    through an explicit Bloom-bitmap semi-join reduction: a 1-Mbit
+    broadcast bitmap of the segment's custkeys drops non-matching
+    orders at scan speed BEFORE the exact semi-join — the reduction
+    that keeps this join off the full-fact-shuffle path when the
+    dimension key set is too large to broadcast (100M keys = 800 MB;
+    the bitmap stays 128 KB at any cardinality). The result is exact:
+    Bloom false positives are removed by the final semi equi-join,
+    false negatives are impossible. The oracle is the plain IN
+    formulation."""
+    from .operators import bloomjoin as BJ
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    cust = SRC.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    surv = BJ.bloom_semi_join(
+        orders, cust, "o_custkey", "c_custkey"
+    )
+    return (
+        surv.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "doc_zipf_slope",
+    r"""
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY 1),
+    r AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+      FROM f
+    ),
+    m AS (
+      SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM r WHERE rnk <= 100
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+             AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e6, 6) + 0.0 AS ln_c
+    FROM s
+    """,
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the top-100 tokens (natural text sits near -1; a
+    flat or cliff-shaped slope flags template/boilerplate corpora —
+    a standard pretraining-data health check). Both logs are
+    micro-quantized to integers before the moment sums (the entropy
+    idiom), so the two engines aggregate EXACT integers and share one
+    fixed-shape closed form; the intercept is reported in ln-count
+    units (ln_c, divided back by 1e6)."""
+    from pyspark.sql import Window as W
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+    f = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # distributed top-k (TakeOrderedAndProject), THEN rank the bounded
+    # 100 rows — a global row_number window over the full vocabulary
+    # would funnel every distinct token through one partition
+    top = f.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(100)
+    r = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("freq").desc(), F.col("tok").asc())
+        ),
+    )
+    m = r.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round((sy - slope * sx) / n / F.lit(1e6), 6) + F.lit(0.0))
+        .alias("ln_c"),
     )

@@ -471,3 +471,58 @@ def test_ivfpq_candidates_join_on_cell(spark):
     plan = str(df._jdf.queryExecution().executedPlan())
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "cell candidate join must be hash"
+
+
+def test_r9b_queries_no_cartesian(spark):
+    """Second round-9 session additions: no cartesian product over
+    data rows. embed_binary_recall's only BNLJ is the 5-row broadcast
+    query batch (the brute_force_topk exemption); graph_kcore and
+    events_ab_cuped carry 1-row count/midpoint anchors."""
+    for name in [
+        "embed_binary_recall",
+        "graph_kcore",
+        "part_skyline",
+        "events_acf",
+        "events_ab_cuped",
+    ]:
+        df = Q.queries()[name](spark, SF)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "CartesianProduct" not in plan, name
+        if name == "events_acf":
+            assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_skyline_plan_is_windows_no_join(spark):
+    """The two-phase skyline must plan as windows only — the
+    quadratic NOT-EXISTS dominance anti-join is the oracle's
+    formulation, never the engine's."""
+    df = Q.queries()["part_skyline"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "Window" in plan
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoop",
+    ):
+        assert j not in plan, j
+
+
+def test_binary_topk_stage1_reads_codes_not_vectors(spark):
+    """The Hamming stage must not carry the float vectors: the
+    candidate relation's schema is (query_id, vec_id, hamming) — the
+    full-width embedding column only re-enters for the shortlist
+    rerank via an id equi-join (BroadcastHashJoin or SMJ on vec_id)."""
+    from mobilityduck_spark.operators import similarity as SIM
+    from pyspark.sql import functions as F
+
+    emb = SRC.load(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    df = SIM.binary_topk(emb, q, k=3, shortlist=8)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "bit_count" in plan, "Hamming must be a JVM bit_count expression"
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,303 @@
+"""Unit tests for the round-9 second-session operators: binary sign-
+code retrieval, k-core peeling, 2-D skyline, ACF, and CUPED — each
+checked against an independent in-Python recomputation (not the SQL
+oracle, which the driver already replays)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mobilityduck_spark.operators import graph as G
+from mobilityduck_spark.operators import similarity as SIM
+from mobilityduck_spark.operators import skyline as SK
+from mobilityduck_spark.operators import events as EV
+from mobilityduck_spark.sources import tables as SRC
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_binary_codes_planted_copy_hamming_zero(spark):
+    """An exact copy of the query vector must have Hamming distance 0
+    to it and therefore always enter the shortlist and rerank to the
+    top cosine slot."""
+    emb = SRC.load(spark, SF, "embeddings")
+    plant = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(plant)
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    top = SIM.binary_topk(corpus, q, k=3, shortlist=8).collect()
+    first = [r for r in top if r.rank == 1][0]
+    assert first.vec_id == 1_000_003
+    assert first.hamming == 0
+    assert first.cos == 1.0
+
+
+def test_binary_topk_full_shortlist_equals_exact(spark):
+    """With shortlist >= |corpus| the Hamming stage prunes nothing, so
+    the rerank must reproduce the exact brute-force top-k verbatim."""
+    emb = SRC.load(spark, SF, "embeddings").limit(60)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bt = {
+        (r.query_id, r.rank): r.vec_id
+        for r in SIM.binary_topk(emb, q, k=5, shortlist=100).collect()
+    }
+    ex = {
+        (r.query_id, r.rank): r.vec_id
+        for r in SIM.brute_force_topk(emb, q, k=5).collect()
+    }
+    assert bt == ex
+
+
+def test_binary_codes_match_numpy_pack(spark):
+    emb = SRC.load(spark, SF, "embeddings").limit(10)
+    rows = emb.select(
+        "vec_id", "embedding", *SIM.binary_sign_codes(F.col("embedding"))
+    ).collect()
+    for r in rows:
+        v = np.array(r.embedding)
+        bits = (v >= 0).astype(np.int64)
+        lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+        hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+        assert (r.bq_w0, r.bq_w1) == (lo, hi), r.vec_id
+
+
+def _py_kcore(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {
+            n for n in alive if sum(1 for m in adj[n] if m in alive) < k
+        }
+        if not drop:
+            break
+        alive -= drop
+    return {
+        n: sum(1 for m in adj[n] if m in alive) for n in alive
+    }
+
+
+@pytest.mark.parametrize("seed,k", [(0, 3), (1, 4), (2, 5)])
+def test_kcore_matches_python_peel_on_random_graph(spark, seed, k):
+    rng = np.random.RandomState(seed)
+    n = 60
+    edges = set()
+    for _ in range(150):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = {
+        (r.node, r.core_deg) for r in G.kcore(df, k=k).collect()
+    }
+    want = {(n_, d) for n_, d in _py_kcore(edges, k).items()}
+    assert got == want
+    G.release_caches()
+
+
+def test_kcore_empty_core(spark):
+    """A path graph has no 2-core — peeling must drain it completely
+    (the all-nodes-die fixpoint, reached from the ends inward)."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    assert G.kcore(df, k=2).count() == 0
+    G.release_caches()
+
+
+def _py_skyline(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dom = any(
+            (ox <= x and oy >= y and (ox < x or oy > y))
+            for j, (ox, oy) in enumerate(pts)
+            if j != i
+        )
+        if not dom:
+            out.append((x, y))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_skyline_matches_quadratic_reference(spark, seed):
+    rng = np.random.RandomState(seed)
+    pts = [
+        (int(x), int(y))
+        for x, y in zip(rng.randint(0, 40, 300), rng.randint(0, 40, 300))
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    got = sorted(
+        (r.x, r.y) for r in SK.skyline_min_max(df, "x", "y", "id").collect()
+    )
+    assert got == _py_skyline(pts)
+
+
+def test_skyline_keeps_full_ties(spark):
+    """Two identical points dominate each other in neither direction:
+    both stay on the frontier."""
+    df = spark.createDataFrame(
+        [(0, 5, 5), (1, 5, 5), (2, 9, 4)], "id long, x long, y long"
+    )
+    got = sorted(r.id for r in SK.skyline_min_max(df, "x", "y", "id").collect())
+    assert got == [0, 1]
+
+
+def test_acf_matches_numpy_on_constructed_series(spark):
+    """Alternating daily counts have lag-1 ACF near -1 and lag-2 near
+    +1; check the exact Pearson r against numpy on the same aligned
+    pairs."""
+    import datetime
+
+    rows = []
+    counts = [5, 20, 6, 21, 5, 19, 7, 22, 4, 20, 6, 18]
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 3, 1 + d, 12, 0, 0),
+                    1,
+                    "tick",
+                    1.0,
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    got = {
+        (r.lag): r.acf for r in EV.acf(ev, lags=(1, 2)).collect()
+    }
+    x = np.array(counts, dtype=float)
+    for lag in (1, 2):
+        want = np.corrcoef(x[lag:], x[:-lag])[0, 1]
+        assert got[lag] == pytest.approx(want, abs=2e-6), lag
+
+
+def test_cuped_theta_and_adjustment_match_numpy(spark):
+    """theta and the adjusted means must equal the numpy closed form
+    on the same per-user (pre, post) integer sums; the adjustment must
+    move both variant means TOWARD each other when the covariate
+    explains the spread."""
+    import datetime
+
+    rows = []
+    eid = 0
+    rng = np.random.RandomState(3)
+    for u in range(40):
+        base = float(rng.randint(10, 60))
+        for d in (2, 5, 8):  # pre period
+            rows.append(
+                (eid, datetime.datetime(2024, 3, d), u, "purchase",
+                 base + d)
+            )
+            eid += 1
+        for d in (20, 25):  # post period
+            rows.append(
+                (eid, datetime.datetime(2024, 3, d), u, "purchase",
+                 2 * base + d)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {r.variant: r for r in EV.cuped_readout(ev, salt="t9").collect()}
+    assert set(out) == {"A", "B"}
+    # recompute in numpy from the same deterministic assignment
+    import hashlib
+
+    pre, post, var = {}, {}, {}
+    for (eid_, ts, u, _t, v) in rows:
+        c = int(round(v * 100))
+        if ts.day < 16:
+            pre[u] = pre.get(u, 0) + c
+        else:
+            post[u] = post.get(u, 0) + c
+    for u in range(40):
+        b = int(hashlib.md5(f"{u}t9".encode()).hexdigest()[:2], 16)
+        var[u] = "A" if b % 2 == 0 else "B"
+    c = np.array([pre.get(u, 0) for u in range(40)], dtype=float)
+    x = np.array([post.get(u, 0) for u in range(40)], dtype=float)
+    theta = ((len(c) * (c * x).sum() - c.sum() * x.sum())
+             / (len(c) * (c * c).sum() - c.sum() ** 2))
+    assert out["A"].theta == pytest.approx(theta, abs=2e-6)
+    for vn in ("A", "B"):
+        sel = np.array([var[u] == vn for u in range(40)])
+        want_adj = x[sel].mean() - theta * (c[sel].mean() - c.mean())
+        assert out[vn].mean_adj == pytest.approx(want_adj, abs=2e-6)
+    # variance-reduction direction: adjusted means are closer together
+    raw_gap = abs(out["A"].mean_post - out["B"].mean_post)
+    adj_gap = abs(out["A"].mean_adj - out["B"].mean_adj)
+    assert adj_gap <= raw_gap
+
+
+def test_bloom_semi_join_exact_vs_plain_semi(spark):
+    """The Bloom prefilter must be invisible in the RESULT: surviving
+    rows == the plain semi-join, at any bitmap size — even a tiny,
+    collision-heavy 256-bit filter (every false positive must be
+    killed by the exact join)."""
+    from mobilityduck_spark.operators import bloomjoin as BJ
+
+    orders = SRC.load(spark, SF, "orders")
+    cust = SRC.load(spark, SF, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            "o_custkey",
+            "semi",
+        ).collect()
+    )
+    for m_bits in (256, 1 << 20):
+        got = sorted(
+            r.o_orderkey
+            for r in BJ.bloom_semi_join(
+                orders, cust, "o_custkey", "c_custkey", m_bits=m_bits
+            ).collect()
+        )
+        assert got == want, m_bits
+
+
+def test_bloom_build_bitmap_matches_python(spark):
+    """The (word, bits) table must equal a python recomputation of
+    xxhash64(key, seed) % m — same words, same OR-ed bit patterns."""
+    from mobilityduck_spark.operators import bloomjoin as BJ
+
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    m_bits = 1 << 10
+    words = {
+        r.word: r.bits
+        for r in BJ.bloom_build(dim, "k", m_bits=m_bits).collect()
+    }
+    pos = dim.select(
+        F.pmod(F.xxhash64(F.col("k"), F.lit(101)), F.lit(m_bits)).alias(
+            "p1"
+        ),
+        F.pmod(F.xxhash64(F.col("k"), F.lit(202)), F.lit(m_bits)).alias(
+            "p2"
+        ),
+    ).collect()
+    want = {}
+    for r in pos:
+        for p in (r.p1, r.p2):
+            want[p // 32] = want.get(p // 32, 0) | (1 << (p % 32))
+    assert words == want
