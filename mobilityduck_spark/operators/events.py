@@ -1892,3 +1892,86 @@ def cuped_readout(
          + F.lit(0.0)).alias("mean_adj"),
         (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
     ).orderBy("variant")
+
+
+def woe_iv(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    min_conversions: int = 12,
+    bucket_width: int = 20,
+    n_buckets: int = 5,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weight-of-evidence / information-value screen of a candidate
+    feature (total events per user, fixed-width buckets) against a
+    binary target (converted = >= min_conversions purchase events —
+    the ab_test_readout definition): per bucket the exact good/bad
+    counts, WoE = ln((good_b/good_tot)/(bad_b/bad_tot)), and the IV
+    contribution (good% - bad%) * WoE — the standard credit-scoring
+    screen for "does this feature separate the classes at all".
+    Empty-class buckets report woe_defined = false with 0.0 values
+    (the industry smoothing choices are policy, not math; the flag
+    surfaces them without leaving NULL floats). Both ln calls
+    are micro-quantized integers (the entropy idiom) so the engines
+    aggregate exactly; one fixed-shape double expression renders the
+    outputs. Returns (bucket, n_users, n_good, n_bad, woe, iv_term).
+
+    Plan (100 TB): one |users|-sized aggregate (the only event-volume
+    shuffle), one n_buckets-row rollup with a broadcast 1-row totals
+    anchor."""
+    users = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (
+            F.sum(
+                F.when(F.col(type_col) == conversion_type, 1).otherwise(0)
+            )
+            >= min_conversions
+        )
+        .cast("int")
+        .alias("good"),
+    )
+    b = F.least(
+        (F.col("n_ev") / F.lit(bucket_width)).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    per = (
+        users.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("good").cast("bigint").alias("n_good"),
+            F.sum(F.lit(1) - F.col("good")).cast("bigint").alias("n_bad"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    lg = F.round(
+        F.log(F.col("n_good").cast("double") / F.col("tg").cast("double"))
+        * 1e6
+    ).cast("long")
+    lb = F.round(
+        F.log(F.col("n_bad").cast("double") / F.col("tb").cast("double"))
+        * 1e6
+    ).cast("long")
+    woe = (lg - lb).cast("double") / F.lit(1e6)
+    share_gap = (
+        F.col("n_good").cast("double") / F.col("tg").cast("double")
+        - F.col("n_bad").cast("double") / F.col("tb").cast("double")
+    )
+    return j.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_users",
+        "n_good",
+        "n_bad",
+        ok.alias("woe_defined"),
+        F.when(ok, F.round(woe, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("woe"),
+        F.when(ok, F.round(share_gap * woe, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("iv_term"),
+    ).orderBy("bucket")

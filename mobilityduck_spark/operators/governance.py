@@ -649,3 +649,56 @@ def encoding_advisor(
         F.when(dict_bytes < F.col("plain_bytes"), F.lit("dictionary"))
         .otherwise(F.lit("plain")).alias("verdict"),
     ).orderBy("col")
+
+
+def compaction_plan(
+    files: DataFrame,
+    order_col: str = "day",
+    rows_col: str = "n_rows",
+    n_groups: int = 20,
+) -> DataFrame:
+    """Small-file compaction planner: sequentially bin-pack an
+    ORDERED file inventory (one row per small file with its row
+    count) into ~n_groups merge groups of equal row volume — a file
+    opens a new group when the running total before it crosses the
+    next target boundary, so groups are contiguous in the ordering
+    key (ingest time) and rewriting one group never touches another's
+    key range. Target size derives from the inventory itself
+    (ceil(total/n_groups)), so the plan is scale-invariant. Returns
+    per group: group_id, n_files, total_rows, first/last ordering key.
+
+    Plan (100 TB): this runs on file METADATA (one row per file — a
+    100k-file table, not a 100 TB one), so the single-partition
+    running-sum window is bounded by the catalog size, the same
+    contract as table_profile / M4. The expensive part is the rewrite
+    the plan drives, not the plan."""
+    total = files.agg(
+        F.sum(F.col(rows_col)).cast("long").alias("_total")
+    )
+    w = Window.orderBy(F.col(order_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = (
+        files.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_target",
+            F.ceil(F.col("_total") / F.lit(n_groups)).cast("long"),
+        )
+        .withColumn(
+            "_before", F.coalesce(F.sum(rows_col).over(w), F.lit(0))
+        )
+        .withColumn(
+            "_grp",
+            (F.col("_before") / F.col("_target")).cast("long"),
+        )
+    )
+    return (
+        staged.groupBy(F.col("_grp").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(rows_col).cast("bigint").alias("total_rows"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+        .orderBy("group_id")
+    )

@@ -488,3 +488,87 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .where(F.col("rnk") <= k)
     )
+
+
+def retrieval_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Rank-quality readout of a retrieval run against a relevance
+    set: per query, the total relevant count, how many relevant docs
+    landed in the top-k (precision/recall numerators), and the rank
+    of the first relevant hit (the MRR numerator's denominator) —
+    all exact integers, no floating math at all, so the readout is
+    bit-deterministic on any engine. `run` = (query_id, doc_id, rnk),
+    `qrels` = (query_id, doc_id[, rel]); a query with no relevant doc
+    in the run reports first_rel_rank NULL.
+
+    Plan (100 TB): one equi-join of the candidate-sized run (|queries|
+    x k rows) against qrels on (query_id, doc_id), one qrels-domain
+    aggregate, one |queries|-sized merge — nothing here ever touches
+    corpus-sized data; the expensive part is the run that produced the
+    input, not the metric."""
+    hits = run.join(
+        qrels.select("query_id", "doc_id").withColumn(
+            "_rel", F.lit(1)
+        ),
+        ["query_id", "doc_id"],
+        "left",
+    )
+    per_run = hits.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("_rel").isNotNull() & (F.col("rnk") <= k), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"n_rel_at_{k}"),
+        F.min(F.when(F.col("_rel").isNotNull(), F.col("rnk")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+    )
+    totals = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel_total")
+    )
+    return totals.join(per_run, "query_id", "left").select(
+        "query_id",
+        "n_rel_total",
+        F.coalesce(F.col(f"n_rel_at_{k}"), F.lit(0).cast("bigint")).alias(
+            f"n_rel_at_{k}"
+        ),
+        "first_rel_rank",
+    ).orderBy("query_id")
+
+
+def token_overlap_qrels(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Derive a deterministic relevance set from token evidence: doc
+    is relevant to query iff it contains >= min_overlap DISTINCT query
+    terms. The standard pseudo-qrels construction for judging a
+    ranker when no human labels exist. Returns (query_id, doc_id).
+
+    Plan: distinct postings broadcast-semi-joined on the literal query
+    terms (corpus reduction before any shuffle, same as bm25_topk),
+    then one (query, doc)-keyed count."""
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+    qt = qdf.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    ).distinct()
+    postings = (
+        _doc_tokens(docs)
+        .select("doc_id", F.explode("w").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "semi")
+        .distinct()
+    )
+    return (
+        postings.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_ov"))
+        .where(F.col("_ov") >= min_overlap)
+        .select("query_id", "doc_id")
+    )

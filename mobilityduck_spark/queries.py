@@ -112,6 +112,9 @@ _DRIVER_PRIORITY = [
     "events_ab_cuped",           # NEW: CUPED variance-reduced readout
     "orders_bloom_semijoin",     # NEW: Bloom-bitmap semi-join reduction
     "doc_zipf_slope",            # NEW: rank-frequency OLS health check
+    "doc_retrieval_eval",        # NEW: integer-exact ranking metrics
+    "lineitem_compaction_plan",  # NEW: small-file bin-packing planner
+    "events_woe_iv",             # NEW: WoE/IV feature screening
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -8428,3 +8431,198 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((sy - slope * sx) / n / F.lit(1e6), 6) + F.lit(0.0))
         .alias("ln_c"),
     )
+
+
+@register(
+    "doc_retrieval_eval",
+    r"""
+    WITH q(query_id, qtext) AS (VALUES
+      ('q1', 'hash join merge'), ('q2', 'window sort order'),
+      ('q3', 'spark stream query'), ('q4', 'dup table')),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(qtext, ' ')) AS term
+      FROM q
+    ),
+    qterms AS (SELECT DISTINCT term FROM qt),
+    d AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(len(w)) AS BIGINT) AS sum_dl FROM d),
+    t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+    tf AS (
+      SELECT t.doc_id, t.dl, t.term, COUNT(*) AS tf
+      FROM t JOIN qterms USING (term) GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+               * 1000000.0) AS BIGINT) AS term_micro
+      FROM tf
+      JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN s
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM sc GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id ASC)
+                 AS rnk
+        FROM agg) WHERE rnk <= 10
+    ),
+    qrels AS (
+      SELECT qt.query_id, p.doc_id
+      FROM (SELECT DISTINCT doc_id, term FROM t) p
+      JOIN qt USING (term)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    per AS (
+      SELECT r.query_id,
+             SUM(CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_rel_at_10,
+             MIN(CASE WHEN qr.doc_id IS NOT NULL THEN r.rnk END)
+               AS first_rel_rank
+      FROM run r
+      LEFT JOIN qrels qr
+        ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+      GROUP BY 1
+    ),
+    tot AS (SELECT query_id, COUNT(*) AS n_rel_total FROM qrels GROUP BY 1)
+    SELECT tot.query_id, CAST(n_rel_total AS BIGINT) AS n_rel_total,
+           CAST(COALESCE(n_rel_at_10, 0) AS BIGINT) AS n_rel_at_10,
+           CAST(first_rel_rank AS BIGINT) AS first_rel_rank
+    FROM tot LEFT JOIN per ON per.query_id = tot.query_id
+    ORDER BY tot.query_id
+    """,
+)
+def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality readout: the BM25 top-10 run judged against
+    deterministic pseudo-qrels (relevant = doc shares >= 2 distinct
+    query terms) — total relevant, relevant-in-top-10, and
+    first-relevant rank per query, all exact integers (the MRR /
+    precision / recall numerators with no floating math at all). The
+    evaluation a pipeline runs before swapping rankers; the metric
+    join itself only ever touches candidate-sized data."""
+    from .operators import retrieval as RT
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    run = RT.bm25_topk(docs, _BM25_QUERIES, k=10).select(
+        "query_id", "doc_id", "rnk"
+    )
+    qrels = RT.token_overlap_qrels(docs, _BM25_QUERIES, min_overlap=2)
+    return RT.retrieval_eval(run, qrels, k=10)
+
+
+@register(
+    "lineitem_compaction_plan",
+    """
+    WITH f AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM f),
+    st AS (
+      SELECT day, n_rows,
+             COALESCE(SUM(n_rows) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_,
+             CAST(CEIL(CAST(total AS DOUBLE) / 20.0) AS BIGINT) AS target
+      FROM f CROSS JOIN tot
+    )
+    SELECT CAST(FLOOR(CAST(before_ AS DOUBLE) / CAST(target AS DOUBLE))
+                AS BIGINT) AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           strftime(MIN(day), '%Y-%m-%d') AS first_key,
+           strftime(MAX(day), '%Y-%m-%d') AS last_key
+    FROM st GROUP BY 1 ORDER BY 1
+    """,
+)
+def lineitem_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the simulated per-ship-day file
+    inventory (one 'file' per shipdate day): contiguous sequential
+    bin-packing into ~20 equal-volume merge groups with a
+    scale-invariant target (ceil(total/20)). The planner runs on
+    catalog-sized metadata; groups are contiguous in ingest order so
+    a rewrite never interleaves key ranges."""
+    from .operators import governance as GV
+
+    li = SRC.load(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return GV.compaction_plan(files, "day", "n_rows", n_groups=20).select(
+        "group_id", "n_files", "total_rows",
+        F.date_format("first_key", "yyyy-MM-dd").alias("first_key"),
+        F.date_format("last_key", "yyyy-MM-dd").alias("last_key"),
+    )
+
+
+@register(
+    "events_woe_iv",
+    """
+    WITH users AS (
+      SELECT user_id AS u, COUNT(*) AS n_ev,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 12
+                  THEN 1 ELSE 0 END AS good
+      FROM events GROUP BY 1
+    ),
+    per AS (
+      SELECT LEAST(CAST(FLOOR(CAST(n_ev AS DOUBLE) / 20.0) AS BIGINT), 4)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(good) AS BIGINT) AS n_good,
+             CAST(SUM(1 - good) AS BIGINT) AS n_bad
+      FROM users GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb FROM per)
+    SELECT bucket, n_users, n_good, n_bad,
+           (n_good > 0 AND n_bad > 0) AS woe_defined,
+           CASE WHEN n_good > 0 AND n_bad > 0 THEN
+             ROUND(CAST(CAST(ROUND(ln(CAST(n_good AS DOUBLE)
+                                      / CAST(tg AS DOUBLE)) * 1e6) AS BIGINT)
+                        - CAST(ROUND(ln(CAST(n_bad AS DOUBLE)
+                                        / CAST(tb AS DOUBLE)) * 1e6) AS BIGINT)
+                        AS DOUBLE) / 1e6, 6) + 0.0
+           ELSE 0.0 END AS woe,
+           CASE WHEN n_good > 0 AND n_bad > 0 THEN
+             ROUND((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+                    - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))
+                   * (CAST(CAST(ROUND(ln(CAST(n_good AS DOUBLE)
+                                         / CAST(tg AS DOUBLE)) * 1e6) AS BIGINT)
+                           - CAST(ROUND(ln(CAST(n_bad AS DOUBLE)
+                                           / CAST(tb AS DOUBLE)) * 1e6) AS BIGINT)
+                           AS DOUBLE) / 1e6), 6) + 0.0
+           ELSE 0.0 END AS iv_term
+    FROM per CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def events_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen: does per-user
+    activity volume separate converters from non-converters? Exact
+    integer class counts per fixed-width activity bucket, micro-
+    quantized ln for WoE, and the per-bucket IV contribution — the
+    credit-scoring-style feature screen run before training a
+    propensity model. Empty-class buckets surface NULL (smoothing is
+    policy, not math)."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.woe_iv(ev)

@@ -526,3 +526,26 @@ def test_binary_topk_stage1_reads_codes_not_vectors(spark):
     plan = str(df._jdf.queryExecution().executedPlan())
     assert "bit_count" in plan, "Hamming must be a JVM bit_count expression"
     assert "CartesianProduct" not in plan
+
+
+def test_r9c_queries_no_cartesian(spark):
+    """Third round-9 session additions: the metric join never
+    cartesians; compaction and WoE carry only 1-row total anchors."""
+    for name in [
+        "doc_retrieval_eval",
+        "lineitem_compaction_plan",
+        "events_woe_iv",
+    ]:
+        df = Q.queries()[name](spark, SF)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_semijoin_broadcasts_bitmap(spark):
+    """The Bloom prefilter must plan as broadcast hash joins on the
+    word index (one per hash) — never a shuffle of the fact side just
+    to probe the bitmap."""
+    df = Q.queries()["orders_bloom_semijoin"](spark, SF)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 2, f"bitmap probes must broadcast: {c}"
+    assert c["sortmerge_joins"] == 0

@@ -301,3 +301,99 @@ def test_bloom_build_bitmap_matches_python(spark):
         for p in (r.p1, r.p2):
             want[p // 32] = want.get(p // 32, 0) | (1 << (p % 32))
     assert words == want
+
+
+def test_retrieval_eval_metrics_by_hand(spark):
+    """Metrics on a hand-built run/qrels: known first ranks, top-k
+    membership, and zero-relevant queries must come out exactly."""
+    from mobilityduck_spark.operators import retrieval as RT
+
+    run = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 10, 1), ("q2", 13, 2)],
+        "query_id string, doc_id long, rnk int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 11), ("q1", 12), ("q1", 99), ("q2", 77)],
+        "query_id string, doc_id long",
+    )
+    out = {r.query_id: r for r in RT.retrieval_eval(run, qrels, k=2).collect()}
+    assert out["q1"].n_rel_total == 3
+    assert out["q1"].n_rel_at_2 == 1          # only doc 11 in top-2
+    assert out["q1"].first_rel_rank == 2
+    assert out["q2"].n_rel_total == 1
+    assert out["q2"].n_rel_at_2 == 0
+    assert out["q2"].first_rel_rank is None
+
+
+def test_compaction_plan_partitions_whole_inventory(spark):
+    """Every file lands in exactly one contiguous group; group row
+    volumes track the ceil(total/n) target (each group stops at the
+    first file crossing the boundary)."""
+    from mobilityduck_spark.operators import governance as GV
+
+    files = spark.createDataFrame(
+        [(d, 10 + (d * 7) % 13) for d in range(50)],
+        "day long, n_rows long",
+    )
+    total = sum(10 + (d * 7) % 13 for d in range(50))
+    out = GV.compaction_plan(files, "day", "n_rows", n_groups=5).collect()
+    assert sum(r.n_files for r in out) == 50
+    assert sum(r.total_rows for r in out) == total
+    # contiguity: group key ranges never interleave
+    spans = sorted((r.first_key, r.last_key) for r in out)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 < b0
+    # sequential packing invariant: every group except possibly the
+    # last crosses the target only with its final file
+    target = -(-total // 5)
+    cum = 0
+    for r in sorted(out, key=lambda r: r.group_id):
+        assert cum // target == r.group_id
+        cum += r.total_rows
+
+
+def test_woe_iv_matches_python(spark):
+    import datetime
+    import math
+
+    rows = []
+    eid = 0
+    for u in range(30):
+        n_ev = 5 + 3 * u  # buckets 0..4 via width 20
+        n_purch = 15 if u % 3 == 0 else 2
+        for i in range(n_ev):
+            t = "purchase" if i < n_purch else "view"
+            rows.append(
+                (eid, datetime.datetime(2024, 4, 1 + i % 28), u, t, 1.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {r.bucket: r for r in EV.woe_iv(ev).collect()}
+    # python recount
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for u in range(30):
+        n_ev = 5 + 3 * u
+        n_purch = min(n_ev, 15 if u % 3 == 0 else 2)
+        good = 1 if n_purch >= 12 else 0
+        bucket = min(n_ev // 20, 4)
+        per[bucket][good] += 1
+    tg = sum(v[1] for v in per.values())
+    tb = sum(v[0] for v in per.values())
+    for b, (nb, ng) in per.items():
+        r = out[b]
+        assert (r.n_good, r.n_bad) == (ng, nb), b
+        if ng > 0 and nb > 0:
+            woe = (
+                round(math.log(ng / tg) * 1e6)
+                - round(math.log(nb / tb) * 1e6)
+            ) / 1e6
+            assert r.woe_defined
+            assert r.woe == pytest.approx(round(woe, 6), abs=1e-9)
+        else:
+            assert not r.woe_defined and r.woe == 0.0
