@@ -1975,3 +1975,186 @@ def woe_iv(
         .otherwise(F.lit(0.0))
         .alias("iv_term"),
     ).orderBy("bucket")
+
+
+def survival_curve(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Discrete Kaplan-Meier survival curve for time-to-conversion:
+    cohort entry = the user's first event of any type, event = first
+    `conversion_type` at/after entry, right-censoring at
+    `horizon_days`. Per day d: the risk set n_d (entered, neither
+    converted nor censored before d), conversion count e_d, censored
+    count c_d, and the KM log-survival ln S(d) = sum_{i<=d}
+    ln(1 - e_i/n_i) as an EXACT micro-quantized BIGINT (each term's
+    ln is rounded to 1e-6 before the cumulative sum — the entropy
+    idiom — so the curve is engine-exact in log space; exponentiate
+    client-side for display). A day where everyone at risk converts
+    drives S to 0: ln_s_micro reports the sentinel NULL via
+    s_defined = false rather than -inf.
+
+    Plan (100 TB): two |users|-sized aggregates (entry + first
+    conversion) merged on the user key, then one horizon-sized (<=
+    horizon_days+1 rows) grouped rollup and a bounded window cumsum
+    over the day domain."""
+    entry = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.col(ts_col)).alias("t0")
+    )
+    conv = (
+        events.where(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(F.col(ts_col)).alias("t1c"))
+    )
+    per = entry.join(conv, "u", "left").select(
+        "u",
+        F.when(
+            F.col("t1c").isNotNull() & (F.col("t1c") >= F.col("t0")),
+            F.datediff(F.col("t1c").cast("date"), F.col("t0").cast("date")),
+        ).alias("d_conv"),
+    )
+    # duration: converted within horizon -> event at d; else censored
+    # at horizon (users whose only conversions precede entry are
+    # censored too: their post-entry behavior is unobserved-converted)
+    status = per.select(
+        F.when(
+            F.col("d_conv").isNotNull()
+            & (F.col("d_conv") <= F.lit(horizon_days)),
+            F.struct(
+                F.col("d_conv").cast("long").alias("day"),
+                F.lit(1).alias("is_event"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(horizon_days).cast("long").alias("day"),
+                F.lit(0).alias("is_event"),
+            )
+        )
+        .alias("s")
+    ).select(F.col("s.day").alias("day"), F.col("s.is_event").alias("ev"))
+    days = status.groupBy("day").agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    w_after = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = days.agg(
+        F.sum(F.col("n_event") + F.col("n_censored")).alias("_n")
+    )
+    staged = (
+        days.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_censored")).over(w_after),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "term_micro",
+            F.when(
+                F.col("n_event") < F.col("n_risk"),
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("n_event").cast("double")
+                        / F.col("n_risk").cast("double")
+                    )
+                    * 1e6
+                ).cast("long"),
+            ),
+        )
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = staged.withColumn(
+        "_alldef",
+        F.min(F.col("term_micro").isNotNull().cast("int")).over(w_cum),
+    ).withColumn("_cum", F.sum("term_micro").over(w_cum))
+    return out.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_event",
+        "n_censored",
+        (F.col("_alldef") == 1).alias("s_defined"),
+        F.when(F.col("_alldef") == 1, F.col("_cum"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("ln_s_micro"),
+    ).orderBy("day")
+
+
+def kmv_distinct(
+    events: DataFrame,
+    k: int = 32,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    salt: str = "kmv1",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch next to the exact
+    answer: per event type, hash each distinct user to a uniform
+    48-bit integer (md5 prefix — engine-portable, unlike xxhash64),
+    keep the k smallest, and estimate |distinct| = (k-1) * 2^48 /
+    v_(k); groups with < k members report their exact count. The
+    output carries BOTH the estimate and the exact distinct count, so
+    the sketch's error is part of the oracle-checked result — the
+    evaluation a pipeline runs before trusting sketches at 10^9 keys
+    where exact distinct is a full shuffle. Returns (event_type,
+    n_exact, kth_hash, est).
+
+    Plan (100 TB): one distinct (type, user) aggregate, then a
+    per-type k-smallest window over the distinct domain (a real
+    deployment merges per-partition k-mins — same result, this
+    relational form keeps the oracle exact)."""
+    pairs = events.select(
+        F.col(type_col).alias("etype"), F.col(user_col).alias("u")
+    ).distinct()
+    hashed = pairs.select(
+        "etype",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("u").cast("string"), F.lit(salt))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("etype").orderBy(F.col("h").asc())
+    mins = hashed.withColumn("rnk", F.row_number().over(w))
+    exact = pairs.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    kth = mins.where(F.col("rnk") == k).select(
+        "etype", F.col("h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("kth_hash").isNotNull(),
+        F.round(
+            F.lit(float(k - 1))
+            * F.lit(281474976710656.0)
+            / F.col("kth_hash").cast("double")
+        ).cast("long"),
+    ).otherwise(F.col("n_exact"))
+    return (
+        exact.join(kth, "etype", "left")
+        .select(
+            F.col("etype").alias("event_type"),
+            "n_exact",
+            F.coalesce(F.col("kth_hash"), F.lit(0).cast("long")).alias(
+                "kth_hash"
+            ),
+            est.alias("est"),
+        )
+        .orderBy("event_type")
+    )

@@ -115,6 +115,8 @@ _DRIVER_PRIORITY = [
     "doc_retrieval_eval",        # NEW: integer-exact ranking metrics
     "lineitem_compaction_plan",  # NEW: small-file bin-packing planner
     "events_woe_iv",             # NEW: WoE/IV feature screening
+    "events_survival_curve",     # NEW: Kaplan-Meier time-to-conversion
+    "events_kmv_distinct",       # NEW: KMV sketch vs exact distinct
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -8626,3 +8628,118 @@ def events_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.woe_iv(ev)
+
+
+@register(
+    "events_survival_curve",
+    """
+    WITH entry AS (
+      SELECT user_id AS u, MIN(ts) AS t0 FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id AS u, MIN(ts) AS t1c FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    per AS (
+      SELECT e.u,
+             CASE WHEN c.t1c IS NOT NULL AND c.t1c >= e.t0
+                  THEN date_diff('day', CAST(e.t0 AS DATE),
+                                 CAST(c.t1c AS DATE)) END AS d_conv
+      FROM entry e LEFT JOIN conv c ON c.u = e.u
+    ),
+    status AS (
+      SELECT CASE WHEN d_conv IS NOT NULL AND d_conv <= 7
+                  THEN d_conv ELSE 7 END AS day,
+             CASE WHEN d_conv IS NOT NULL AND d_conv <= 7
+                  THEN 1 ELSE 0 END AS ev
+      FROM per
+    ),
+    days AS (
+      SELECT day, SUM(ev) AS n_event, SUM(1 - ev) AS n_censored
+      FROM status GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_event + n_censored) AS n FROM days),
+    st AS (
+      SELECT day, n_event, n_censored,
+             n - COALESCE(SUM(n_event + n_censored) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM days CROSS JOIN tot
+    ),
+    t2 AS (
+      SELECT day, n_risk, n_event, n_censored,
+             CASE WHEN n_event < n_risk
+                  THEN CAST(ROUND(ln(1.0 - CAST(n_event AS DOUBLE)
+                                           / CAST(n_risk AS DOUBLE))
+                                  * 1e6) AS BIGINT) END AS term
+      FROM st
+    )
+    SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_event AS BIGINT) AS n_event,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           (MIN(CASE WHEN term IS NULL THEN 0 ELSE 1 END) OVER w) = 1
+             AS s_defined,
+           CASE WHEN (MIN(CASE WHEN term IS NULL THEN 0 ELSE 1 END)
+                      OVER w) = 1
+                THEN CAST(SUM(term) OVER w AS BIGINT)
+                ELSE 0 END AS ln_s_micro
+    FROM t2
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (entry = first event,
+    conversion = first purchase, right-censored at 7 days): per-day
+    risk set, events, censored, and the exact micro-quantized KM
+    log-survival cumsum — retention/survival analysis with the
+    engine-exact determinism contract (floats only inside per-term
+    ROUND(ln*1e6))."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.survival_curve(ev, horizon_days=7)
+
+
+@register(
+    "events_kmv_distinct",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT event_type AS etype, user_id AS u FROM events
+    ),
+    hashed AS (
+      SELECT etype,
+             CAST(('0x' || substring(md5(u::VARCHAR || 'kmv1'), 1, 12))
+                  AS BIGINT) AS h
+      FROM pairs
+    ),
+    mins AS (
+      SELECT etype, h,
+             row_number() OVER (PARTITION BY etype ORDER BY h ASC) AS rnk
+      FROM hashed
+    ),
+    exact AS (SELECT etype, COUNT(*) AS n_exact FROM pairs GROUP BY 1),
+    kth AS (SELECT etype, h AS kth_hash FROM mins WHERE rnk = 32)
+    SELECT e.etype AS event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(kth_hash, 0) AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN kth_hash IS NOT NULL
+                     THEN CAST(ROUND(31.0 * 281474976710656.0
+                                     / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+                     ELSE n_exact END AS BIGINT) AS est
+    FROM exact e LEFT JOIN kth ON kth.etype = e.etype
+    ORDER BY event_type
+    """,
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-user sketch per event type, reported
+    NEXT TO the exact distinct count so the sketch's error is itself
+    oracle-checked — the trust-but-verify evaluation before replacing
+    exact COUNT(DISTINCT) (a full shuffle at 10^9 keys) with a
+    mergeable 32-value sketch. Hashing is the engine-portable md5
+    prefix; the estimate is one fixed-shape double expression."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.kmv_distinct(ev, k=32)

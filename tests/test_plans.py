@@ -549,3 +549,12 @@ def test_bloom_semijoin_broadcasts_bitmap(spark):
     c = plan_counts(df)
     assert c["broadcast_joins"] >= 2, f"bitmap probes must broadcast: {c}"
     assert c["sortmerge_joins"] == 0
+
+
+def test_r9d_queries_no_cartesian(spark):
+    """Survival + KMV: user-keyed aggregates and bounded-domain
+    windows only; the only BNLJ is the 1-row cohort-total anchor."""
+    for name in ["events_survival_curve", "events_kmv_distinct"]:
+        df = Q.queries()[name](spark, SF)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "CartesianProduct" not in plan, name

@@ -397,3 +397,92 @@ def test_woe_iv_matches_python(spark):
             assert r.woe == pytest.approx(round(woe, 6), abs=1e-9)
         else:
             assert not r.woe_defined and r.woe == 0.0
+
+
+def test_survival_curve_matches_lifelines_style_recount(spark):
+    """KM bookkeeping on a hand-built cohort: known event/censor days,
+    risk sets, and the micro-quantized log-survival terms."""
+    import datetime
+    import math
+
+    rows = []
+    eid = 0
+    # user u enters day 1; conversion day per spec; horizon 7
+    spec = {0: 0, 1: 1, 2: 1, 3: 3, 4: None, 5: 9, 6: 2, 7: None}
+    for u, d in spec.items():
+        rows.append((eid, datetime.datetime(2024, 5, 1), u, "view", 1.0))
+        eid += 1
+        if d is not None:
+            rows.append(
+                (eid, datetime.datetime(2024, 5, 1 + d), u, "purchase", 1.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {r.day: r for r in EV.survival_curve(ev, horizon_days=7).collect()}
+    # events: d0:1, d1:2, d2:1, d3:1; censored at 7: users 4,5,7 -> 3
+    assert (out[0].n_risk, out[0].n_event) == (8, 1)
+    assert (out[1].n_risk, out[1].n_event) == (7, 2)
+    assert (out[2].n_risk, out[2].n_event) == (5, 1)
+    assert (out[3].n_risk, out[3].n_event) == (4, 1)
+    assert (out[7].n_risk, out[7].n_censored) == (3, 3)
+    want = 0
+    for n, e in [(8, 1), (7, 2), (5, 1), (4, 1)]:
+        want += round(math.log(1 - e / n) * 1e6)
+    assert out[3].ln_s_micro == want
+    assert out[7].ln_s_micro == want  # no events at day 7, only censoring
+    assert all(r.s_defined for r in out.values())
+
+
+def test_survival_total_degradation_flagged(spark):
+    """If every user at risk converts on some day, S hits zero —
+    s_defined must flip false from that day on."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for u in range(4):
+        rows.append((eid, datetime.datetime(2024, 5, 1), u, "view", 1.0))
+        eid += 1
+        rows.append(
+            (eid, datetime.datetime(2024, 5, 2), u, "purchase", 1.0)
+        )
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {r.day: r for r in EV.survival_curve(ev, horizon_days=7).collect()}
+    assert not out[1].s_defined and out[1].ln_s_micro == 0
+
+
+def test_kmv_estimate_matches_python_and_is_close(spark):
+    """kth hash and estimate must equal the python md5 recomputation;
+    at k=32 over ~150 users the estimate should land within ~60% of
+    exact (sanity, not a statistical claim)."""
+    import hashlib
+
+    ev = SRC.load(spark, "/root/testdata/sf0.01", "events")
+    out = {r.event_type: r for r in EV.kmv_distinct(ev, k=32).collect()}
+    pairs = ev.select("event_type", "user_id").distinct().collect()
+    import collections
+
+    users = collections.defaultdict(set)
+    for r in pairs:
+        users[r.event_type].add(r.user_id)
+    for t, us in users.items():
+        hs = sorted(
+            int(hashlib.md5(f"{u}kmv1".encode()).hexdigest()[:12], 16)
+            for u in us
+        )
+        r = out[t]
+        assert r.n_exact == len(us)
+        if len(hs) >= 32:
+            assert r.kth_hash == hs[31]
+            est = round(31.0 * 281474976710656.0 / hs[31])
+            assert r.est == est
+            assert abs(est - len(us)) / len(us) < 0.6, (t, est, len(us))
+        else:
+            assert r.est == len(us)
