@@ -8,6 +8,7 @@ writeStream unchanged.
 """
 
 from .heavy_hitters import streaming_heavy_hitters
+from .kmv import streaming_kmv_distinct
 from .joins import enrich_with_dim, interval_self_join
 from .windows import (
     session_spans_stream,
@@ -17,6 +18,7 @@ from .windows import (
 
 __all__ = [
     "streaming_heavy_hitters",
+    "streaming_kmv_distinct",
     "sliding_window_stats",
     "session_spans_stream",
     "tumbling_value_spans",

@@ -1111,3 +1111,45 @@ def test_tiff_decoder_paths():
     bad[o:o + 4] = struct.pack("<I", 5)  # LZW
     with pt.raises(NotImplementedError):
         decode_tiff(bytes(bad))
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """KMV is a mergeable sketch: the stream fold's final (kth_hash,
+    est) per type must equal the batch operator's, regardless of
+    micro-batching — and state is provably capped at k values."""
+    from mobilityduck_spark.operators import events as EV
+    from mobilityduck_spark.streaming import streaming_kmv_distinct
+
+    src_dir = str(tmp_path / "kmv_src")
+    ev = SRC.load(spark, SF, "events").select("event_type", "user_id")
+    # two parquet files so availableNow processes multiple batches
+    ev.repartition(2).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "event_type string, user_id long"
+    ).parquet(src_dir)
+    q = (
+        streaming_kmv_distinct(stream, k=8)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("kmv_stream").collect()
+    latest = {}
+    for r in rows:
+        if r.etype not in latest or r.ver > latest[r.etype].ver:
+            latest[r.etype] = r
+    batch = {
+        r.event_type: r
+        for r in EV.kmv_distinct(
+            SRC.load(spark, SF, "events"), k=8
+        ).collect()
+    }
+    assert set(latest) == set(batch)
+    for t, r in latest.items():
+        assert r.kth_hash == batch[t].kth_hash, t
+        assert r.est == batch[t].est, t
+        assert r.n_mins <= 8
