@@ -38,6 +38,11 @@ HEADLINE = [
     "embed_ivfpq_recall",     # route → cell equi-join → codegen ADC
     "orders_incremental_join_view",  # 4 domain-sized partials, 1 merge
     "events_grouping_sets",   # one scan, one Expand, 4 grouping sets
+    # round-9 second-session representatives
+    "embed_binary_recall",    # bit_count(xor) codes scan + id-join rerank
+    "part_skyline",           # two windows, zero joins
+    "orders_bloom_semijoin",  # broadcast bitmap probes before the semi-join
+    "graph_kcore",            # per-round degree agg + 2 semi joins
 ]
 
 
