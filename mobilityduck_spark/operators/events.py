@@ -2109,10 +2109,14 @@ def kmv_distinct(
     where exact distinct is a full shuffle. Returns (event_type,
     n_exact, kth_hash, est).
 
-    Plan (100 TB): one distinct (type, user) aggregate, then a
-    per-type k-smallest window over the distinct domain (a real
-    deployment merges per-partition k-mins — same result, this
-    relational form keeps the oracle exact)."""
+    Plan (100 TB): one distinct (type, user) aggregate, then the
+    k-smallest per type via TWO-PHASE salted windows — a local k-min
+    inside each of 32 hash salts (parallel, partition-bounded) and a
+    global k-min over the surviving 32*k rows per type. A single
+    per-type window would funnel every distinct user of a type
+    through ONE partition (5 event types = 5 straggler sorts at 10^9
+    users); the two-phase plan is exact because the k smallest of a
+    union are among the per-salt k smallest."""
     pairs = events.select(
         F.col(type_col).alias("etype"), F.col(user_col).alias("u")
     ).distinct()
@@ -2130,8 +2134,17 @@ def kmv_distinct(
         .cast("long")
         .alias("h"),
     )
+    salted = hashed.withColumn(
+        "_salt", F.pmod(F.col("h"), F.lit(32))
+    )
+    w_local = Window.partitionBy("etype", "_salt").orderBy(
+        F.col("h").asc()
+    )
+    local = salted.withColumn(
+        "lrnk", F.row_number().over(w_local)
+    ).where(F.col("lrnk") <= k)
     w = Window.partitionBy("etype").orderBy(F.col("h").asc())
-    mins = hashed.withColumn("rnk", F.row_number().over(w))
+    mins = local.withColumn("rnk", F.row_number().over(w))
     exact = pairs.groupBy("etype").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )

@@ -1546,12 +1546,26 @@ def binary_topk(
             ham.cast("int").alias("hamming"),
         )
     )
+    # two-phase shortlist: a per-query window alone would sort the
+    # WHOLE code table in one partition per query — salt first, take
+    # the per-salt shortlist (exact: the global best-`shortlist` are
+    # among every salt's best-`shortlist`), then rank the bounded
+    # 32*shortlist survivors
+    cand = cand.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+    )
+    ws_local = Window.partitionBy(query_id_col, "_salt").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    cand = cand.withColumn(
+        "_lrnk", F.row_number().over(ws_local)
+    ).filter(F.col("_lrnk") <= shortlist)
     ws = Window.partitionBy(query_id_col).orderBy(
         F.col("hamming").asc(), F.col(id_col).asc()
     )
     short = cand.withColumn("srank", F.row_number().over(ws)).filter(
         F.col("srank") <= shortlist
-    )
+    ).drop("_salt", "_lrnk")
     rer = short.join(
         emb.select(F.col(id_col), F.col(vec_col)), id_col
     ).join(

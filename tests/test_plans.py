@@ -558,3 +558,24 @@ def test_r9d_queries_no_cartesian(spark):
         df = Q.queries()[name](spark, SF)
         plan = str(df._jdf.queryExecution().executedPlan())
         assert "CartesianProduct" not in plan, name
+
+
+def test_kmv_and_binary_shortlist_are_two_phase(spark):
+    """The per-key top-k stages must plan as TWO window operators
+    (salted local + bounded global) — a single per-key window funnels
+    a key's whole volume through one partition at scale."""
+    df = Q.queries()["events_kmv_distinct"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert plan.count("Window") >= 2, "kmv k-min must be two-phase"
+
+    from mobilityduck_spark.operators import similarity as SIM
+
+    emb = SRC.load(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    df2 = SIM.binary_topk(emb, q, k=3, shortlist=8)
+    plan2 = str(df2._jdf.queryExecution().executedPlan())
+    # local shortlist window + global shortlist window + rerank window
+    assert plan2.count("Window") >= 3, "shortlist must be two-phase"
