@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = [
     "events_woe_iv",             # NEW: WoE/IV feature screening
     "events_survival_curve",     # NEW: Kaplan-Meier time-to-conversion
     "events_kmv_distinct",       # NEW: KMV sketch vs exact distinct
+    "orders_salted_join",        # NEW: hot-key salted join (result parity)
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -8743,3 +8744,51 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.kmv_distinct(ev, k=32)
+
+
+@register(
+    "orders_salted_join",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order revenue computed through the explicit salted
+    join (dim replicated x16, fact scattered by row hash, join on
+    (key, salt)) — the deterministic hot-key mitigation for when AQE's
+    skew splitter doesn't fire (non-SMJ plans, replicable-but-too-hot
+    build sides). The oracle is the PLAIN join: salting must be
+    invisible in the result, which is exactly the property that makes
+    it safe to deploy. The straggler contrast itself is measured by
+    scripts/salted_join_probe.py (PERF.md)."""
+    from .operators import skewjoin as SJ
+
+    orders = SRC.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = SRC.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nat = SRC.load(spark, sf_dir, "nation")
+    j = SJ.salted_join(orders, cust, "o_custkey", n_salts=16)
+    return (
+        j.join(
+            F.broadcast(nat),
+            j["c_nationkey"] == nat["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("n_name")
+    )

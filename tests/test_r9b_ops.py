@@ -486,3 +486,54 @@ def test_kmv_estimate_matches_python_and_is_close(spark):
             assert abs(est - len(us)) / len(us) < 0.6, (t, est, len(us))
         else:
             assert r.est == len(us)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible in the result — inner and left, with
+    duplicate fact rows (which share a salt) and unmatched keys."""
+    from mobilityduck_spark.operators import skewjoin as SJ
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (9, "z")],
+        "k long, v string",
+    )
+    dim = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, w long"
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            (r.k, r.v, r.w)
+            for r in fact.join(dim, "k", how).collect()
+        )
+        got = sorted(
+            (r.k, r.v, r.w)
+            for r in SJ.salted_join(fact, dim, "k", n_salts=7, how=how)
+            .collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_on_testdata_aggregate(spark):
+    from mobilityduck_spark.operators import skewjoin as SJ
+
+    orders = SRC.load(spark, SF, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = SRC.load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    want = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    got = (
+        SJ.salted_join(orders, cust, "o_custkey", n_salts=16)
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    assert sorted((r.c_nationkey, r["count"]) for r in got) == sorted(
+        (r.c_nationkey, r["count"]) for r in want
+    )
