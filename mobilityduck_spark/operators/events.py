@@ -2171,3 +2171,103 @@ def kmv_distinct(
         )
         .orderBy("event_type")
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    horizon: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-touch and linear multi-touch attribution next to the
+    last-touch operator: every conversion's credit is shared across
+    ALL of its strictly-preceding touches within `horizon` — equally
+    under 'linear' (each touch gets round(credit/n); the division is
+    rounded PER TOUCH so the totals are order-free integers, with the
+    sub-micro penny drift a documented semantic, not nondeterminism),
+    or fully to the earliest touch under 'first'. Touchless
+    conversions credit 'direct' in both models. Returns one row per
+    (model, channel): conversion credit and revenue credit in exact
+    micro-units (1e6 = one full conversion).
+
+    Plan (100 TB): ONE user-keyed equi-join of conversions to touches
+    with the horizon as a residual integer-microsecond predicate (the
+    PIT-join shape — never a cartesian), one conversion-keyed window
+    for n/argmin, and a |models x channels|-sized rollup. Work is
+    bounded by touches-per-conversion within the horizon, the same
+    candidate volume any multi-touch model must read."""
+    hz = _interval_us(horizon)
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("tc"),
+        F.col(tiebreak_col).alias("conv_id"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("rev_micro"),
+    )
+    touches = events.where(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("tt"),
+        F.col(type_col).alias("channel"),
+        F.col(tiebreak_col).alias("touch_id"),
+    )
+    pairs = convs.join(touches, "u").where(
+        (F.col("tt") < F.col("tc"))
+        & (F.col("tt") >= F.col("tc") - F.lit(hz))
+    )
+    wc = Window.partitionBy("conv_id")
+    scored = pairs.withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    ).withColumn(
+        "is_first",
+        F.row_number().over(
+            Window.partitionBy("conv_id").orderBy(
+                F.col("tt").asc(), F.col("touch_id").asc()
+            )
+        )
+        == 1,
+    )
+    linear = scored.select(
+        F.lit("linear").alias("model"),
+        "channel",
+        F.round(F.lit(1e6) / F.col("n")).cast("long").alias("cc"),
+        F.round(F.col("rev_micro").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("rc"),
+    )
+    first = scored.where(F.col("is_first")).select(
+        F.lit("first").alias("model"),
+        "channel",
+        F.lit(1_000_000).cast("long").alias("cc"),
+        F.col("rev_micro").alias("rc"),
+    )
+    touched_ids = pairs.select("conv_id").distinct()
+    direct = (
+        convs.join(touched_ids, "conv_id", "anti")
+        .select("rev_micro")
+        .crossJoin(
+            F.broadcast(
+                convs.sparkSession.createDataFrame(
+                    [("linear",), ("first",)], "model string"
+                )
+            )
+        )
+        .select(
+            "model",
+            F.lit("direct").alias("channel"),
+            F.lit(1_000_000).cast("long").alias("cc"),
+            F.col("rev_micro").alias("rc"),
+        )
+    )
+    return (
+        linear.unionByName(first)
+        .unionByName(direct)
+        .groupBy("model", "channel")
+        .agg(
+            F.sum("cc").cast("bigint").alias("conv_credit_micro"),
+            F.sum("rc").cast("bigint").alias("revenue_credit_micro"),
+        )
+        .orderBy("model", "channel")
+    )

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     "events_survival_curve",     # NEW: Kaplan-Meier time-to-conversion
     "events_kmv_distinct",       # NEW: KMV sketch vs exact distinct
     "orders_salted_join",        # NEW: hot-key salted join (result parity)
+    "events_multi_touch",        # NEW: first/linear attribution models
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -8792,3 +8793,72 @@ def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "events_multi_touch",
+    """
+    WITH convs AS (
+      SELECT user_id AS u, epoch_us(ts) AS tc, event_id AS conv_id,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS rev_micro
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id AS u, epoch_us(ts) AS tt, event_type AS channel,
+             event_id AS touch_id
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.rev_micro, t.channel, t.tt, t.touch_id
+      FROM convs c JOIN touches t ON t.u = c.u
+      WHERE t.tt < c.tc AND t.tt >= c.tc - 604800000000
+    ),
+    scored AS (
+      SELECT conv_id, rev_micro, channel,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY tt ASC, touch_id ASC) = 1
+               AS is_first
+      FROM pairs
+    ),
+    lin AS (
+      SELECT 'linear' AS model, channel,
+             CAST(ROUND(1e6 / n) AS BIGINT) AS cc,
+             CAST(ROUND(CAST(rev_micro AS DOUBLE) / n) AS BIGINT) AS rc
+      FROM scored
+    ),
+    fst AS (
+      SELECT 'first' AS model, channel, CAST(1000000 AS BIGINT) AS cc,
+             rev_micro AS rc
+      FROM scored WHERE is_first
+    ),
+    direct AS (
+      SELECT m.model, 'direct' AS channel, CAST(1000000 AS BIGINT) AS cc,
+             c.rev_micro AS rc
+      FROM convs c, (VALUES ('linear'), ('first')) m(model)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id
+      )
+    )
+    SELECT model, channel,
+           CAST(SUM(cc) AS BIGINT) AS conv_credit_micro,
+           CAST(SUM(rc) AS BIGINT) AS revenue_credit_micro
+    FROM (SELECT * FROM lin UNION ALL SELECT * FROM fst
+          UNION ALL SELECT * FROM direct)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and linear multi-touch attribution next to the
+    existing last-touch operator — per (model, channel) conversion and
+    revenue credit in exact micro-units, credit shared across every
+    in-horizon touch under 'linear' (per-touch rounded division =
+    order-free integer totals) and granted to the earliest touch under
+    'first'; touchless conversions credit 'direct'. The cross-model
+    consistency invariant (every model distributes exactly 1e6 credit
+    per conversion, up to documented per-touch rounding) is pinned in
+    tests."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.multi_touch_attribution(ev, horizon="7 days")

@@ -537,3 +537,48 @@ def test_salted_join_on_testdata_aggregate(spark):
     assert sorted((r.c_nationkey, r["count"]) for r in got) == sorted(
         (r.c_nationkey, r["count"]) for r in want
     )
+
+
+def test_multi_touch_credit_conservation_and_models(spark):
+    """Hand-built journeys: linear splits evenly (per-touch rounding),
+    first goes entirely to the earliest touch, a touchless conversion
+    credits 'direct', and every model distributes ~1e6 credit per
+    conversion."""
+    import datetime
+
+    rows = [
+        # user 1: click (d1), view (d2), purchase 100.0 (d3)
+        (1, datetime.datetime(2024, 6, 1), 1, "click", 1.0),
+        (2, datetime.datetime(2024, 6, 2), 1, "view", 1.0),
+        (3, datetime.datetime(2024, 6, 3), 1, "purchase", 100.0),
+        # user 2: touchless purchase 50.0
+        (4, datetime.datetime(2024, 6, 3), 2, "purchase", 50.0),
+        # user 3: stale touch outside the 7d horizon, then purchase
+        (5, datetime.datetime(2024, 5, 1), 3, "click", 1.0),
+        (6, datetime.datetime(2024, 6, 3), 3, "purchase", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {
+        (r.model, r.channel): r
+        for r in EV.multi_touch_attribution(ev, horizon="7 days").collect()
+    }
+    # linear: user1 credit split 500k/500k between click and view
+    assert out[("linear", "click")].conv_credit_micro == 500_000
+    assert out[("linear", "view")].conv_credit_micro == 500_000
+    assert out[("linear", "click")].revenue_credit_micro == 50_000_000
+    # first: all of user1 to click (the earlier touch)
+    assert out[("first", "click")].conv_credit_micro == 1_000_000
+    assert ("first", "view") not in out
+    # users 2 and 3 are direct in both models (touchless / stale touch)
+    for m in ("linear", "first"):
+        assert out[(m, "direct")].conv_credit_micro == 2_000_000
+        assert out[(m, "direct")].revenue_credit_micro == 60_000_000
+    # conservation: each model totals 3 conversions' credit
+    for m in ("linear", "first"):
+        tot = sum(
+            r.conv_credit_micro for (mm, _), r in out.items() if mm == m
+        )
+        assert tot == 3_000_000, m
