@@ -702,3 +702,58 @@ def compaction_plan(
         )
         .orderBy("group_id")
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    mod: int = 16,
+    salt: str = "jce1",
+) -> DataFrame:
+    """Sampling-based join-cardinality estimate next to the exact
+    answer: keep only rows whose KEY hashes into the 1/mod sample
+    (md5 prefix % mod == 0 — co-sampling BOTH sides on the key, so a
+    surviving key keeps ALL its rows on both sides and the sampled
+    join count is an unbiased 1/mod fraction of the true key-join
+    count), then scale by mod. Uniform row sampling would square the
+    selectivity per key and bias multi-row keys down — the classic
+    estimator mistake this operator exists to avoid. Returns ONE row:
+    (n_exact, n_sampled, est = n_sampled * mod).
+
+    The output carries the exact count so the estimator's error is
+    oracle-checked data, same contract as events_kmv_distinct. At
+    100 TB the exact side is the full shuffle you're trying to avoid;
+    production runs only the sampled branch (a 1/mod-volume join) and
+    this operator is the calibration harness that justifies trusting
+    it."""
+    def keep(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % mod
+            == 0
+        )
+
+    l_s = left.where(keep(F.col(left_key)))
+    r_s = right.where(keep(F.col(right_key)))
+    n_sampled = l_s.join(
+        r_s.select(F.col(right_key).alias(left_key)), left_key
+    ).count()
+    n_exact = left.join(
+        right.select(F.col(right_key).alias(left_key)), left_key
+    ).count()
+    spark = left.sparkSession
+    return spark.createDataFrame(
+        [(int(n_exact), int(n_sampled), int(n_sampled) * int(mod))],
+        "n_exact long, n_sampled long, est long",
+    )

@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = [
     "events_kmv_distinct",       # NEW: KMV sketch vs exact distinct
     "orders_salted_join",        # NEW: hot-key salted join (result parity)
     "events_multi_touch",        # NEW: first/linear attribution models
+    "events_join_cardinality",   # NEW: co-sampled join-size estimation
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -8862,3 +8863,42 @@ def events_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.multi_touch_attribution(ev, horizon="7 days")
+
+
+@register(
+    "events_join_cardinality",
+    """
+    WITH e AS (
+      SELECT user_id::VARCHAR || '-' || CAST(CAST(ts AS DATE) AS VARCHAR)
+               AS k
+      FROM events
+    ),
+    s AS (
+      SELECT k FROM e
+      WHERE CAST(('0x' || substring(md5(k || 'jce1'), 1, 8)) AS BIGINT)
+              % 16 = 0
+    )
+    SELECT (SELECT COUNT(*) FROM e a JOIN e b ON b.k = a.k) AS n_exact,
+           (SELECT COUNT(*) FROM s a JOIN s b ON b.k = a.k) AS n_sampled,
+           (SELECT COUNT(*) FROM s a JOIN s b ON b.k = a.k) * 16 AS est
+    """,
+)
+def events_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-sampled join-cardinality estimation, calibrated against the
+    exact answer: the user-day self-join of the events table (a real
+    many-to-many whose output quadratically concentrates on hot keys)
+    estimated from a 1/16 KEY-hash sample — co-sampling keeps every
+    row of a surviving key on both sides, so the estimate is unbiased
+    where uniform row sampling would square the per-key selectivity.
+    The exact count rides along in the output (the kmv contract: the
+    estimator's error is itself oracle-checked)."""
+    from .operators import governance as GV
+
+    ev = SRC.load(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("-"),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("k")
+    )
+    return GV.join_cardinality_estimate(ev, ev, "k", "k", mod=16)

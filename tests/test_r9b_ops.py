@@ -582,3 +582,32 @@ def test_multi_touch_credit_conservation_and_models(spark):
             r.conv_credit_micro for (mm, _), r in out.items() if mm == m
         )
         assert tot == 3_000_000, m
+
+
+def test_join_cardinality_co_sampling_unbiased_shape(spark):
+    """On a planted key distribution (one hot key with 40 rows, 60
+    singleton keys), the co-sampled estimate must (a) equal the
+    python recomputation of the same hash sample exactly and (b) use
+    KEY sampling — a surviving key contributes its FULL n^2, never a
+    thinned one."""
+    import hashlib
+
+    from mobilityduck_spark.operators import governance as GV
+
+    rows = [("hot",)] * 40 + [(f"k{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string")
+    out = GV.join_cardinality_estimate(df, df, "k", "k", mod=4).collect()[0]
+    import collections
+
+    cnt = collections.Counter(k for (k,) in rows)
+    exact = sum(c * c for c in cnt.values())
+    kept = {
+        k
+        for k in cnt
+        if int(hashlib.md5(f"{k}jce1".encode()).hexdigest()[:8], 16) % 4
+        == 0
+    }
+    sampled = sum(cnt[k] ** 2 for k in kept)
+    assert out.n_exact == exact
+    assert out.n_sampled == sampled
+    assert out.est == sampled * 4
