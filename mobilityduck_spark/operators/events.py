@@ -2271,3 +2271,78 @@ def multi_touch_attribution(
         )
         .orderBy("model", "channel")
     )
+
+
+def target_encoding_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_cents,
+    id_col: str,
+    n_folds: int = 4,
+    salt: str = "te1",
+) -> DataFrame:
+    """Out-of-fold target encoding: the category -> mean-target lookup
+    a feature pipeline joins back onto training rows, computed so a
+    row's own target NEVER leaks into its own encoding — fold f's
+    encoding of category c is the mean over all OTHER folds'
+    (c)-rows: (sum_c - sum_{c,f}) / (n_c - n_{c,f}). Folds are the
+    deterministic md5 bucket of the row id (reproducible training
+    data, not a lottery). Categories a fold has fully swallowed (no
+    out-of-fold rows) surface enc_defined = false with the global
+    prior. Returns (category, fold, n_oof, enc, enc_defined) — the
+    |categories| x n_folds encoding table, exact integer sums with
+    one fixed-shape double division.
+
+    Plan (100 TB): ONE (category, fold) aggregate over the data (the
+    only data-volume shuffle), a category-level rollup of that
+    domain-sized table, and a broadcastable output. The leakage
+    property is pinned by a unit test (perturbing one row's target
+    must not move its own fold's encoding)."""
+    folds = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(salt))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int"),
+        F.lit(n_folds),
+    )
+    per = df.select(
+        F.col(cat_col).alias("category"),
+        folds.alias("fold"),
+        target_cents.alias("t"),
+    ).groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"),
+        F.sum("t").alias("s_cf"),
+    )
+    tot = per.groupBy("category").agg(
+        F.sum("n_cf").alias("n_c"), F.sum("s_cf").alias("s_c")
+    )
+    g = per.crossJoin(
+        F.broadcast(
+            per.agg(
+                F.sum("n_cf").alias("n_all"), F.sum("s_cf").alias("s_all")
+            )
+        )
+    ).join(F.broadcast(tot), "category")
+    n_oof = F.col("n_c") - F.col("n_cf")
+    s_oof = F.col("s_c") - F.col("s_cf")
+    prior = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return g.select(
+        "category",
+        F.col("fold").cast("int").alias("fold"),
+        n_oof.cast("bigint").alias("n_oof"),
+        (
+            F.when(
+                n_oof > 0,
+                F.round(s_oof.cast("double") / n_oof.cast("double"), 6)
+                + F.lit(0.0),
+            ).otherwise(F.round(prior, 6) + F.lit(0.0))
+        ).alias("enc"),
+        (n_oof > 0).alias("enc_defined"),
+    ).orderBy("category", "fold")

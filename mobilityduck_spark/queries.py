@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = [
     "orders_salted_join",        # NEW: hot-key salted join (result parity)
     "events_multi_touch",        # NEW: first/linear attribution models
     "events_join_cardinality",   # NEW: co-sampled join-size estimation
+    "orders_target_encoding",    # NEW: leakage-protected OOF encoding
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -8902,3 +8903,55 @@ def events_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k")
     )
     return GV.join_cardinality_estimate(ev, ev, "k", "k", mod=16)
+
+
+@register(
+    "orders_target_encoding",
+    """
+    WITH rows_ AS (
+      SELECT o_orderpriority AS category,
+             CAST(('0x' || substring(md5(o_orderkey::VARCHAR || 'te1'),
+                                     1, 4)) AS INT) % 4 AS fold,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t
+      FROM orders
+    ),
+    per AS (
+      SELECT category, fold, COUNT(*) AS n_cf, SUM(t) AS s_cf
+      FROM rows_ GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT category, SUM(n_cf) AS n_c, SUM(s_cf) AS s_c
+      FROM per GROUP BY 1
+    ),
+    allt AS (SELECT SUM(n_cf) AS n_all, SUM(s_cf) AS s_all FROM per)
+    SELECT per.category, CAST(per.fold AS INT) AS fold,
+           CAST(n_c - n_cf AS BIGINT) AS n_oof,
+           CASE WHEN n_c - n_cf > 0
+                THEN ROUND(CAST(s_c - s_cf AS DOUBLE)
+                           / CAST(n_c - n_cf AS DOUBLE), 6) + 0.0
+                ELSE ROUND(CAST(s_all AS DOUBLE)
+                           / CAST(n_all AS DOUBLE), 6) + 0.0
+           END AS enc,
+           (n_c - n_cf > 0) AS enc_defined
+    FROM per JOIN tot ON tot.category = per.category CROSS JOIN allt
+    ORDER BY per.category, fold
+    """,
+)
+def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of order priority against order
+    value (cents): the leakage-protected category -> mean lookup table
+    (fold f's encoding excludes fold f's own rows) that a feature
+    pipeline broadcasts back onto training data. Deterministic md5
+    folds, exact integer sums, one fixed-shape double division;
+    swallowed categories fall back to the global prior with
+    enc_defined = false."""
+    from .operators import events as EV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    return EV.target_encoding_oof(
+        orders,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        "o_orderkey",
+        n_folds=4,
+    )

@@ -611,3 +611,49 @@ def test_join_cardinality_co_sampling_unbiased_shape(spark):
     assert out.n_exact == exact
     assert out.n_sampled == sampled
     assert out.est == sampled * 4
+
+
+def test_target_encoding_no_leakage_and_math(spark):
+    """(a) Encodings equal the python out-of-fold recomputation on the
+    same deterministic folds; (b) LEAKAGE GUARD: perturbing one row's
+    target must not move the encoding of that row's own (category,
+    fold) cell — the property that separates OOF encoding from plain
+    mean encoding."""
+    import hashlib
+
+    def fold(i):
+        return int(hashlib.md5(f"{i}te1".encode()).hexdigest()[:4], 16) % 4
+
+    rows = [(i, "A" if i % 3 else "B", 100 + 7 * i) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cat string, t long")
+    out = {
+        (r.category, r.fold): r.enc
+        for r in EV.target_encoding_oof(
+            df, "cat", F.col("t"), "id", n_folds=4
+        ).collect()
+    }
+    import collections
+
+    s = collections.defaultdict(int)
+    n = collections.defaultdict(int)
+    for i, c, t in rows:
+        s[(c, fold(i))] += t
+        n[(c, fold(i))] += 1
+    for (c, f), enc in out.items():
+        sc = sum(v for (cc, _), v in s.items() if cc == c)
+        nc = sum(v for (cc, _), v in n.items() if cc == c)
+        so, no = sc - s.get((c, f), 0), nc - n.get((c, f), 0)
+        assert enc == round(so / no, 6), (c, f)
+    # leakage guard: bump row 0's target by 1e6
+    rows2 = [(0, rows[0][1], rows[0][2] + 1_000_000)] + rows[1:]
+    df2 = spark.createDataFrame(rows2, "id long, cat string, t long")
+    out2 = {
+        (r.category, r.fold): r.enc
+        for r in EV.target_encoding_oof(
+            df2, "cat", F.col("t"), "id", n_folds=4
+        ).collect()
+    }
+    own = (rows[0][1], fold(0))
+    assert out2[own] == out[own], "own-fold encoding moved: leakage"
+    moved = [k for k in out if out2[k] != out[k]]
+    assert moved, "other folds must see the perturbation"
