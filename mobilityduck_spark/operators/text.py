@@ -1190,3 +1190,53 @@ def chunk_dedup_rewrite(
             F.md5(F.coalesce(F.col("clean"), F.lit(""))).alias("clean_fp"),
         )
     )
+
+
+def curriculum_order(
+    docs,
+    n_stages: int = 4,
+    salt: str = "cur1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Curriculum ordering for training: documents bucketed into
+    n_stages difficulty stages by token count (stage 1 = shortest —
+    the easy-first schedule), with a deterministic within-stage
+    shuffle key (md5 of the doc id) so a trainer reads batches in
+    (stage, order_key) order and gets difficulty-ramped, reproducibly
+    shuffled data. Stages are EXACT NTILE quantiles via the
+    global-sort-free two-level-rank kernel (histogram offsets +
+    coarse-bucket row_number — the RFM plan); the shuffle key is pure
+    scan-speed hashing, so nothing here ever global-sorts. Returns
+    (doc_id, n_tokens, stage, order_key)."""
+    from .events import _scalable_ntile
+
+    per = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    staged = _scalable_ntile(
+        per, "n_tokens", F.col("n_tokens"), "doc_id", n_stages, "stage"
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "stage",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(salt))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("order_key"),
+    ).orderBy("stage", "order_key", "doc_id")

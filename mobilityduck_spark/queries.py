@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = [
     "events_multi_touch",        # NEW: first/linear attribution models
     "events_join_cardinality",   # NEW: co-sampled join-size estimation
     "orders_target_encoding",    # NEW: leakage-protected OOF encoding
+    "doc_curriculum_order",      # NEW: easy-first curriculum schedule
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -8959,3 +8960,44 @@ def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         n_folds=4,
     )
+
+
+@register(
+    "doc_curriculum_order",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rk AS (
+      SELECT d.*,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rk,
+             (SELECT COUNT(*) FROM d) AS tot
+      FROM d
+    ),
+    s AS (
+      SELECT *, tot // 4 AS q, tot % 4 AS r,
+             (tot % 4) * (tot // 4 + 1) AS big
+      FROM rk
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN rk <= big THEN (rk + q) // (q + 1)
+                ELSE r + (rk - big + GREATEST(q, 1) - 1)
+                     // GREATEST(q, 1) END AS INT) AS stage,
+           CAST(('0x' || substring(md5(doc_id::VARCHAR || 'cur1'), 1, 12))
+                AS BIGINT) AS order_key
+    FROM s ORDER BY stage, order_key, doc_id
+    """,
+)
+def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-first curriculum schedule over the corpus: exact
+    length-quantile stages (global-sort-free NTILE) plus a
+    deterministic md5 within-stage shuffle key — the reproducible
+    difficulty-ramped read order a trainer consumes, computed without
+    ever funneling the corpus through one sort task."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.curriculum_order(docs, n_stages=4)

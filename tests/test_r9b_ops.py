@@ -657,3 +657,26 @@ def test_target_encoding_no_leakage_and_math(spark):
     assert out2[own] == out[own], "own-fold encoding moved: leakage"
     moved = [k for k in out if out2[k] != out[k]]
     assert moved, "other folds must see the perturbation"
+
+
+def test_curriculum_stages_monotone_and_balanced(spark):
+    """Stages must be monotone in token count (no stage-2 doc shorter
+    than a stage-1 doc up to the id tiebreak) and NTILE-balanced
+    (sizes differ by at most 1)."""
+    from mobilityduck_spark.operators import text as TX
+
+    docs = SRC.load(spark, SF, "documents")
+    out = TX.curriculum_order(docs, n_stages=4).collect()
+    import collections
+
+    sizes = collections.Counter(r.stage for r in out)
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    max_prev = {}
+    for st_ in (1, 2, 3, 4):
+        toks = [r.n_tokens for r in out if r.stage == st_]
+        max_prev[st_] = (min(toks), max(toks))
+    for st_ in (1, 2, 3):
+        assert max_prev[st_][1] <= max_prev[st_ + 1][0] or (
+            max_prev[st_][1] == max_prev[st_ + 1][0]
+        )
