@@ -75,11 +75,12 @@ def sample_progress(q, label: str, samples: list):
     )
 
 
-def run_soak(spark, name: str, df, seconds: int) -> list:
+def run_soak(spark, name: str, df, seconds: int,
+             output_mode: str = "append") -> list:
     q = (
         df.writeStream.format("noop")
         .option("checkpointLocation", f"/tmp/soak_ckpt_{name}_{os.getpid()}")
-        .outputMode("append")
+        .outputMode(output_mode)
         .start()
     )
     samples: list = []
