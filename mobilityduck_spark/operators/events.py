@@ -2346,3 +2346,58 @@ def target_encoding_oof(
         ).alias("enc"),
         (n_oof > 0).alias("enc_defined"),
     ).orderBy("category", "fold")
+
+
+def daily_trend(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-type linear trend of the daily event-count series: OLS
+    slope (events/day) and intercept over (day_index, count) pairs,
+    where day_index is days since the type's first active day — the
+    growth/decay screen next to acf's seasonality screen. The four
+    moment sums are exact integers; slope/intercept are one
+    fixed-shape double closed form (round-6 + 0.0); a single-day
+    series yields NULL-free zero-variance handling via trend_defined.
+    Returns (event_type, n_days, slope, intercept, trend_defined).
+
+    Plan (100 TB): one groupBy to the (type, day) domain (the only
+    event-volume shuffle), a 1-row-per-type min-day anchor, and a
+    |types|-sized moment rollup."""
+    d = events.groupBy(
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    d0 = d.groupBy("etype").agg(F.min("day").alias("day0"))
+    m = d.join(d0, "etype").select(
+        "etype",
+        F.datediff(F.col("day"), F.col("day0")).cast("long").alias("x"),
+        F.col("c").alias("y"),
+    )
+    s = m.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    varx = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / varx
+    return s.select(
+        F.col("etype").alias("event_type"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(varx > 0, F.round(slope, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("slope"),
+        F.when(
+            varx > 0,
+            F.round((sy - slope * sx) / n, 6) + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("intercept"),
+        (varx > 0).alias("trend_defined"),
+    ).orderBy("event_type")

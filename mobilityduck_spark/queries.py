@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "events_join_cardinality",   # NEW: co-sampled join-size estimation
     "orders_target_encoding",    # NEW: leakage-protected OOF encoding
     "doc_curriculum_order",      # NEW: easy-first curriculum schedule
+    "events_daily_trend",        # NEW: per-type OLS growth screen
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -9001,3 +9002,58 @@ def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return TX.curriculum_order(docs, n_stages=4)
+
+
+@register(
+    "events_daily_trend",
+    """
+    WITH d AS (
+      SELECT event_type AS etype, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (SELECT etype, MIN(day) AS day0 FROM d GROUP BY 1),
+    m AS (
+      SELECT d.etype,
+             CAST(date_diff('day', d0.day0, d.day) AS BIGINT) AS x,
+             d.c AS y
+      FROM d JOIN d0 ON d0.etype = d.etype
+    ),
+    s AS (
+      SELECT etype, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM m GROUP BY 1
+    )
+    SELECT etype AS event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                           6) + 0.0
+                ELSE 0.0 END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN ROUND((CAST(sy AS DOUBLE)
+                            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                              * CAST(sx AS DOUBLE))
+                           / CAST(n AS DOUBLE), 6) + 0.0
+                ELSE 0.0 END AS intercept,
+           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0)
+             AS trend_defined
+    FROM s ORDER BY event_type
+    """,
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of daily event counts (growth/decay screen
+    next to the ACF seasonality screen): exact integer moment sums,
+    one fixed-shape double closed form for slope/intercept, day index
+    anchored to each type's first active day."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.daily_trend(ev)

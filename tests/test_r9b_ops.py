@@ -680,3 +680,28 @@ def test_curriculum_stages_monotone_and_balanced(spark):
         assert max_prev[st_][1] <= max_prev[st_ + 1][0] or (
             max_prev[st_][1] == max_prev[st_ + 1][0]
         )
+
+
+def test_daily_trend_matches_numpy_polyfit(spark):
+    import datetime
+
+    rows = []
+    eid = 0
+    counts = [10, 13, 17, 16, 22, 25, 24, 30]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime.datetime(2024, 7, 1 + d), 1, "grow", 1.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = EV.daily_trend(ev).collect()[0]
+    x = np.arange(len(counts), dtype=float)
+    y = np.array(counts, dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert out.trend_defined
+    assert out.slope == pytest.approx(slope, abs=2e-6)
+    assert out.intercept == pytest.approx(intercept, abs=2e-6)
