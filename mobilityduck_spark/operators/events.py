@@ -2401,3 +2401,75 @@ def daily_trend(
         .alias("intercept"),
         (varx > 0).alias("trend_defined"),
     ).orderBy("event_type")
+
+
+def drift_series(
+    events: DataFrame,
+    baseline_days: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day drift SERIES: the Laplace-smoothed PSI of each day's
+    event-type mix against the first `baseline_days` days — psi_drift
+    generalized from a two-period readout to the daily monitoring
+    curve an alerting pipeline thresholds. Each (day, type) term is
+    (p_day - p_base) * ln(p_day / p_base) with +1 smoothing over the
+    closed type domain; every term is micro-quantized to an exact
+    BIGINT BEFORE the per-day sum, so the curve is engine-exact (a
+    raw double sum would be association-order-dependent). Returns
+    (day, n_events, psi_micro, psi).
+
+    Plan (100 TB): one (day, type) groupBy is the only event-volume
+    shuffle; the baseline is a |types|-row broadcast; the series
+    assembles on the |days x types| domain."""
+    d = events.groupBy(
+        F.col(ts_col).cast("date").alias("day"),
+        F.col(type_col).alias("etype"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    d0 = d.agg(F.min("day").alias("day0"))
+    types = d.select("etype").distinct()
+    days = d.select("day").distinct()
+    full = days.crossJoin(types)  # closed |days x types| domain
+    d_full = full.join(d, ["day", "etype"], "left").select(
+        "day", "etype", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    base = (
+        d_full.crossJoin(F.broadcast(d0))
+        .where(
+            F.datediff(F.col("day"), F.col("day0")) < F.lit(baseline_days)
+        )
+        .groupBy("etype")
+        .agg(F.sum("c").alias("cb"))
+    )
+    nt = types.count()
+    nb = base.agg(F.sum("cb").alias("nb"))
+    j = (
+        d_full.join(F.broadcast(base), "etype")
+        .crossJoin(F.broadcast(nb))
+    )
+    wday = Window.partitionBy("day")
+    j = j.withColumn("nd", F.sum("c").over(wday))
+    p_new = (F.col("c") + 1).cast("double") / (
+        F.col("nd") + F.lit(nt)
+    ).cast("double")
+    p_old = (F.col("cb") + 1).cast("double") / (
+        F.col("nb") + F.lit(nt)
+    ).cast("double")
+    lnq = (
+        F.round(F.log(p_new / p_old) * 1e6).cast("long").cast("double")
+        / F.lit(1e6)
+    )
+    term_micro = F.round((p_new - p_old) * lnq * 1e6).cast("long")
+    out = j.groupBy("day").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(term_micro).cast("bigint").alias("psi_micro"),
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "psi_micro",
+        (
+            F.round(F.col("psi_micro").cast("double") / F.lit(1e6), 6)
+            + F.lit(0.0)
+        ).alias("psi"),
+    ).orderBy("day")

@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = [
     "orders_target_encoding",    # NEW: leakage-protected OOF encoding
     "doc_curriculum_order",      # NEW: easy-first curriculum schedule
     "events_daily_trend",        # NEW: per-type OLS growth screen
+    "events_drift_series",       # NEW: daily PSI monitoring curve
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -9057,3 +9058,64 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.daily_trend(ev)
+
+
+@register(
+    "events_drift_series",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS etype, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (SELECT MIN(day) AS day0 FROM d),
+    types AS (SELECT DISTINCT etype FROM d),
+    days AS (SELECT DISTINCT day FROM d),
+    full_ AS (
+      SELECT days.day, types.etype,
+             COALESCE(d.c, 0) AS c
+      FROM days CROSS JOIN types
+      LEFT JOIN d ON d.day = days.day AND d.etype = types.etype
+    ),
+    base AS (
+      SELECT f.etype, SUM(f.c) AS cb
+      FROM full_ f, d0
+      WHERE date_diff('day', d0.day0, f.day) < 7
+      GROUP BY 1
+    ),
+    nt AS (SELECT COUNT(*) AS nt FROM types),
+    nb AS (SELECT SUM(cb) AS nb FROM base),
+    nd AS (SELECT day, SUM(c) AS nd FROM full_ GROUP BY 1),
+    terms AS (
+      SELECT f.day, f.c,
+             CAST(ROUND(
+               ((CAST(f.c + 1 AS DOUBLE) / CAST(nd.nd + nt.nt AS DOUBLE))
+                - (CAST(b.cb + 1 AS DOUBLE) / CAST(nb.nb + nt.nt AS DOUBLE)))
+               * (CAST(CAST(ROUND(ln(
+                     (CAST(f.c + 1 AS DOUBLE) / CAST(nd.nd + nt.nt AS DOUBLE))
+                     / (CAST(b.cb + 1 AS DOUBLE)
+                        / CAST(nb.nb + nt.nt AS DOUBLE))) * 1e6) AS BIGINT)
+                   AS DOUBLE) / 1e6)
+               * 1e6) AS BIGINT) AS term_micro
+      FROM full_ f
+      JOIN base b ON b.etype = f.etype
+      JOIN nd ON nd.day = f.day
+      CROSS JOIN nt CROSS JOIN nb
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+           ROUND(CAST(SUM(term_micro) AS DOUBLE) / 1e6, 6) + 0.0 AS psi
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily drift curve: Laplace-smoothed PSI of each day's event-type
+    mix against the first-week baseline — the monitoring series an
+    alerting pipeline thresholds, next to the two-period psi_drift
+    readout. Every (day, type) term is micro-quantized to an exact
+    BIGINT before the per-day sum, so the curve is association-order
+    free and engine-exact."""
+    from .operators import events as EV
+
+    ev = SRC.load(spark, sf_dir, "events")
+    return EV.drift_series(ev, baseline_days=7)

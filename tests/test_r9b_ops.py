@@ -705,3 +705,33 @@ def test_daily_trend_matches_numpy_polyfit(spark):
     assert out.trend_defined
     assert out.slope == pytest.approx(slope, abs=2e-6)
     assert out.intercept == pytest.approx(intercept, abs=2e-6)
+
+
+def test_drift_series_baseline_days_near_zero_and_shift_detected(spark):
+    """Days inside the baseline week score ~0 PSI (they ARE the
+    baseline, up to smoothing); a planted day with a flipped type mix
+    scores far higher than every baseline day."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for d in range(8):
+        mix = (
+            [("a", 30), ("b", 10)]
+            if d < 7
+            else [("a", 2), ("b", 38)]  # flipped mix on day 8
+        )
+        for t, c in mix:
+            for _ in range(c):
+                rows.append(
+                    (eid, datetime.datetime(2024, 8, 1 + d), 1, t, 1.0)
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {r.day: r.psi for r in EV.drift_series(ev, baseline_days=7).collect()}
+    base_days = [v for k, v in out.items() if k < "2024-08-08"]
+    assert all(abs(v) < 0.01 for v in base_days), base_days
+    assert out["2024-08-08"] > 10 * max(abs(v) for v in base_days)
