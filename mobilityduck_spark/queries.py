@@ -128,6 +128,7 @@ _DRIVER_PRIORITY = [
     "doc_curriculum_order",      # NEW: easy-first curriculum schedule
     "events_daily_trend",        # NEW: per-type OLS growth screen
     "events_drift_series",       # NEW: daily PSI monitoring curve
+    "embed_dim_stats",           # NEW: per-dimension quantization audit
     # ---- staleness backfill in registration order follows implicitly
 ]
 
@@ -9119,3 +9120,49 @@ def events_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = SRC.load(spark, sf_dir, "events")
     return EV.drift_series(ev, baseline_days=7)
+
+
+@register(
+    "embed_dim_stats",
+    """
+    WITH x AS (
+      SELECT u.i AS dim, u.v AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS i) u
+    )
+    SELECT CAST(dim - 1 AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(ROUND(v * 1e6) AS BIGINT)) AS BIGINT) AS min_micro,
+           CAST(MAX(CAST(ROUND(v * 1e6) AS BIGINT)) AS BIGINT) AS max_micro,
+           CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+           CAST(SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonneg
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding audit (quantization readiness): exact
+    micro-quantized min/max/sum and the sign balance per dimension —
+    the ranges SQ8 training consumes and the zero-centering check that
+    justifies 1-bit sign codes, as one domain-sized (64-row) report.
+    One explode + one dimension-keyed aggregate; values never leave
+    the JVM."""
+    emb = SRC.load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v")
+    )
+    m = F.round(F.col("v") * 1e6).cast("long")
+    return (
+        x.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(m).cast("bigint").alias("min_micro"),
+            F.max(m).cast("bigint").alias("max_micro"),
+            F.sum(m).cast("bigint").alias("sum_micro"),
+            F.sum(F.when(F.col("v") >= 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonneg"),
+        )
+        .orderBy("dim")
+    )
