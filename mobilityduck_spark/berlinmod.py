@@ -55,7 +55,25 @@ def release_caches() -> int:
                 n += 1
             except Exception:
                 pass
+    _COUNT_CACHE.clear()
     return n
+
+
+_COUNT_CACHE: dict[tuple[int, str, str], int] = {}
+
+
+def _cached_count(tag: str, df: DataFrame, spark: SparkSession,
+                  sf_dir: str) -> int:
+    """Memoized cardinality of a pack-level dim relation (vehicles,
+    licence samples). The probe-vs-grid plan choice in bm_q5/q6/q10
+    needs ONE scalar per (session, sf) — without memoization each call
+    fires a fresh count job (~0.2-0.4 s of fixed job floor at sf0.1)
+    for a number that cannot change within a session. Cleared with
+    release_caches()."""
+    key = (SRC.session_key(spark), sf_dir, tag)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = df.count()
+    return _COUNT_CACHE[key]
 
 
 def warm_caches(spark: SparkSession, sf_dir: str) -> float:
@@ -740,9 +758,9 @@ def bm_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = BM.vehicles(spark, sf_dir).filter(F.col("vehicle_type") == "truck")
     t = _flat_trips(spark, sf_dir).join(F.broadcast(v), "vehicle_id")
     # plan probe on the DIM side: each vehicle has ≤1 trips row, so
-    # |v| bounds |t| — a count on the tiny vehicles parquet instead of
-    # a scan over the cached trip arrays (~0.9 s at sf0.1)
-    if v.count() <= _GRID_PAIR_THRESHOLD:
+    # |v| bounds |t| — a memoized count on the tiny vehicles parquet
+    # instead of a scan over the cached trip arrays (~0.9 s at sf0.1)
+    if _cached_count("trucks", v, spark, sf_dir) <= _GRID_PAIR_THRESHOLD:
         rows = t.select(
             "vehicle_id", "licence", "t_arr", "x_arr", "y_arr", "len_arr"
         ).collect()  # bounded by the threshold check above
@@ -973,8 +991,9 @@ def bm_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb").alias("bb2"),
     )
     # plan probe on the licences dim (≤1 trips row per vehicle bounds
-    # |t1|) — avoids scanning the cached trip arrays just to count
-    if l1.count() <= _GRID_PAIR_THRESHOLD:
+    # |t1|) — memoized; avoids scanning the cached trip arrays or
+    # re-firing the dim count job per call
+    if _cached_count("licences1", l1, spark, sf_dir) <= _GRID_PAIR_THRESHOLD:
         probe_rows = t1.collect()  # bounded by the threshold check above
         probes = [
             {"vid": r["vid1"], "t": r["ta1"], "x": r["xa1"],

@@ -448,6 +448,77 @@ def table_profile(
     )
 
 
+def benford_audit(
+    df: DataFrame,
+    amount_cents,
+    digit_count: int = 1,
+) -> DataFrame:
+    """Benford's-law first-digit audit over an exact integer-cents
+    amount column — the classic fraud / synthetic-data screen a
+    governance pass runs over financial fact tables. Returns one row
+    per leading digit d (1..9 for digit_count=1, 10..99 for 2):
+    (digit, n_obs, p_obs_micro, p_exp_micro, chi2_term_micro) where
+    p_exp is Benford's log10(1 + 1/d) and chi2_term is the
+    (n_obs - n·p)²/(n·p) contribution, both micro-quantized so the
+    audit hashes stably. Digits with zero observations still emit a
+    row (their chi2 term is n·p — absence is evidence too).
+
+    Determinism: the leading digit comes from the DECIMAL STRING of
+    the integer cents value (substring of cast-to-string), never from
+    float log10 — no boundary risk at powers of ten. Amounts ≤ 0 are
+    excluded (Benford's domain), counted nowhere.
+
+    Plan (100 TB): one conditional-aggregate scan to a ≤90-row digit
+    table, then arithmetic against a broadcast 9-row digit spine —
+    zero data-volume shuffles beyond the partial agg."""
+    if digit_count not in (1, 2):
+        raise ValueError("digit_count must be 1 or 2")
+    lo = 10 ** (digit_count - 1)
+    hi = 10**digit_count
+    cents = (
+        F.col(amount_cents) if isinstance(amount_cents, str) else amount_cents
+    ).cast("bigint")
+    # integer cents >= lo * 100 guarantee digit_count leading digits
+    # exist in the UNITS part; smaller positives still have them in
+    # the cents string (e.g. 7 cents -> "7"): take from the string of
+    # the raw integer, which drops the decimal point entirely —
+    # leading digits of x and of 100x agree except when the units
+    # part has fewer than digit_count digits, so we take the digits
+    # from the full cents integer string (Benford applies to the
+    # significand, scale-free).
+    digit = F.substring(cents.cast("string"), 1, digit_count).cast("int")
+    obs = (
+        df.where(cents > 0)
+        .where(F.length(cents.cast("string")) >= digit_count)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d,) for d in range(lo, hi)], "digit int"
+    )
+    joined = spine.join(F.broadcast(obs), "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n_obs")
+    )
+    tot = joined.agg(F.sum("n_obs").alias("n_total"))
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    exp_n = F.col("n_total") * p_exp
+    chi2 = (F.col("n_obs") - exp_n) ** 2 / exp_n
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n_total") * 1e6)
+            .cast("bigint")
+            .alias("p_obs_micro"),
+            F.round(p_exp * 1e6).cast("bigint").alias("p_exp_micro"),
+            F.round(chi2 * 1e6).cast("bigint").alias("chi2_term_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_col: str,

@@ -160,21 +160,22 @@ def label_propagation(
     shuffles total; hub capping is inherited from the edge builder.
     Returns (node, community).
     """
-    from pyspark import StorageLevel
-
-    sym = edges.select(
+    # Materialize the caller's edge pipeline ONCE, eagerly, BEFORE the
+    # symmetric union: sym references `edges` twice, so persisting only
+    # sym still evaluated the (often expensive — gram-join / LSH) edge
+    # pipeline twice on first touch, the measured 15.1 s-cold vs 3.8 s-
+    # warm spike in the close-out bench. localCheckpoint also truncates
+    # lineage for the rounds (same rationale as kcore/components); on a
+    # real cluster this becomes reliableCheckpoint/write-to-store.
+    base = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("t"), F.col(weight).alias("w")
-    ).unionAll(
-        edges.select(
-            F.col(dst).alias("s"), F.col(src).alias("t"),
-            F.col(weight).alias("w"),
+    ).localCheckpoint(eager=True)
+    _PERSISTED.append(base)
+    sym = base.unionAll(
+        base.select(
+            F.col("t").alias("s"), F.col("s").alias("t"), F.col("w")
         )
     )
-    # sym is read 2x per round plus once for the label init; without
-    # materialization every read recomputes the caller's whole edge
-    # pipeline (measured 55 s vs 13 s at sf1 on the gram-join edges)
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(sym)
     labels = sym.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
@@ -197,12 +198,20 @@ def kcore(
     k: int = 3,
     src: str = "a",
     dst: str = "b",
-    max_rounds: int = 50,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     every node of degree < k (simultaneously) until a fixpoint; the
     survivors form the k-core. Returns (node, core_deg) — each core
     member with its degree WITHIN the core.
+
+    The loop runs to the fixpoint unconditionally: the live node set
+    shrinks monotonically, so termination is guaranteed in at most
+    |V| rounds (chain/path graphs really do need O(|V|) rounds —
+    simultaneous peeling eats a 200-node path at k=2 two ends at a
+    time). `max_rounds` is an optional budget for callers that want
+    one; exhausting it RAISES rather than silently returning interior
+    path nodes as a phantom core.
 
     Plan (100 TB): each round is one groupBy(node) degree count over
     the live symmetric edge list plus two broadcast-or-shuffle semi
@@ -227,7 +236,8 @@ def kcore(
     )
     live = sym.localCheckpoint(eager=True)
     n_prev = None
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         keep = (
             live.groupBy("s").count()
             .filter(F.col("count") >= k)
@@ -236,6 +246,13 @@ def kcore(
         n = keep.count()
         if n_prev is not None and n == n_prev:
             break
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"kcore: no fixpoint after max_rounds={max_rounds} "
+                f"(live nodes {n_prev} -> {n}); rerun with a larger "
+                "budget or max_rounds=None"
+            )
+        rounds += 1
         n_prev = n
         live = (
             live.join(keep.select(F.col("node").alias("s")), "s", "semi")

@@ -33,7 +33,22 @@ def salted_join(
     deterministic row hash. Result == fact.join(dim, key, how) for
     inner/left joins (each fact row pairs with each matching dim row
     exactly once). Dim columns must not collide with fact columns
-    (same contract as the plain join)."""
+    (same contract as the plain join).
+
+    Only inner/left (and the fact-preserving semi/anti) are accepted:
+    with how='right' or 'full', a dim key unmatched at a given salt
+    would emit one spurious null-fact row PER SALT REPLICA (up to
+    n_salts-1 duplicates per dim row), so those are rejected rather
+    than silently wrong."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti"}
+    if str(how).lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not replication-safe; the "
+            "replicated dim side would duplicate unmatched dim rows "
+            "once per salt. Use inner/left/semi/anti or a plain join."
+        )
     rep = dim.withColumn(
         "_salt",
         F.explode(

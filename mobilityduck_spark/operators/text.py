@@ -606,6 +606,82 @@ def stratified_sample(
     )
 
 
+def weighted_sample_aes(
+    df,
+    k: int,
+    weight_col: str,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "aes-v1",
+) -> "DataFrame":
+    """Weighted sampling WITHOUT replacement, k per stratum, by the
+    Efraimidis-Spirakis A-ES rule: each row draws a deterministic
+    uniform u from its salted md5 and is ranked by u^(1/w) descending
+    — equivalently ln(u)/w, which is what we rank on for numeric
+    spread. The k winners per stratum are a true weighted sample
+    without replacement (heavier rows proportionally likelier, no row
+    twice), yet fully deterministic and engine-portable — the
+    length-proportional / quality-proportional document picker a
+    curation pipeline needs to be reproducible across reruns and
+    engines. u = (h32 + 1) / 2^32 ∈ (0, 1], so ln never sees 0.
+
+    Returns (stratum, key, weight, score_nano, rk): score_nano is the
+    nano-quantized ln(u)/w selection score (auditable), rk ∈ [1, k].
+
+    Plan (100 TB): scoring is pure JVM scan-speed expressions; top-k
+    per stratum is TWO-PHASE — a local row_number inside each of 32
+    hash shards (partition-bounded), then a global row_number over
+    the surviving 32k rows per stratum. A single per-stratum window
+    would funnel every row of a stratum through one partition (the
+    same straggler kmv_distinct's two-phase k-min avoids); the
+    two-phase plan is exact because the global top k are among every
+    shard's local top k. Weights must be > 0: enforced at scan speed
+    by a filter, matching the A-ES domain."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("-", F.col(key_col).cast("string"), F.lit(salt))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    scored = (
+        df.where(w > 0)
+        .select(
+            F.col(strata_col).alias("stratum"),
+            F.col(key_col).alias("key"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            (F.log(u) / w).alias("_sc"),
+        )
+        .withColumn("_shard", F.pmod(F.xxhash64(F.col("key")), F.lit(32)))
+    )
+    w_local = Window.partitionBy("stratum", "_shard").orderBy(
+        F.col("_sc").desc(), F.col("key").asc()
+    )
+    local = scored.withColumn(
+        "_lrk", F.row_number().over(w_local)
+    ).where(F.col("_lrk") <= k)
+    w_glob = Window.partitionBy("stratum").orderBy(
+        F.col("_sc").desc(), F.col("key").asc()
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w_glob))
+        .where(F.col("rk") <= k)
+        .select(
+            "stratum",
+            "key",
+            "weight",
+            F.round(F.col("_sc") * 1e9).cast("bigint").alias("score_nano"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 def mixture_sample(
     df,
     fracs: dict,

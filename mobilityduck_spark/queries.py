@@ -32,6 +32,11 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate name would silently SHADOW the earlier query (and
+        # its oracle) for the driver, the bench, and every artifact —
+        # fail at import time instead (caught one real collision in r10)
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -46,6 +51,19 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
+    # ---- round 10: new queries + queries whose operator or oracle
+    # changed this round (ADVICE fixes, the banded PIT re-plan, the
+    # LPA edge checkpoint) — re-prove each under the driver
+    "doc_weighted_strata_sample",  # NEW: per-stratum A-ES quota sample
+    "orders_benford",          # NEW: Benford first-digit audit
+    "events_kmv_distinct",     # hash-set dedup on both sides (ADVICE)
+    "events_multi_touch",      # horizon-banded PIT join re-plan
+    "graph_kcore",             # unbounded fixpoint peeling (ADVICE)
+    "graph_lpa_communities",   # eager edge checkpoint before rounds
+    "orders_salted_join",      # how-validation (result unchanged)
+    "events_woe_iv",           # docstring contract fix only
+    "bm_q5",                   # memoized probe-plan count
+    "bm_q10",                  # memoized probe-plan count
     # ---- the 8 r7 queries that have never had a driver row (r7's
     # driver never ran; the r8 window filled with r8 additions) — the
     # round-8 verdict directs these to head the list until each has a
@@ -8634,8 +8652,10 @@ def events_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer class counts per fixed-width activity bucket, micro-
     quantized ln for WoE, and the per-bucket IV contribution — the
     credit-scoring-style feature screen run before training a
-    propensity model. Empty-class buckets surface NULL (smoothing is
-    policy, not math)."""
+    propensity model. Buckets where either class is empty emit 0.0
+    with woe_defined=false — the flag, not NULL, marks the undefined
+    ln ratio (smoothing is policy, not math), matching the operator's
+    contract in operators/events.py."""
     from .operators import events as EV
 
     ev = SRC.load(spark, sf_dir, "events")
@@ -8722,7 +8742,7 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT event_type AS etype, user_id AS u FROM events
     ),
     hashed AS (
-      SELECT etype,
+      SELECT DISTINCT etype,
              CAST(('0x' || substring(md5(u::VARCHAR || 'kmv1'), 1, 12))
                   AS BIGINT) AS h
       FROM pairs
@@ -9165,4 +9185,92 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_nonneg"),
         )
         .orderBy("dim")
+    )
+
+
+@register(
+    "doc_weighted_strata_sample",
+    """
+    WITH b AS (
+      SELECT lang AS stratum, doc_id AS key, n_chars AS weight,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-aes-v1'),
+                                   1, 8)) AS UBIGINT) + 1)
+               / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    s AS (SELECT stratum, key, weight, ln(u) / weight AS sc FROM b),
+    r AS (
+      SELECT stratum, key, weight, sc,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY sc DESC, key ASC) AS rk
+      FROM s
+    )
+    SELECT stratum, key, CAST(weight AS BIGINT) AS weight,
+           CAST(ROUND(sc * 1e9) AS BIGINT) AS score_nano,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 20 ORDER BY stratum, rk
+    """,
+)
+def doc_weighted_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement, 20 docs per
+    language, by the Efraimidis-Spirakis A-ES rule with weight =
+    n_chars — the per-stratum twin of doc_weighted_sample (which picks
+    a single global top-k via TakeOrderedAndProject): quota per
+    stratum, auditable nano-quantized ln(u)/w scores and ranks in the
+    output, and the kmv-style two-phase top-k plan (local k inside 32
+    hash shards, then global k over 32k survivors per stratum — no
+    single-partition stratum sort at 10^9 docs/lang). u = salted-md5
+    uniform in (0, 1]; deterministic and engine-portable."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.weighted_sample_aes(
+        docs, k=20, weight_col="n_chars", strata_col="lang",
+        key_col="doc_id", salt="aes-v1",
+    ).orderBy("stratum", "rk")
+
+
+@register(
+    "orders_benford",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n_obs
+      FROM c WHERE cents > 0 GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    j AS (
+      SELECT s.digit, COALESCE(o.n_obs, 0) AS n_obs
+      FROM spine s LEFT JOIN obs o ON o.digit = s.digit
+    ),
+    t AS (SELECT SUM(n_obs) AS n_total FROM j)
+    SELECT CAST(j.digit AS BIGINT) AS digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(ROUND(CAST(n_obs AS DOUBLE) / n_total * 1e6) AS BIGINT)
+             AS p_obs_micro,
+           CAST(ROUND(log10(1.0 + 1.0 / j.digit) * 1e6) AS BIGINT)
+             AS p_exp_micro,
+           CAST(ROUND((n_obs - n_total * log10(1.0 + 1.0 / j.digit))
+                      * (n_obs - n_total * log10(1.0 + 1.0 / j.digit))
+                      / (n_total * log10(1.0 + 1.0 / j.digit)) * 1e6)
+                AS BIGINT) AS chi2_term_micro
+    FROM j, t ORDER BY digit
+    """,
+)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals (exact
+    integer cents; leading digit from the decimal string, never float
+    log10 of the amount) — the governance screen for fabricated or
+    synthetic financial data. TPC-H totals are range-uniform, NOT
+    Benford, so the chi-square terms are enormous — which is the
+    point: the audit flags the generator. One conditional-agg scan to
+    a 9-row table; every per-digit statistic micro-quantized."""
+    from .operators import governance as GV
+
+    orders = SRC.load(spark, sf_dir, "orders")
+    return GV.benford_audit(
+        orders, F.round(F.col("o_totalprice") * 100), digit_count=1
     )

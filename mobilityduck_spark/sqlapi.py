@@ -20,6 +20,17 @@ functions, so non-tgeompoint variants carry a type suffix (_tfloat).
 
 Verified: tests/test_sqlapi.py runs the BerlinMOD q8 shape in pure
 spark.sql and checks row-identity against the DataFrame formulation.
+
+Supported-CRS boundary (transform / ST_Transform analog): the
+reference delegates reprojection to duckdb-spatial/PROJ and accepts
+any EPSG pair (src/geo/geoset.cpp:95-115). This engine ships
+closed-form forward projections — no native PROJ dependency — for
+geographic sources 4326/4258/4269 to: EPSG:3857 (web mercator),
+EPSG:3812 (Belgian Lambert 2008), and every UTM zone
+(326zz/327zz/258zz/269zz, transverse-Mercator series validated to
+<1 mm against an independent Krüger-series implementation,
+tests/test_utm_transform.py). Any other pair raises ValueError
+rather than silently approximating (wkt.project_wkt).
 """
 
 from __future__ import annotations

@@ -124,6 +124,52 @@ def _web_mercator(lon, lat):
     return x, y
 
 
+def _transverse_mercator(lon0_deg, k0=0.9996, x0=500000.0, y0=0.0):
+    """Ellipsoidal transverse Mercator forward on GRS80/WGS84 (Snyder
+    eq. 8-9..8-17, 3-1..3-21) — the projection under every UTM zone.
+    Series accuracy is sub-millimetre within the ±3° zone width."""
+    a, f = _GRS80_A, _GRS80_F
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    lon0 = math.radians(lon0_deg)
+    # meridional arc coefficients (Snyder 3-21)
+    m1 = 1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256
+    m2 = 3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024
+    m3 = 15 * e2**2 / 256 + 45 * e2**3 / 1024
+    m4 = 35 * e2**3 / 3072
+
+    def arc(phi):
+        return a * (
+            m1 * phi - m2 * math.sin(2 * phi) + m3 * math.sin(4 * phi)
+            - m4 * math.sin(6 * phi)
+        )
+
+    def fwd(lon, lat):
+        phi, lam = math.radians(lat), math.radians(lon)
+        sp, cp, tp = math.sin(phi), math.cos(phi), math.tan(phi)
+        nu = a / math.sqrt(1 - e2 * sp * sp)
+        t = tp * tp
+        c = ep2 * cp * cp
+        big_a = (lam - lon0) * cp
+        x = k0 * nu * (
+            big_a
+            + (1 - t + c) * big_a**3 / 6
+            + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * big_a**5 / 120
+        )
+        y = k0 * (
+            arc(phi)
+            + nu * tp * (
+                big_a**2 / 2
+                + (5 - t + 9 * c + 4 * c * c) * big_a**4 / 24
+                + (61 - 58 * t + t * t + 600 * c - 330 * ep2)
+                * big_a**6 / 720
+            )
+        )
+        return x0 + x, y0 + y
+
+    return fwd
+
+
 # EPSG:3812 — ETRS89 / Belgian Lambert 2008 (published EPSG parameters)
 _PROJECTIONS = {
     (4326, 3857): _web_mercator,
@@ -133,10 +179,43 @@ _PROJECTIONS = {
     ),
 }
 
+# geographic CRSs whose datum is treated as coincident with WGS84 at
+# this engine's precision (ETRS89/NAD83 differ by <1 m plate drift —
+# the same zero-shift PROJ applies without datum grids)
+_GEOGRAPHIC_SRIDS = {4326, 4258, 4269}
+
+
+def _utm_fwd(src_srid: int, dst_srid: int):
+    """Dynamic lookup for UTM targets: EPSG 326zz/327zz (WGS84 N/S),
+    258zz (ETRS89 N), 269zz (NAD83 N) — central meridian zone*6-183,
+    k0=0.9996, FE 500 km, FN 10 000 km south. Returns None if the pair
+    is not a supported geographic→UTM transform."""
+    if src_srid not in _GEOGRAPHIC_SRIDS:
+        return None
+    band = dst_srid // 100
+    zone = dst_srid % 100
+    if not 1 <= zone <= 60:
+        return None
+    if band in (326, 258, 269):
+        return _transverse_mercator(zone * 6 - 183)
+    if band == 327:
+        return _transverse_mercator(zone * 6 - 183, y0=10000000.0)
+    return None
+
 
 def project_wkt(s: str, src_srid: int, dst_srid: int) -> str:
-    """Reproject every coordinate of a POINT/LINESTRING/POLYGON WKT."""
-    fwd = _PROJECTIONS.get((src_srid, dst_srid))
+    """Reproject every coordinate of a POINT/LINESTRING/POLYGON WKT.
+
+    Supported CRS pairs (closed-form, no PROJ): geographic
+    (4326/4258/4269) → web mercator 3857, Belgian Lambert 3812, and
+    any UTM zone (326zz/327zz/258zz/269zz). The reference accepts any
+    EPSG pair by delegating to duckdb-spatial/PROJ
+    (src/geo/geoset.cpp:95-115); this engine implements the published
+    projection formulas for the families the workload uses and raises
+    for anything else rather than approximating."""
+    fwd = _PROJECTIONS.get((src_srid, dst_srid)) or _utm_fwd(
+        src_srid, dst_srid
+    )
     if fwd is None:
         raise ValueError(f"unsupported transform {src_srid}->{dst_srid}")
     typ, coords = parse_wkt(s)

@@ -1,0 +1,54 @@
+"""Round-close gate: the full-registry verification sweep committed
+as an artifact each round (VERDICT r9 item 1 — the driver's ~50-query
+window leaves most of the registry unsampled for rounds at a time;
+this closes the gap with a repo-side 215/215 record).
+
+Runs, in order:
+  1. scripts/driver_check.py over EVERY registered query at sf0.01
+     with --json, writing CORRECTNESS_full_r{N}.json (one driver-shaped
+     row per query; rows-only queries recorded as err="no_oracle").
+  2. scripts/negzero_scan.py at the same SF (the signed-zero class
+     must stay provably closed, not argued closed).
+
+Exit status is nonzero if either stage fails, so this can gate a
+commit. Usage:
+
+    python scripts/round_close.py <round_number> [sf_dir]
+"""
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit("usage: round_close.py <round_number> [sf_dir]")
+    rnd = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    artifact = os.path.join(REPO, f"CORRECTNESS_full_r{rnd:02d}.json")
+
+    rc1 = subprocess.call(
+        [
+            sys.executable,
+            os.path.join(HERE, "driver_check.py"),
+            sf_dir,
+            "--json",
+            artifact,
+        ]
+    )
+    print(f"driver_check: exit {rc1} ({artifact})")
+    rc2 = subprocess.call(
+        [sys.executable, os.path.join(HERE, "negzero_scan.py"), sf_dir]
+    )
+    print(f"negzero_scan: exit {rc2}")
+    if rc1 or rc2:
+        sys.exit(1)
+    print("round-close gate: ALL GREEN")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,29 @@ def test_kcore_empty_core(spark):
     G.release_caches()
 
 
+def test_kcore_long_path_runs_to_fixpoint(spark):
+    """A 120-node path at k=2 peels two ends per round, so it needs
+    ~60 rounds to drain — past the old silent 50-round budget that
+    used to report interior nodes as a phantom core. The unbounded
+    default must reach the true (empty) fixpoint."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "a long, b long"
+    )
+    assert G.kcore(df, k=2).count() == 0
+    G.release_caches()
+
+
+def test_kcore_max_rounds_exhaustion_raises(spark):
+    """An explicit round budget too small for the fixpoint must raise
+    loudly, never return the unconverged live set as a core."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        G.kcore(df, k=2, max_rounds=2)
+    G.release_caches()
+
+
 def _py_skyline(pts):
     out = []
     for i, (x, y) in enumerate(pts):
@@ -513,6 +536,21 @@ def test_salted_join_equals_plain_join(spark):
         assert got == want, how
 
 
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    """right/full would emit one spurious null-fact row per salt for
+    each unmatched dim key — the operator must refuse, not corrupt."""
+    from mobilityduck_spark.operators import skewjoin as SJ
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, 10), (4, 40)], "k long, w long")
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="replication-safe"):
+            SJ.salted_join(fact, dim, "k", n_salts=4, how=how)
+    # semi/anti are fact-preserving and stay allowed
+    assert SJ.salted_join(fact, dim, "k", n_salts=4, how="semi").count() == 1
+    assert SJ.salted_join(fact, dim, "k", n_salts=4, how="anti").count() == 0
+
+
 def test_salted_join_on_testdata_aggregate(spark):
     from mobilityduck_spark.operators import skewjoin as SJ
 
@@ -582,6 +620,49 @@ def test_multi_touch_credit_conservation_and_models(spark):
             r.conv_credit_micro for (mm, _), r in out.items() if mm == m
         )
         assert tot == 3_000_000, m
+
+
+def test_multi_touch_horizon_band_boundaries(spark):
+    """The banded PIT join must keep pairs exactly on the half-open
+    horizon [tc-hz, tc): a touch exactly horizon-old is IN, one
+    microsecond older is OUT, a same-instant touch is OUT, and a
+    touch landing exactly on a band boundary (tt multiple of hz)
+    is matched once, never zero or twice."""
+    import datetime
+
+    base = datetime.datetime(2024, 6, 8)  # epoch-us divisible by day
+    hz = datetime.timedelta(days=7)
+    us = datetime.timedelta(microseconds=1)
+    rows = [
+        # conversion at base for user 1..4, one touch each:
+        (1, base - hz, 1, "edge_in", 1.0),          # tt == tc-hz -> IN
+        (2, base, 1, "purchase", 10.0),
+        (3, base - hz - us, 2, "too_old", 1.0),     # just outside
+        (4, base, 2, "purchase", 10.0),
+        (5, base, 3, "same_instant", 1.0),          # tt == tc -> OUT
+        (6, base, 3, "purchase", 10.0),
+        # user 4's touch sits exactly on a band boundary inside the
+        # horizon (tc - 1 day, still a multiple of hz? no — it pins
+        # the replicated-band dedup: matched exactly once)
+        (7, base - datetime.timedelta(days=1), 4, "recent", 1.0),
+        (8, base, 4, "purchase", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {
+        (r.model, r.channel): r.conv_credit_micro
+        for r in EV.multi_touch_attribution(ev, horizon="7 days").collect()
+    }
+    assert out[("linear", "edge_in")] == 1_000_000
+    assert out[("linear", "recent")] == 1_000_000
+    # users 2 and 3 fall to direct (stale / same-instant)
+    assert out[("linear", "direct")] == 2_000_000
+    assert ("linear", "too_old") not in out
+    assert ("linear", "same_instant") not in out
+    # conservation across the band replication: 4 conversions total
+    assert sum(v for (m, _), v in out.items() if m == "linear") == 4_000_000
 
 
 def test_join_cardinality_co_sampling_unbiased_shape(spark):
