@@ -579,3 +579,27 @@ def test_kmv_and_binary_shortlist_are_two_phase(spark):
     plan2 = str(df2._jdf.queryExecution().executedPlan())
     # local shortlist window + global shortlist window + rerank window
     assert plan2.count("Window") >= 3, "shortlist must be two-phase"
+
+
+def test_multi_touch_join_is_horizon_banded(spark):
+    """The conversions-touches PIT join must carry the horizon band in
+    its equi-join keys: on a pure user-key join the candidate volume
+    is quadratic per user once per-user history grows (measured 5.3e9
+    candidates vs 2.4e7 real pairs at the sf10 sweep point). The band
+    column appearing in a join condition — not only in a filter — is
+    the structural property this pins."""
+    df = Q.queries()["events_multi_touch"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "hband" in plan, "banded join key missing from the plan"
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_strata_sample_is_two_phase(spark):
+    """Per-stratum A-ES top-k must plan as TWO window operators
+    (shard-local k + bounded global k) — one per-stratum window
+    funnels a stratum's whole corpus through one partition at scale
+    (same contract as the kmv two-phase gate)."""
+    df = Q.queries()["doc_weighted_strata_sample"](spark, SF)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert plan.count("Window") >= 2, "strata top-k must be two-phase"
+    assert "CartesianProduct" not in plan
