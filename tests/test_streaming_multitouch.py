@@ -1,0 +1,111 @@
+"""Streaming multi-touch parity: the applyInPandasWithState twin must
+reproduce the batch multi_touch_attribution table over a time-ordered
+multi-batch replay, and its per-user state must stay bounded by the
+horizon window."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mobilityduck_spark.operators import events as EV
+from mobilityduck_spark.sources import tables as SRC
+from mobilityduck_spark.streaming.multitouch import multi_touch_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multi_touch_stream_equals_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "mt_src")
+    ev = SRC.load(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ordered = ev.orderBy("ts", "event_id").collect()
+    quarter = (len(ordered) + 3) // 4
+    for i in range(4):
+        chunk = ordered[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        multi_touch_stream(stream, conversion_type="purchase", horizon="7 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mt_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["model"], r["channel"]): (r["ccm"], r["rcm"])
+        for r in spark.table("mt_out")
+        .groupBy("model", "channel")
+        .agg(F.sum("cc").alias("ccm"), F.sum("rc").alias("rcm"))
+        .collect()
+    }
+    exp = {
+        (r["model"], r["channel"]): (
+            r["conv_credit_micro"],
+            r["revenue_credit_micro"],
+        )
+        for r in EV.multi_touch_attribution(
+            ev, conversion_type="purchase", horizon="7 days"
+        ).collect()
+    }
+    assert got == exp and len(got) > 2
+    # every conversion gets exactly 1e6 credit per model (per-touch
+    # rounding drift is sub-micro by construction on this corpus)
+    n_conv = ev.where(F.col("event_type") == "purchase").count()
+    first_total = sum(v[0] for (m, _), v in got.items() if m == "first")
+    assert first_total == n_conv * 1_000_000
+
+
+def test_multi_touch_stream_state_bounded_by_horizon(spark, tmp_path):
+    """A user with touches spread far apart keeps only the in-horizon
+    suffix in state: a conversion after a long gap must credit ONLY
+    the recent touch (the stale ones were evicted, not just filtered),
+    and a same-instant touch never credits."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "view", 0.0),
+        (1, dt.datetime(2024, 2, 1, 10), 2, "click", 0.0),
+        (1, dt.datetime(2024, 2, 2, 10), 3, "purchase", 5.0),
+        # same-instant touch + touchless user
+        (2, dt.datetime(2024, 2, 2, 10), 4, "view", 0.0),
+        (2, dt.datetime(2024, 2, 2, 10), 5, "purchase", 7.0),
+    ]
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double"
+    )
+    src_dir = str(tmp_path / "mt2_src")
+    for i in (0, 2, 3):
+        hi = i + 2 if i < 3 else i + 2
+        spark.createDataFrame(rows[i : hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows, schema).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        multi_touch_stream(stream, horizon="7 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mt2_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["conv_id"], r["model"], r["channel"], r["cc"])
+        for r in spark.table("mt2_out").collect()
+    )
+    assert got == [
+        (3, "first", "click", 1_000_000),
+        (3, "linear", "click", 1_000_000),
+        (5, "first", "direct", 1_000_000),
+        (5, "linear", "direct", 1_000_000),
+    ]
