@@ -224,6 +224,63 @@ def split_assign(
     )
 
 
+def corpus_manifest(
+    docs,
+    split_salt: str = "v1",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Reproducible corpus manifest: one row per (split, stratum) with
+    exact doc/token/char counts and an ORDER-FREE content checksum —
+    the dataset-versioning primitive a training pipeline records
+    before/after every curation step so "same data" is a checkable
+    claim, not an assumption. The checksum is bit_xor over a 63-bit
+    md5 of id:content, so it is invariant to row order and
+    partitioning, binds ids to their text (a swap of two docs' texts
+    changes it), and merges across shards by xor — the mergeability
+    that lets 100 TB manifests roll up from per-file manifests
+    without a global sort. Splits use the standard deterministic
+    salted-bucket rule (split_assign), so the manifest also audits
+    split sizes.
+
+    Plan (100 TB): pure scan-speed expressions (md5, split, size) into
+    ONE partial-aggregating groupBy on a tiny (split, stratum) domain
+    — no windows, no joins, nothing leaves the JVM."""
+    h63 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.md5(F.col(text_col)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            split_assign(F.col(id_col), salt=split_salt).alias("split"),
+            F.col(strata_col).alias("stratum"),
+            F.size(F.split(F.col(text_col), " ", -1)).alias("_ntok"),
+            F.length(F.col(text_col)).alias("_nchr"),
+            h63.alias("_h"),
+        )
+        .groupBy("split", "stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_ntok").cast("bigint").alias("n_tokens"),
+            F.sum("_nchr").cast("bigint").alias("n_chars"),
+            F.expr("bit_xor(_h)").cast("bigint").alias("content_hash"),
+        )
+        .orderBy("split", "stratum")
+    )
+
+
 def pack_chunks(
     docs: "DataFrame",
     capacity: int,

@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     # LPA edge checkpoint) — re-prove each under the driver
     "doc_weighted_strata_sample",  # NEW: per-stratum A-ES quota sample
     "orders_benford",          # NEW: Benford first-digit audit
+    "corpus_manifest",         # NEW: order-free xor content checksums
     "events_kmv_distinct",     # hash-set dedup on both sides (ADVICE)
     "events_multi_touch",      # horizon-banded PIT join re-plan
     "graph_kcore",             # unbounded fixpoint peeling (ADVICE)
@@ -9274,3 +9275,45 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GV.benford_audit(
         orders, F.round(F.col("o_totalprice") * 100), digit_count=1
     )
+
+
+@register(
+    "corpus_manifest",
+    """
+    WITH b AS (
+      SELECT CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || '-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+                    < 0.8 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || '-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+                    < 0.9 THEN 'val'
+               ELSE 'test' END AS split,
+             lang AS stratum,
+             len(string_split(text, ' ')) AS ntok,
+             length(text) AS nchr,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || md5(text)), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT split, stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(nchr) AS BIGINT) AS n_chars,
+           CAST(bit_xor(h) AS BIGINT) AS content_hash
+    FROM b GROUP BY split, stratum ORDER BY split, stratum
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus manifest per (split, lang): exact doc /
+    whitespace-token / char counts and an order-free 63-bit xor
+    content checksum binding ids to texts — the dataset-versioning
+    record a pipeline snapshots before and after every curation step.
+    Checksums merge across shards by xor (no global sort at 100 TB);
+    split assignment is the standard salted-bucket rule, so the
+    manifest doubles as a split-size audit. One scan-speed projection
+    + one tiny-domain aggregate."""
+    from .operators import text as TX
+
+    docs = SRC.load(spark, sf_dir, "documents")
+    return TX.corpus_manifest(docs, split_salt="v1")

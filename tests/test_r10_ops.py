@@ -122,3 +122,53 @@ def test_benford_two_digit_mode(spark):
     assert len(out) == 90
     assert out[12] == 2 and out[99] == 1 and out[42] == 1
     assert sum(out.values()) == 4  # the 1-digit amount dropped
+
+
+def test_corpus_manifest_order_invariance_and_swap_detection(spark):
+    """The content checksum must be invariant to row order and
+    partitioning, change when two docs SWAP texts (id-content binding),
+    and merge across shards by xor (mergeability)."""
+    rows = [(i, "en" if i % 3 else "de", f"doc text {i} " * (i % 7 + 1))
+            for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    base = {
+        (r.split, r.stratum): (r.n_docs, r.n_tokens, r.n_chars,
+                               r.content_hash)
+        for r in TX.corpus_manifest(df).collect()
+    }
+    # shuffled + repartitioned input -> identical manifest
+    shuf = df.orderBy(F.reverse(F.col("text"))).repartition(7)
+    again = {
+        (r.split, r.stratum): (r.n_docs, r.n_tokens, r.n_chars,
+                               r.content_hash)
+        for r in TX.corpus_manifest(shuf).collect()
+    }
+    assert base == again
+    # swapping two same-stratum docs' texts (ids 1 and 4, both 'en')
+    # keeps every count equal but MUST change that cell's checksum
+    a, b = rows[0], rows[3]
+    swapped = [r for r in rows if r[0] not in (a[0], b[0])]
+    swapped += [(a[0], a[1], b[2]), (b[0], b[1], a[2])]
+    df2 = spark.createDataFrame(
+        swapped, "doc_id long, lang string, text string"
+    )
+    after = {
+        (r.split, r.stratum): (r.n_docs, r.n_tokens, r.n_chars,
+                               r.content_hash)
+        for r in TX.corpus_manifest(df2).collect()
+    }
+    changed = {k for k in base if base[k][3] != after.get(k, (0,0,0,0))[3]}
+    assert changed, "text swap must move at least one cell checksum"
+    # doc counts are invariant under a text swap (ids keep their split/
+    # stratum cell; token/char totals legitimately move between the two
+    # cells when the swapped ids hash to different splits)
+    assert all(base[k][0] == after[k][0] for k in base if k in after)
+    # mergeability: manifest of two halves xors to the whole
+    h1 = TX.corpus_manifest(df.where(F.col("doc_id") <= 30)).collect()
+    h2 = TX.corpus_manifest(df.where(F.col("doc_id") > 30)).collect()
+    merged = {}
+    for part in (h1, h2):
+        for r in part:
+            k = (r.split, r.stratum)
+            merged[k] = merged.get(k, 0) ^ r.content_hash
+    assert all(merged[k] == base[k][3] for k in merged)
