@@ -239,6 +239,7 @@ def embedding_near_dup_pairs(
 # persisted IVF assignment tables; long-lived sessions call
 # release_caches() to free them
 _PERSISTED: list[DataFrame] = []
+_FIT_CACHE: dict = {}
 
 
 def release_caches() -> int:
@@ -249,7 +250,25 @@ def release_caches() -> int:
             n += 1
         except Exception:
             pass
+    _FIT_CACHE.clear()
     return n
+
+
+def cached_fit(key, builder):
+    """Memoize a DETERMINISTIC index/codebook build (pq_train,
+    build_ivf_index, sq8_train are all sort-by-id + bounded-sample +
+    seeded fits — same input, same output, always). This is the
+    train-once/search-many deployment shape made explicit: without it
+    every query invocation re-collects the capped train sample and
+    refits driver-side — measured 56 s/call at the 192k-vector sweep
+    point where the 100k cap binds, pure harness overhead at search
+    time. Key by (session, data identity, params); cleared by
+    release_caches(). Pass key=None to bypass."""
+    if key is None:
+        return builder()
+    if key not in _FIT_CACHE:
+        _FIT_CACHE[key] = builder()
+    return _FIT_CACHE[key]
 
 
 def build_ivf_index(
@@ -1161,6 +1180,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    cache_key=None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN index shape (FAISS "IVF<n>,PQ<m>"
     with by_residual=False): the coarse quantizer prunes the corpus to
@@ -1175,14 +1195,40 @@ def ivfpq_topk(
     index is at rest, see save_ivf_index), with the ADC dot tables
     riding the broadcast probe side. Per-candidate work is m
     element_at lookups in whole-stage codegen — no floats, no
-    reconstruction, no cross join against the corpus."""
-    assigned, centroids = build_ivf_index(
-        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-        seed=seed,
+    reconstruction, no cross join against the corpus.
+
+    `cache_key` (hashable, e.g. (session, sf, tag)) memoizes the
+    coarse index and the sub-codebooks via cached_fit — the
+    train-once/search-many contract; both fits are deterministic."""
+    assigned, centroids = cached_fit(
+        None if cache_key is None else (cache_key, "ivf", n_centroids),
+        lambda: build_ivf_index(
+            emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        ),
     )
-    cents = pq_train(emb, vec_col=vec_col, m=m, k=kc, id_col=id_col)
-    codes = pq_codes(assigned, cents, id_col, vec_col).join(
-        assigned.select(id_col, "cell"), id_col
+    cents = cached_fit(
+        None if cache_key is None else (cache_key, "pq", m, kc),
+        lambda: pq_train(emb, vec_col=vec_col, m=m, k=kc, id_col=id_col),
+    )
+
+    def _encode():
+        # encode-once: the (code, cell) table IS the index at rest —
+        # re-encoding the float corpus per query batch defeats the
+        # 4-byte store
+        from pyspark import StorageLevel
+
+        c = pq_codes(assigned, cents, id_col, vec_col).join(
+            assigned.select(id_col, "cell"), id_col
+        )
+        if cache_key is not None:
+            c = c.persist(StorageLevel.MEMORY_AND_DISK)
+            _PERSISTED.append(c)
+        return c
+
+    codes = cached_fit(
+        None if cache_key is None else (cache_key, "pqcodes", m, kc),
+        _encode,
     )
 
     # ---- route: n_probe nearest cells per query (ivf_search contract)
@@ -1357,6 +1403,7 @@ def ivfpq_residual_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    cache_key=None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL quantization and inner-product ADC — the
     FAISS default composition (by_residual=True): sub-codebooks are
@@ -1371,12 +1418,20 @@ def ivfpq_residual_topk(
     its codes — same one-equi-join plan shape as ivfpq_topk, still no
     floats at search. Ranking metric is inner product (the metric this
     decomposition is exact for; cosine would need per-(cell, code)
-    cross-norm tables)."""
+    cross-norm tables).
+
+    `cache_key` memoizes the coarse index AND the residual
+    codebooks + encoded (code, cell) table (same train-once/
+    encode-once contract as ivfpq_topk); all fits are deterministic
+    functions of the cached assignment."""
     from pyspark import StorageLevel
 
-    assigned, centroids = build_ivf_index(
-        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-        seed=seed,
+    assigned, centroids = cached_fit(
+        None if cache_key is None else (cache_key, "ivf", n_centroids),
+        lambda: build_ivf_index(
+            emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        ),
     )
     crows = centroids.orderBy("cell").collect()
     cmat = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
@@ -1389,14 +1444,27 @@ def ivfpq_residual_topk(
         out = arr - cmat[cell.to_numpy()]
         return pd.Series(list(out))
 
-    resid = assigned.select(
-        F.col(id_col), F.col("cell"),
-        _residual(F.col(vec_col), F.col("cell")).alias("resid"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(resid)
-    cents = pq_train(resid, vec_col="resid", m=m, k=kc, id_col=id_col)
-    codes = pq_codes(resid, cents, id_col, "resid").join(
-        resid.select(id_col, "cell"), id_col
+    def _fit_residual_index():
+        # residualize + train + encode once: all three are downstream
+        # of the cached assignment and deterministic, and the (code,
+        # cell) table is the index at rest
+        resid = assigned.select(
+            F.col(id_col), F.col("cell"),
+            _residual(F.col(vec_col), F.col("cell")).alias("resid"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(resid)
+        cents_ = pq_train(resid, vec_col="resid", m=m, k=kc, id_col=id_col)
+        codes_ = pq_codes(resid, cents_, id_col, "resid").join(
+            resid.select(id_col, "cell"), id_col
+        )
+        if cache_key is not None:
+            codes_ = codes_.persist(StorageLevel.MEMORY_AND_DISK)
+            _PERSISTED.append(codes_)
+        return cents_, codes_
+
+    cents, codes = cached_fit(
+        None if cache_key is None else (cache_key, "respq", m, kc),
+        _fit_residual_index,
     )
 
     mq, nk, dsub = cents.shape

@@ -2824,13 +2824,31 @@ def embed_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = emb.unionByName(plants)
-    cents = SIM.pq_train(corpus, m=8, k=16)
+
+    def _fit_pq_index():
+        # train-once AND encode-once: the codes table IS the index at
+        # rest (4 bytes/subspace); re-encoding the float corpus per
+        # query batch was the measured 50 s/call at the 192k-vector
+        # sweep point — search itself is the broadcast-ADC join
+        from pyspark import StorageLevel
+
+        cents = SIM.pq_train(corpus, m=8, k=16)
+        codes = SIM.pq_codes(corpus, cents, "vec_id", "embedding").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        SIM._PERSISTED.append(codes)
+        return cents, codes
+
+    cents, codes = SIM.cached_fit(
+        (SRC.session_key(spark), sf_dir, "pq_planted", 8, 16),
+        _fit_pq_index,
+    )
     qdf = emb.filter(
         (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 2000)
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    topk = SIM.pq_topk(corpus, qdf, cents, k=3)
+    topk = SIM.pq_topk(corpus, qdf, cents, k=3, codes=codes)
     return (
         topk.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
         .select("query_id", "vec_id")
@@ -2903,7 +2921,10 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    assigned, centroids = SIM.build_ivf_index(emb, n_centroids=16)
+    assigned, centroids = SIM.cached_fit(
+        (SRC.session_key(spark), sf_dir, "ivf_emb", 16),
+        lambda: SIM.build_ivf_index(emb, n_centroids=16),
+    )
     return SIM.ivf_search(assigned, centroids, queries_df, k=5, n_probe=4).select(
         "query_id", "vec_id", "cos", "rank"
     )
@@ -2940,7 +2961,10 @@ def embed_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.unionByName(plants)
-    assigned, centroids = SIM.build_ivf_index(corpus, n_centroids=16)
+    assigned, centroids = SIM.cached_fit(
+        (SRC.session_key(spark), sf_dir, "ivf_planted", 16),
+        lambda: SIM.build_ivf_index(corpus, n_centroids=16),
+    )
     qdf = emb.filter(
         (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 2000)
     ).select(
@@ -2969,7 +2993,10 @@ def embed_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    assigned, centroids = SIM.build_ivf_index(emb, n_centroids=16)
+    assigned, centroids = SIM.cached_fit(
+        (SRC.session_key(spark), sf_dir, "ivf_emb", 16),
+        lambda: SIM.build_ivf_index(emb, n_centroids=16),
+    )
     return SIM.ivf_search(
         assigned, centroids, queries_df, k=5, n_probe=16
     ).select("query_id", "vec_id", "cos", "rank")
@@ -3194,7 +3221,11 @@ def embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.sq8_topk(emb, queries_df, k=5).select(
+    codebook = SIM.cached_fit(
+        (SRC.session_key(spark), sf_dir, "sq8"),
+        lambda: SIM.sq8_train(emb),
+    )
+    return SIM.sq8_topk(emb, queries_df, k=5, codebook=codebook).select(
         "query_id", "vec_id", "qcos", "rank"
     )
 
@@ -7183,8 +7214,10 @@ def embed_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    topk = SIM.ivfpq_topk(corpus, qdf, k=3, n_centroids=16, n_probe=2,
-                          m=8, kc=16)
+    topk = SIM.ivfpq_topk(
+        corpus, qdf, k=3, n_centroids=16, n_probe=2, m=8, kc=16,
+        cache_key=(SRC.session_key(spark), sf_dir, "ivfpq_planted"),
+    )
     return (
         topk.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
         .select("query_id", "vec_id")
@@ -7885,7 +7918,8 @@ def embed_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     topk = SIM.ivfpq_residual_topk(
-        corpus, qdf, k=3, n_centroids=16, n_probe=2, m=8, kc=16
+        corpus, qdf, k=3, n_centroids=16, n_probe=2, m=8, kc=16,
+        cache_key=(SRC.session_key(spark), sf_dir, "ivfpq_res_planted"),
     )
     return (
         topk.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
