@@ -461,7 +461,9 @@ def benford_audit(
     p_exp is Benford's log10(1 + 1/d) and chi2_term is the
     (n_obs - n·p)²/(n·p) contribution, both micro-quantized so the
     audit hashes stably. Digits with zero observations still emit a
-    row (their chi2 term is n·p — absence is evidence too).
+    row (their chi2 term is n·p — absence is evidence too); an input
+    with NO positive amounts at all emits all-zero statistics rather
+    than NULLs (no evidence ≠ missing audit).
 
     Determinism: the leading digit comes from the DECIMAL STRING of
     the integer cents value (substring of cast-to-string), never from
@@ -504,16 +506,26 @@ def benford_audit(
     p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     exp_n = F.col("n_total") * p_exp
     chi2 = (F.col("n_obs") - exp_n) ** 2 / exp_n
+    # an empty (or all-nonpositive) input is "no evidence", not a
+    # missing audit: emit defined zeros instead of the NULLs the /0
+    # would produce, so artifact schemas can stay NOT NULL
+    has_n = F.col("n_total") > 0
     return (
         joined.crossJoin(F.broadcast(tot))
         .select(
             F.col("digit").cast("bigint").alias("digit"),
             "n_obs",
-            F.round(F.col("n_obs") / F.col("n_total") * 1e6)
+            F.when(
+                has_n, F.round(F.col("n_obs") / F.col("n_total") * 1e6)
+            )
+            .otherwise(F.lit(0))
             .cast("bigint")
             .alias("p_obs_micro"),
             F.round(p_exp * 1e6).cast("bigint").alias("p_exp_micro"),
-            F.round(chi2 * 1e6).cast("bigint").alias("chi2_term_micro"),
+            F.when(has_n, F.round(chi2 * 1e6))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("chi2_term_micro"),
         )
         .orderBy("digit")
     )

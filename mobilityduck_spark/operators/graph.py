@@ -164,12 +164,18 @@ def label_propagation(
     # symmetric union: sym references `edges` twice, so persisting only
     # sym still evaluated the (often expensive — gram-join / LSH) edge
     # pipeline twice on first touch, the measured 15.1 s-cold vs 3.8 s-
-    # warm spike in the close-out bench. localCheckpoint also truncates
-    # lineage for the rounds (same rationale as kcore/components); on a
-    # real cluster this becomes reliableCheckpoint/write-to-store.
+    # warm spike in the close-out bench. persist + count (not
+    # localCheckpoint): the fixed-rounds loop here grows the plan only
+    # linearly so truncation isn't needed, and a persisted DataFrame is
+    # actually RECLAIMED by release_caches().unpersist — checkpoint
+    # blocks aren't registered with the cache manager and would leak
+    # until GC.
+    from pyspark import StorageLevel
+
     base = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("t"), F.col(weight).alias("w")
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()  # eager: one evaluation, charged here
     _PERSISTED.append(base)
     sym = base.unionAll(
         base.select(

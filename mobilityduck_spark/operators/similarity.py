@@ -1201,14 +1201,14 @@ def ivfpq_topk(
     coarse index and the sub-codebooks via cached_fit — the
     train-once/search-many contract; both fits are deterministic."""
     assigned, centroids = cached_fit(
-        None if cache_key is None else (cache_key, "ivf", n_centroids),
+        None if cache_key is None else (cache_key, "ivf", n_centroids, seed),
         lambda: build_ivf_index(
             emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
             seed=seed,
         ),
     )
     cents = cached_fit(
-        None if cache_key is None else (cache_key, "pq", m, kc),
+        None if cache_key is None else (cache_key, "pq", m, kc, seed),
         lambda: pq_train(emb, vec_col=vec_col, m=m, k=kc, id_col=id_col),
     )
 
@@ -1227,7 +1227,11 @@ def ivfpq_topk(
         return c
 
     codes = cached_fit(
-        None if cache_key is None else (cache_key, "pqcodes", m, kc),
+        # the codes are a function of the ASSIGNMENT too: key them by the
+        # full coarse-index identity, or a second call with different
+        # n_centroids/seed would reuse codes bound to stale cells
+        None if cache_key is None
+        else (cache_key, "pqcodes", m, kc, n_centroids, seed),
         _encode,
     )
 
@@ -1427,7 +1431,7 @@ def ivfpq_residual_topk(
     from pyspark import StorageLevel
 
     assigned, centroids = cached_fit(
-        None if cache_key is None else (cache_key, "ivf", n_centroids),
+        None if cache_key is None else (cache_key, "ivf", n_centroids, seed),
         lambda: build_ivf_index(
             emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
             seed=seed,
@@ -1463,7 +1467,8 @@ def ivfpq_residual_topk(
         return cents_, codes_
 
     cents, codes = cached_fit(
-        None if cache_key is None else (cache_key, "respq", m, kc),
+        None if cache_key is None
+        else (cache_key, "respq", m, kc, n_centroids, seed),
         _fit_residual_index,
     )
 

@@ -63,8 +63,8 @@ _DRIVER_PRIORITY = [
     "graph_lpa_communities",   # eager edge checkpoint before rounds
     "orders_salted_join",      # how-validation (result unchanged)
     "events_woe_iv",           # docstring contract fix only
-    "bm_q5",                   # memoized probe-plan count
-    "bm_q10",                  # memoized probe-plan count
+    "bm_q6",                   # memoized probe-plan count (trucks)
+    "bm_q10",                  # memoized probe-plan count (licences1)
     # ---- the 8 r7 queries that have never had a driver row (r7's
     # driver never ran; the r8 window filled with r8 additions) — the
     # round-8 verdict directs these to head the list until each has a

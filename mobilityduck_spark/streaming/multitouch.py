@@ -8,7 +8,10 @@ assumption), any touch older than `now - horizon` can never be
 in-horizon for a later conversion, so it is evicted on every event.
 State is therefore bounded by touches-per-horizon-window per user —
 exactly the candidate volume the batch operator's horizon-banded join
-reads, made resident.
+reads, made resident — and the per-user state ROW itself expires via
+event-time timeout once the watermark passes last-event + horizon, so
+idle/churned users do not hold a state-store row forever (the buffer
+they held was provably stale for any admissible future conversion).
 
 Each conversion is scored AT ARRIVAL against the buffer: one emitted
 row per (model, credited touch) plus the 'direct' rows for touchless
@@ -48,6 +51,14 @@ def _make_update(conversion_type: str, horizon_us: int):
     def _update(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the watermark passed this user's last touch + horizon:
+            # every buffered touch is stale for ANY future conversion
+            # (late rows older than the watermark never reach us), so
+            # dropping the state row changes no answer — it only stops
+            # idle users from holding a state-store row forever
+            state.remove()
+            return
         if state.exists:
             tts, chs, tids = (list(a) for a in state.get)
         else:
@@ -67,7 +78,10 @@ def _make_update(conversion_type: str, horizon_us: int):
                     for tt, ch, tid in buf
                     if tt < t_us and tt >= t_us - horizon_us
                 ]
-                rev = int(v_micro)
+                # NULL value arrives as NaN through Arrow; the batch
+                # twin's SUM skips NULL contributions, which a zero
+                # credit reproduces (and int(NaN) would kill the query)
+                rev = 0 if pd.isna(v_micro) else int(v_micro)
                 if hits:
                     n = len(hits)
                     cc = _half_up(1e6 / n)
@@ -96,6 +110,17 @@ def _make_update(conversion_type: str, horizon_us: int):
                 [e[1] for e in buf],
                 [e[2] for e in buf],
             )
+        )
+        # expire this user's state once the watermark proves no future
+        # conversion can use anything we hold: last event + horizon.
+        # Clamp above the current watermark — Spark rejects timeout
+        # timestamps at or below it (reachable when this batch's rows
+        # are late-but-admitted)
+        last_ms = (max(e[0] for e in buf) // 1000 if buf
+                   else int(pdf["t_us"].max()) // 1000)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(last_ms + horizon_us // 1000, wm_ms + 1)
         )
         if out:
             yield pd.DataFrame(
@@ -135,5 +160,5 @@ def multi_touch_stream(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -185,22 +185,33 @@ _PROJECTIONS = {
 _GEOGRAPHIC_SRIDS = {4326, 4258, 4269}
 
 
+# UTM code ranges per EPSG band. Only the listed sub-ranges are UTM:
+# the rest of the 269xx band is NAD83 State Plane (different FE/k0/
+# central meridians — projecting those as UTM would be thousands of
+# km off), and 258xx outside 25828-25838 is unassigned. Raise-rather-
+# than-approximate, so the ranges are exact.
+_UTM_BANDS = {
+    326: (1, 60, 0.0),           # WGS 84 / UTM N
+    327: (1, 60, 10000000.0),    # WGS 84 / UTM S
+    258: (28, 38, 0.0),          # ETRS89 / UTM 28N-38N
+    269: (1, 23, 0.0),           # NAD83 / UTM 1N-23N (269xx beyond
+                                 # 26923 is State Plane, NOT UTM)
+}
+
+
 def _utm_fwd(src_srid: int, dst_srid: int):
-    """Dynamic lookup for UTM targets: EPSG 326zz/327zz (WGS84 N/S),
-    258zz (ETRS89 N), 269zz (NAD83 N) — central meridian zone*6-183,
-    k0=0.9996, FE 500 km, FN 10 000 km south. Returns None if the pair
-    is not a supported geographic→UTM transform."""
+    """Dynamic lookup for UTM targets — central meridian zone*6-183,
+    k0=0.9996, FE 500 km, FN 10 000 km south. Returns None unless the
+    pair is a supported geographic→UTM transform with the code inside
+    its band's genuine UTM sub-range (_UTM_BANDS)."""
     if src_srid not in _GEOGRAPHIC_SRIDS:
         return None
     band = dst_srid // 100
     zone = dst_srid % 100
-    if not 1 <= zone <= 60:
+    rng = _UTM_BANDS.get(band)
+    if rng is None or not rng[0] <= zone <= rng[1]:
         return None
-    if band in (326, 258, 269):
-        return _transverse_mercator(zone * 6 - 183)
-    if band == 327:
-        return _transverse_mercator(zone * 6 - 183, y0=10000000.0)
-    return None
+    return _transverse_mercator(zone * 6 - 183, y0=rng[2])
 
 
 def project_wkt(s: str, src_srid: int, dst_srid: int) -> str:
@@ -213,7 +224,10 @@ def project_wkt(s: str, src_srid: int, dst_srid: int) -> str:
     (src/geo/geoset.cpp:95-115); this engine implements the published
     projection formulas for the families the workload uses and raises
     for anything else rather than approximating."""
-    fwd = _PROJECTIONS.get((src_srid, dst_srid)) or _utm_fwd(
+    # geographic sources are datum-coincident at this precision
+    # (_GEOGRAPHIC_SRIDS), so 4258/4269 use the 4326 closed forms
+    lookup_src = 4326 if src_srid in _GEOGRAPHIC_SRIDS else src_srid
+    fwd = _PROJECTIONS.get((lookup_src, dst_srid)) or _utm_fwd(
         src_srid, dst_srid
     )
     if fwd is None:

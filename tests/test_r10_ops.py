@@ -172,3 +172,15 @@ def test_corpus_manifest_order_invariance_and_swap_detection(spark):
             k = (r.split, r.stratum)
             merged[k] = merged.get(k, 0) ^ r.content_hash
     assert all(merged[k] == base[k][3] for k in merged)
+
+
+def test_benford_audit_no_positive_amounts_emits_zeros(spark):
+    """No positive amounts = no evidence, not a missing audit: all 9
+    digit rows emit with defined zero statistics, never NULLs."""
+    df = spark.createDataFrame([(0,), (-5,)], "cents long")
+    rows = GV.benford_audit(df, "cents").collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r.n_obs == 0
+        assert r.p_obs_micro == 0 and r.chi2_term_micro == 0
+        assert r.p_exp_micro > 0  # the expected law is data-free

@@ -109,3 +109,39 @@ def test_multi_touch_stream_state_bounded_by_horizon(spark, tmp_path):
         (5, "first", "direct", 1_000_000),
         (5, "linear", "direct", 1_000_000),
     ]
+
+
+def test_multi_touch_stream_tolerates_null_value(spark, tmp_path):
+    """A conversion with NULL value must not kill the query: it emits
+    zero revenue credit (the batch twin's SUM skips the NULL
+    contribution, which zero reproduces) and full conversion credit."""
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10), 1, "view", 0.0),
+        (1, dt.datetime(2024, 3, 1, 11), 2, "purchase", None),
+    ]
+    schema = (
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double"
+    )
+    src_dir = str(tmp_path / "mt3_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows, schema).schema
+    ).parquet(src_dir)
+    q = (
+        multi_touch_stream(stream, horizon="7 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mt3_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["model"], r["channel"], r["cc"], r["rc"])
+        for r in spark.table("mt3_out").collect()
+    )
+    assert got == [
+        ("first", "view", 1_000_000, 0),
+        ("linear", "view", 1_000_000, 0),
+    ]

@@ -127,3 +127,30 @@ def test_unsupported_pair_still_raises():
         W.project_wkt("POINT(0 0)", 3857, 32631)  # projected source
     with pytest.raises(ValueError, match="unsupported transform"):
         W.project_wkt("POINT(0 0)", 4326, 32661)  # zone 61 doesn't exist
+
+
+def test_non_utm_codes_in_utm_bands_raise():
+    """Codes that share an EPSG band prefix with UTM but are NOT UTM
+    must raise, never silently misproject: 269xx beyond 26923 is NAD83
+    State Plane (different FE/k0/meridians), 258xx outside 25828-25838
+    is unassigned."""
+    for dst in (26930, 26924, 26960,   # NAD83 State Plane, not UTM
+                25820, 25827, 25839):  # outside the ETRS89 UTM range
+        with pytest.raises(ValueError, match="unsupported transform"):
+            W.project_wkt("POINT(-86.5 32.5)", 4269, dst)
+    # the genuine range edges still work
+    W.project_wkt("POINT(-175 60)", 4269, 26901)
+    W.project_wkt("POINT(-55 48)", 4269, 26923)
+    W.project_wkt("POINT(-14 30)", 4258, 25828)
+    W.project_wkt("POINT(45 40)", 4258, 25838)
+
+
+def test_geographic_sources_for_closed_form_targets():
+    """The documented datum-coincidence contract: 4258/4269 sources
+    work for the closed-form 3857/3812 targets, equal to 4326."""
+    assert W.project_wkt("POINT(4.35 50.85)", 4258, 3857) == W.project_wkt(
+        "POINT(4.35 50.85)", 4326, 3857
+    )
+    assert W.project_wkt("POINT(4.35 50.85)", 4269, 3812) == W.project_wkt(
+        "POINT(4.35 50.85)", 4326, 3812
+    )
