@@ -59,7 +59,7 @@ def release_caches() -> int:
     return n
 
 
-_COUNT_CACHE: dict[tuple[int, str, str], int] = {}
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
 
 
 def _cached_count(tag: str, df: DataFrame, spark: SparkSession,

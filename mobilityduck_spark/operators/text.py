@@ -235,8 +235,9 @@ def corpus_manifest(
     exact doc/token/char counts and an ORDER-FREE content checksum —
     the dataset-versioning primitive a training pipeline records
     before/after every curation step so "same data" is a checkable
-    claim, not an assumption. The checksum is bit_xor over a 63-bit
-    md5 of id:content, so it is invariant to row order and
+    claim, not an assumption. The checksum is bit_xor over a 60-bit
+    md5 prefix (15 hex chars, identically on the Spark side and in
+    the DuckDB oracle) of id:content, so it is invariant to row order and
     partitioning, binds ids to their text (a swap of two docs' texts
     changes it), and merges across shards by xor — the mergeability
     that lets 100 TB manifests roll up from per-file manifests

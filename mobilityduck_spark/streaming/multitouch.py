@@ -42,9 +42,16 @@ STATE_SCHEMA = "tts array<long>, chs array<string>, tids array<long>"
 
 
 def _half_up(x: float) -> int:
-    """Round half away from zero on the double's exact binary value —
-    bit-for-bit the semantics of Spark's F.round / DuckDB ROUND."""
-    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    """Round half away from zero on the double's SHORTEST decimal
+    representation — bit-for-bit the semantics of Spark's F.round
+    (Round(double) goes through BigDecimal.valueOf, i.e.
+    Double.toString's shortest round-tripping repr, which Python's
+    repr(float) also produces). Decimal(repr(x)) rather than
+    Decimal(x): the exact-binary-expansion form can diverge from
+    Spark at .5 boundaries for magnitudes >= 2^52 (ADVICE r10)."""
+    return int(
+        Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
 
 
 def _make_update(conversion_type: str, horizon_us: int):

@@ -54,10 +54,24 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
     if args and args[0].startswith("/"):
         sf_dir, args = args[0], args[1:]
+    # --json <path> is recognized ANYWHERE in argv (ADVICE r10: it was
+    # first-position-only, so `driver_check.py name --json out` treated
+    # --json as a query name and died with a KeyError)
     json_out = None
-    if args and args[0] == "--json":
-        json_out, args = args[1], args[2:]
+    if "--json" in args:
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: driver_check.py [sf_dir] [--json OUT] [names...]")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     names = args or sorted(entry_mod.queries().keys())
+    registry = entry_mod.queries()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        sys.exit(
+            f"unknown query name(s): {', '.join(unknown)}\n"
+            "usage: driver_check.py [sf_dir] [--json OUT] [names...]"
+        )
 
     spark = get_spark()
     con = duckdb.connect()
