@@ -166,6 +166,20 @@ def minhash_signature(text, num_hashes: int = 32, shingle_k: int = 5) -> Column:
     )
 
 
+def minhash_lane_constants() -> tuple[np.ndarray, np.ndarray]:
+    """The (a_i, b_i) universal-hash lane constants shared by the numpy
+    signature kernel AND the generated DuckDB oracle SQL (the oracle
+    embeds them as HUGEINT literals, so both engines compute the exact
+    same wrapping-uint64 lanes). Deterministic: rng(42), 64 lanes."""
+    rng = np.random.default_rng(42)
+    A = (
+        rng.integers(1, 2**63 - 1, size=64, dtype=np.uint64) * np.uint64(2)
+        + np.uint64(1)
+    )
+    B = rng.integers(0, 2**63 - 1, size=64, dtype=np.uint64)
+    return A, B
+
+
 def minhash_signature_numpy_udf():
     """Pandas UDF: shingle-hash array → minhash signature via a numpy
     universal-hash family (lane_i(h) = a_i·h + b_i over uint64, wrapping
@@ -173,9 +187,7 @@ def minhash_signature_numpy_udf():
     min runs as one (shingles × lanes) vectorized matrix op per doc."""
     from pyspark.sql import types as T_
 
-    rng = np.random.default_rng(42)
-    A = rng.integers(1, 2**63 - 1, size=64, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    B = rng.integers(0, 2**63 - 1, size=64, dtype=np.uint64)
+    A, B = minhash_lane_constants()
 
     @F.pandas_udf(T_.ArrayType(T_.LongType()))
     def sig(shingles: pd.Series, num_hashes: pd.Series) -> pd.Series:
@@ -1009,3 +1021,348 @@ def ssjoin_prefix(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         ).cast("bigint").alias("jac_micro"),
     )
+
+
+# ------------------------------------------------ engine-portable (md5) LSH
+# The xxhash64 pipelines above are the production paths (xxhash64 is the
+# cheapest JVM hash); these md5 twins exist so the SAME candidate
+# generation is hash-verifiable against a DuckDB oracle — every hash is
+# a 60-bit md5 prefix both engines compute identically
+# (conv(substr(md5(s),1,15),16,10) here == CAST('0x'||substr(md5(s),1,15)
+# AS BIGINT) there), and every score is integer-valued. Same plan shapes
+# as the production twins: banded equi-joins, bucket caps, no UDF hashing.
+
+
+def md5_hash60(s) -> Column:
+    """Signed 60-bit hash from the md5 hex prefix — identical in any
+    engine with md5 (the split_bucket portability contract, text.py)."""
+    return F.conv(F.substring(F.md5(_c(s)), 1, 15), 16, 10).cast("long")
+
+
+def md5_shingles_from_tokens(toks, k: int = 3) -> Column:
+    """k-word shingle hashes (60-bit md5) from a MATERIALIZED token
+    array — the engine-portable twin of rolling_hash_shingles_from_tokens
+    (same projection-barrier rule)."""
+    tc = _c(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tc) - k + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: md5_hash60(F.array_join(F.slice(tc, i, k), " "))
+    )
+
+
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_matches: int = 13,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with md5 shingle/band hashes and an
+    INTEGER match-count gate (min_matches equal signature lanes of
+    num_hashes ≈ est-Jaccard ≥ min_matches/num_hashes) — candidate
+    generation identical in shape to minhash_lsh_pairs (band equi-join,
+    one shuffle), every emitted value integer. NULL-text docs are
+    excluded (their signature would be the degenerate all-min row).
+    Output: (id_a, id_b, n_matches)."""
+    rows = num_hashes // bands
+    base = (
+        _spread(docs.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(id_col).alias("id"),
+            TX.tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "id",
+            md5_shingles_from_tokens(F.col("_toks"), k=shingle_k).alias("sh"),
+        )
+    )
+    sig_udf = minhash_signature_numpy_udf()
+    sig = base.select(
+        "id", sig_udf(F.col("sh"), F.lit(num_hashes)).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_hash60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        F.col("sig"), b * rows + r + 1
+                                    ).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "sig",
+        F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"),
+    )
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(banded)
+    other = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("bhash").alias("bhash_b"),
+    )
+    cand = banded.join(
+        other,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bhash") == F.col("bhash_b"))
+        & (F.col("id") < F.col("id_b")),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.groupBy("id", "id_b")
+        .agg(F.first("sig").alias("sig"), F.first("sig_b").alias("sig_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            matches.cast("int").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
+def minhash_md5_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_matches: int = 13,
+) -> str:
+    """DuckDB oracle for minhash_lsh_pairs_md5: the SAME md5 shingles,
+    the SAME rng(42) affine lanes (embedded as HUGEINT literals,
+    wrapping mod 2^64 exactly like the numpy uint64 kernel), the SAME
+    md5 band hash and integer match gate."""
+    A, B = minhash_lane_constants()
+    rows = num_hashes // bands
+    ab = ",\n      ".join(
+        f"({k}, {int(A[k])}::HUGEINT, {int(B[k])}::HUGEINT)"
+        for k in range(num_hashes)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - {shingle_k} + 1, 1))) AS i
+      FROM d
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(
+                    t[i:i+{shingle_k - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM pos
+    ),
+    ab(k, a, b) AS (VALUES
+      {ab}
+    ),
+    mins AS (
+      SELECT doc_id, ab.k,
+             min((CAST(h AS HUGEINT) * ab.a + ab.b)
+                 % 18446744073709551616::HUGEINT) AS mu
+      FROM sh CROSS JOIN ab GROUP BY doc_id, ab.k
+    ),
+    sig AS (
+      SELECT doc_id, k,
+             CAST(CASE WHEN mu >= 9223372036854775808::HUGEINT
+                       THEN mu - 18446744073709551616::HUGEINT
+                       ELSE mu END AS BIGINT) AS v
+      FROM mins
+    ),
+    bh AS (
+      SELECT doc_id, CAST(k // {rows} AS INT) AS band,
+             CAST(('0x' || substr(md5(string_agg(CAST(v AS VARCHAR), ','
+                    ORDER BY k)), 1, 15)) AS BIGINT) AS bhash
+      FROM sig GROUP BY doc_id, k // {rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bh a JOIN bh b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS n_matches
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, CAST(n_matches AS INT) AS n_matches
+    FROM m WHERE n_matches >= {min_matches}
+    ORDER BY id_a, id_b
+    """
+
+
+def simhash_md5_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 10,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs over a 120-bit md5 fingerprint (two 60-bit
+    words from independently salted md5 token hashes) — the
+    engine-portable twin of simhash128_pairs: same vote kernel
+    (_fp128_udf; the four dead top bits of each 60-bit word vote 0),
+    same bucket-cap guard, candidates share one of six 20-bit chunks
+    (~1M buckets/chunk — the same at-scale bucket-density shape).
+    Output: (id_a, id_b, hamming)."""
+    toks = TX.tokens(F.col(text_col))
+    h0 = F.transform(toks, lambda w: md5_hash60(w))
+    h1 = F.transform(toks, lambda w: md5_hash60(F.concat(F.lit("1:"), w)))
+    fp = _fp128_udf(id_col)
+    sh = (
+        _spread(docs.filter(F.col(text_col).isNotNull()))
+        .select(F.col(id_col).alias("id"), fp(h0, h1).alias("fp"))
+        .select(
+            "id", F.col("fp")[0].alias("w0"), F.col("fp")[1].alias("w1")
+        )
+    )
+    mask = (1 << 20) - 1
+    chunked = sh.select(
+        "id",
+        "w0",
+        "w1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(
+                            F.col("w0") if c < 3 else F.col("w1"),
+                            (c % 3) * 20,
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(6)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "w0", "w1", "cc.chunk", "cc.ckey")
+    if max_bucket_size is not None:
+        ok = (
+            chunked.groupBy("chunk", "ckey")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        chunked = chunked.join(ok, ["chunk", "ckey"])
+    other = chunked.select(
+        F.col("id").alias("id_b"), F.col("w0").alias("w0_b"),
+        F.col("w1").alias("w1_b"),
+        F.col("chunk").alias("chunk_b"), F.col("ckey").alias("ckey_b"),
+    )
+    cand = chunked.join(
+        other,
+        (F.col("chunk") == F.col("chunk_b"))
+        & (F.col("ckey") == F.col("ckey_b"))
+        & (F.col("id") < F.col("id_b")),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("w0_b")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("w1_b")))
+    )
+    return (
+        cand.groupBy("id", "id_b")
+        .agg(
+            F.first("w0").alias("w0"), F.first("w1").alias("w1"),
+            F.first("w0_b").alias("w0_b"), F.first("w1_b").alias("w1_b"),
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_md5_oracle_sql(
+    max_hamming: int = 10, max_bucket_size: int | None = None
+) -> str:
+    """DuckDB oracle for simhash_md5_pairs: per-token 60-bit md5 hashes,
+    per-bit ±1 vote sums via a range(60) cross join (exactly the numpy
+    kernel's bits.sum*2 - len), sign → fingerprint words, same 20-bit
+    chunk buckets, cap, and integer hamming verify."""
+    cap = (
+        f"""
+    ok AS (
+      SELECT chunk, ckey FROM chunked GROUP BY chunk, ckey
+      HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    capped AS (SELECT c.* FROM chunked c JOIN ok USING (chunk, ckey)),"""
+        if max_bucket_size is not None
+        else """
+    capped AS (SELECT * FROM chunked),"""
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h0,
+             CAST(('0x' || substr(md5('1:' || w), 1, 15)) AS BIGINT) AS h1
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, r.b,
+             SUM(((h0 >> r.b) & 1) * 2 - 1) AS v0,
+             SUM(((h1 >> r.b) & 1) * 2 - 1) AS v1
+      FROM th CROSS JOIN range(60) r(b)
+      GROUP BY doc_id, r.b
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v0 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS w0,
+             SUM(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS w1
+      FROM votes GROUP BY doc_id
+    ),
+    chunked AS (
+      SELECT doc_id, w0, w1, r.c AS chunk,
+             ((CASE WHEN r.c < 3 THEN w0 ELSE w1 END)
+              >> ((r.c % 3) * 20)) & 1048575 AS ckey
+      FROM fp CROSS JOIN range(6) r(c)
+    ),{cap}
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.w0, fb.w0))
+                + bit_count(xor(fa.w1, fb.w1)) AS INT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.id_a
+    JOIN fp fb ON fb.doc_id = c.id_b
+    WHERE bit_count(xor(fa.w0, fb.w0)) + bit_count(xor(fa.w1, fb.w1))
+          <= {max_hamming}
+    ORDER BY id_a, id_b
+    """

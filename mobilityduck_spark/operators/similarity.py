@@ -1661,3 +1661,379 @@ def binary_topk(
     return scored.withColumn("rank", F.row_number().over(wk)).filter(
         F.col("rank") <= k
     )
+
+
+# --------------------------------------- engine-portable (integer) ANN twins
+# Deterministic, oracle-verifiable variants of the ANN paths: every
+# score derives from micro-quantized INTEGER vectors (round(x*1e6) as
+# long), so dot products and squared norms are exact integers < 2^53 in
+# both engines and cosine = dot/(sqrt(na)*sqrt(nb)) is the same
+# bit-identical double on Spark and DuckDB (each IEEE op correctly
+# rounded over identical operands, identical op order). The coarse
+# quantizer is hash-seeded data selection (smallest md5(vec_id) rows),
+# not k-means — a legitimate IVF coarse quantizer (FAISS random init)
+# whose fit a SQL oracle can reproduce verbatim. The k-means production
+# paths keep their own gates (embed_ivf_full_probe == exact top-k,
+# embed_ivf_probe_recall planted copies).
+
+_Q_SCALE = 1_000_000
+
+
+def quantize_vec(v) -> Column:
+    """Micro-quantized integer vector: round(x·1e6) per component (the
+    repo's standard cross-engine quantization, memory: ROUND(x*1eN)
+    CAST BIGINT on both sides)."""
+    return F.transform(
+        _c(v), lambda x: F.round(x.cast("double") * _Q_SCALE).cast("long")
+    )
+
+
+def int_dot(a, b) -> Column:
+    """Exact integer dot product of two quantized vectors (components
+    ≤ ~2^21, 64-dim → sums < 2^48: no overflow, exact in double too)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _int_cos(dot_col, na_col, nb_col) -> Column:
+    """cos = dot/(sqrt(na)·sqrt(nb)) with the EXACT op order the DuckDB
+    oracle uses — bit-identical doubles from identical integer inputs.
+    Zero-norm vectors score 0.0 (the `cosine` contract)."""
+    return F.when(
+        (na_col > 0) & (nb_col > 0),
+        dot_col.cast("double") / (F.sqrt(na_col) * F.sqrt(nb_col)),
+    ).otherwise(F.lit(0.0))
+
+
+def seeded_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed_salt: str = "-ivfseed",
+) -> DataFrame:
+    """IVF top-k with a hash-seeded coarse quantizer: centroids are the
+    n_centroids corpus vectors with smallest (md5(id||salt), id) —
+    distributed TakeOrdered, no iterative fit — vectors assign to their
+    max-cosine centroid, queries probe their n_probe nearest cells,
+    exact integer-cosine re-rank inside probed cells. Every step is
+    deterministic and SQL-expressible, so partial-probe results are
+    hash-verifiable (the k-means IVF's partial probe is model-dependent
+    and only planted-recall-checkable). Plan: one TakeOrdered(16), two
+    broadcast joins against the 16-row centroid table, one equi-join on
+    cell, one per-query top-k window — no shuffle grows with corpus²."""
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    ).select("vid", "qv", int_dot("qv", "qv").alias("nv"))
+    seeded = e.withColumn(
+        "_h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vid").cast("string"), F.lit(seed_salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    cents = seeded.orderBy("_h", "vid").limit(n_centroids)
+    cents = cents.select(
+        F.row_number()
+        .over(Window.orderBy("_h", "vid"))
+        .alias("crank"),
+        F.col("qv").alias("cqv"),
+        F.col("nv").alias("cnv"),
+    )
+    cents = F.broadcast(cents)
+
+    def _cell_rank(side: DataFrame, vid: str):
+        cos = _int_cos(int_dot("qv", "cqv"), F.col("nv"), F.col("cnv"))
+        w = Window.partitionBy(vid).orderBy(
+            cos.desc(), F.col("crank").asc()
+        )
+        return (
+            side.crossJoin(cents)
+            .withColumn("_rn", F.row_number().over(w))
+        )
+
+    assigned = (
+        _cell_rank(e, "vid")
+        .filter(F.col("_rn") == 1)
+        .select("vid", "qv", "nv", F.col("crank").alias("cell"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        quantize_vec(F.col(query_vec_col)).alias("qv"),
+    ).select("qid", "qv", int_dot("qv", "qv").alias("nv"))
+    probes = (
+        _cell_rank(q, "qid")
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "qid",
+            F.col("qv").alias("qqv"),
+            F.col("nv").alias("qnv"),
+            F.col("crank").alias("cell"),
+        )
+    )
+    cand = probes.join(assigned, "cell").filter(F.col("vid") != F.col("qid"))
+    cos = _int_cos(int_dot("qqv", "qv"), F.col("qnv"), F.col("nv"))
+    wk = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vid").asc())
+    return (
+        cand.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            F.round(F.col("_cos") * _Q_SCALE).cast("long").alias("cos_u6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def seeded_ivf_oracle_sql(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    query_pred: str = "vec_id < 5",
+    seed_salt: str = "-ivfseed",
+) -> str:
+    """DuckDB oracle for seeded_ivf_topk over the embeddings table: the
+    identical hash-seeded centroids, integer dots (exact through
+    list_inner_product on exact-integer doubles), same cosine op order,
+    same tie-breaks."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(list_transform(embedding,
+                  x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  AS DOUBLE[]) AS qvd
+      FROM embeddings
+    ),
+    e2 AS (
+      SELECT vec_id, qvd, list_inner_product(qvd, qvd) AS nv FROM e
+    ),
+    seeded AS (
+      SELECT *, CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                   || '{seed_salt}'), 1, 15)) AS BIGINT) AS h
+      FROM e2
+    ),
+    c AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) AS crank,
+             qvd AS cqv, nv AS cnv
+      FROM (SELECT * FROM seeded ORDER BY h, vec_id LIMIT {n_centroids})
+    ),
+    asg AS (
+      SELECT vec_id, qvd, nv, crank AS cell FROM (
+        SELECT e2.vec_id, e2.qvd, e2.nv, c.crank,
+               row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+                 CASE WHEN e2.nv > 0 AND c.cnv > 0
+                      THEN list_inner_product(e2.qvd, c.cqv)
+                           / (sqrt(e2.nv) * sqrt(c.cnv))
+                      ELSE 0.0 END DESC, c.crank) AS rn
+        FROM e2 CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, qqv, qnv, cell FROM (
+        SELECT q.vec_id AS qid, q.qvd AS qqv, q.nv AS qnv,
+               c.crank AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CASE WHEN q.nv > 0 AND c.cnv > 0
+                      THEN list_inner_product(q.qvd, c.cqv)
+                           / (sqrt(q.nv) * sqrt(c.cnv))
+                      ELSE 0.0 END DESC, c.crank) AS rn
+        FROM (SELECT * FROM e2 WHERE {query_pred}) q CROSS JOIN c
+      ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id,
+             CASE WHEN p.qnv > 0 AND a.nv > 0
+                  THEN list_inner_product(p.qqv, a.qvd)
+                       / (sqrt(p.qnv) * sqrt(a.nv))
+                  ELSE 0.0 END AS cos
+      FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT qid AS query_id, vec_id,
+           CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_u6,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def _rademacher_signs(n_planes: int = 16, dim: int = 64, seed: int = 7):
+    """±1 hyperplane sign matrix, rng(seed) — shared by the Spark plan
+    and the generated oracle SQL (embedded as literals)."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(n_planes, dim)) * 2 - 1).astype(int)
+
+
+def rademacher_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    bands: int = 2,
+    min_cos_u6: int = 900_000,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via Rademacher (±1) hyperplane LSH over
+    micro-quantized integer vectors + exact integer-cosine verify. Sign
+    projections are exact integer sums, so bucket keys — and therefore
+    the candidate set — are deterministic and engine-portable (the
+    gaussian-plane production twin embedding_near_dup_pairs keeps its
+    planted recall gate). Bands of n_planes/bands bits are separate
+    bucket tables unioned before verify (minhash band structure: recall
+    ↑ with bands, candidates stay hash-blocked). Output: (id_a, id_b,
+    cos_u6 ≥ min_cos_u6)."""
+    signs = _rademacher_signs(n_planes, dim, seed)
+    width = n_planes // bands
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    ).select("id", "qv", int_dot("qv", "qv").alias("nv"))
+
+    def _proj(p: int) -> Column:
+        lits = F.array(*[F.lit(int(s)).cast("long") for s in signs[p]])
+        return int_dot(F.col("qv"), lits)
+
+    band_keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(width):
+            p = b * width + j
+            bit = F.when(_proj(p) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            key = key.bitwiseOR(F.shiftleft(bit, j))
+        band_keys.append(key)
+    keyed = e.select(
+        "id",
+        "qv",
+        "nv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_keys[b].alias("bkey")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "qv", "nv", F.col("bb.band").alias("band"),
+             F.col("bb.bkey").alias("bkey"))
+    other = keyed.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
+        F.col("nv").alias("nv_b"),
+        F.col("band").alias("band_b"), F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        keyed.join(
+            other,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .groupBy("id", "id_b")
+        .agg(
+            F.first("qv").alias("qv"), F.first("nv").alias("nv"),
+            F.first("qv_b").alias("qv_b"), F.first("nv_b").alias("nv_b"),
+        )
+    )
+    cos = _int_cos(int_dot("qv", "qv_b"), F.col("nv"), F.col("nv_b"))
+    return (
+        cand.select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            F.round(cos * _Q_SCALE).cast("long").alias("cos_u6"),
+        )
+        .filter(F.col("cos_u6") >= min_cos_u6)
+    )
+
+
+def rademacher_near_dups_oracle_sql(
+    n_planes: int = 16,
+    dim: int = 64,
+    bands: int = 2,
+    min_cos_u6: int = 900_000,
+    seed: int = 7,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """DuckDB oracle for rademacher_near_dups: identical ±1 sign
+    literals, integer projections, band keys, pair join, and
+    integer-cosine verify. `source_sql` must yield (vec_id, embedding)
+    — callers that plant copies pass the planted union here."""
+    signs = _rademacher_signs(n_planes, dim, seed)
+    width = n_planes // bands
+
+    def _band_key(b: int) -> str:
+        bits = []
+        for j in range(width):
+            arr = (
+                "["
+                + ",".join(f"{int(s)}.0" for s in signs[b * width + j])
+                + "]"
+            )
+            bits.append(
+                f"(CASE WHEN list_inner_product(qvd, {arr}) > 0 "
+                f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    key_rows = ",\n        ".join(
+        f"({b}, {_band_key(b)})" for b in range(bands)
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    e AS (
+      SELECT vec_id AS id,
+             CAST(list_transform(embedding,
+                  x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  AS DOUBLE[]) AS qvd
+      FROM src
+    ),
+    e2 AS (SELECT id, qvd, list_inner_product(qvd, qvd) AS nv FROM e),
+    keyed AS (
+      SELECT id, qvd, nv, kb.band, kb.bkey
+      FROM e2, LATERAL (VALUES
+        {key_rows}
+      ) kb(band, bkey)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    ),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN ea.nv > 0 AND eb.nv > 0
+                  THEN list_inner_product(ea.qvd, eb.qvd)
+                       / (sqrt(ea.nv) * sqrt(eb.nv))
+                  ELSE 0.0 END AS cos
+      FROM cand c
+      JOIN e2 ea ON ea.id = c.id_a
+      JOIN e2 eb ON eb.id = c.id_b
+    )
+    SELECT id_a, id_b, CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_u6
+    FROM v WHERE CAST(ROUND(cos * 1000000) AS BIGINT) >= {min_cos_u6}
+    ORDER BY id_a, id_b
+    """

@@ -51,6 +51,13 @@ def register(name: str, oracle: str | None):
 # changed this round or have never had a driver row land inside the
 # window; everything else follows in registration order.
 _DRIVER_PRIORITY = [
+    # ---- round 11: the four ex-no_oracle queries re-registered with
+    # engine-portable twins + full hash oracles (VERDICT r10 item 1) —
+    # the driver window must re-prove each
+    "doc_minhash_pairs",       # md5 shingles/lanes/bands, int match gate
+    "doc_simhash_pairs",       # 120-bit md5 fp, 20-bit chunks, int hamming
+    "embed_ivf_topk",          # hash-seeded coarse quantizer, int cosines
+    "embed_near_dups",         # Rademacher planes + planted copies
     # ---- round 10: new queries + queries whose operator or oracle
     # changed this round (ADVICE fixes, the banded PIT re-plan, the
     # LPA edge checkpoint) — re-prove each under the driver
@@ -852,25 +859,51 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_minhash_pairs", None)  # xxhash64-based: rows-only check
+def _minhash_md5_oracle() -> str:
+    from .operators import dedup as DD
+
+    return DD.minhash_md5_oracle_sql(
+        num_hashes=32, bands=8, shingle_k=3, min_matches=13
+    )
+
+
+def _simhash_md5_oracle() -> str:
+    from .operators import dedup as DD
+
+    return DD.simhash_md5_oracle_sql(max_hamming=10, max_bucket_size=2000)
+
+
+@register("doc_minhash_pairs", _minhash_md5_oracle())
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (the at-scale dedup path)."""
+    """MinHash+LSH near-dup candidates (the at-scale dedup path),
+    engine-portable flavor: 60-bit md5 shingle/band hashes and an
+    integer match-count gate (13/32 lanes ≈ est-Jaccard ≥ 0.4), so the
+    full LSH pipeline — shingles, rng(42) affine lanes, band buckets,
+    candidate join, signature agreement — is hash-verified against the
+    DuckDB oracle (was rows-only when xxhash64-keyed; VERDICT r10
+    item 1). The xxhash64 production twin keeps its planted recall gate
+    (doc_minhash_recall)."""
     from .operators import dedup as DD
 
     docs = SRC.load(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=3,
-                                min_est_jaccard=0.4)
+    return DD.minhash_lsh_pairs_md5(
+        docs, num_hashes=32, bands=8, shingle_k=3, min_matches=13
+    )
 
 
-@register("doc_simhash_pairs", None)  # xxhash64-based: rows-only check
+@register("doc_simhash_pairs", _simhash_md5_oracle())
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 128-bit fingerprint, six ~21-bit chunk
-    buckets (≈2M buckets/chunk), bucket-size cap — the shape that holds
-    at 10⁹ docs."""
+    """SimHash near-dup pairs, engine-portable flavor: 120-bit
+    fingerprint from salted md5 token hashes, six 20-bit chunk buckets
+    (~1M buckets/chunk — the shape that holds at 10⁹ docs), bucket-size
+    cap, integer hamming verify — hash-verified against a DuckDB oracle
+    that recomputes the identical bit votes (was rows-only when
+    xxhash64-keyed; VERDICT r10 item 1). The xxhash64/128-bit production
+    twin keeps its planted recall gate (doc_simhash_recall)."""
     from .operators import dedup as DD
 
     docs = SRC.load(spark, sf_dir, "documents")
-    return DD.simhash128_pairs(docs, max_hamming=10, max_bucket_size=2000)
+    return DD.simhash_md5_pairs(docs, max_hamming=10, max_bucket_size=2000)
 
 
 @register(
@@ -1796,13 +1829,48 @@ def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embed_near_dups", None)  # LSH recall is approximate: rows-only
+def _embed_near_dups_oracle() -> str:
+    from .operators import similarity as SIM
+
+    return SIM.rademacher_near_dups_oracle_sql(
+        n_planes=16,
+        dim=64,
+        bands=2,
+        min_cos_u6=900_000,
+        seed=7,
+        source_sql=(
+            "SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 1000000, embedding FROM embeddings "
+            "WHERE vec_id % 4 = 0"
+        ),
+    )
+
+
+@register("embed_near_dups", _embed_near_dups_oracle())
 def embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact
+    verify, engine-portable flavor: Rademacher (±1) planes over
+    micro-quantized integer vectors make sign projections exact
+    integers and the verify cosine a bit-identical double in both
+    engines, so the full LSH pipeline output is hash-verified (was
+    rows-only with gaussian planes; VERDICT r10 item 1). The corpus
+    carries the standard planted copies (every 4th vector duplicated at
+    vec_id+1e6) because the synthetic table has no natural pair above
+    cos 0.52 — without them the check would be a degenerate 0-row
+    agreement; with them every planted pair MUST survive bucketing +
+    verify and every emitted value is hash-compared. The gaussian-plane
+    production twin keeps its planted recall gate
+    (embed_near_dup_recall)."""
     from .operators import similarity as SIM
 
     emb = SRC.load(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(emb, min_cos=0.9)
+    copies = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return SIM.rademacher_near_dups(
+        emb.unionByName(copies),
+        n_planes=16, dim=64, bands=2, min_cos_u6=900_000, seed=7,
+    )
 
 
 @register(
@@ -2910,23 +2978,33 @@ from . import tpch  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 
 
-@register("embed_ivf_topk", None)  # KMeans centroids are model-dependent
+def _embed_ivf_topk_oracle() -> str:
+    from .operators import similarity as SIM
+
+    return SIM.seeded_ivf_oracle_sql(
+        n_centroids=16, n_probe=4, k=5, query_pred="vec_id < 5"
+    )
+
+
+@register("embed_ivf_topk", _embed_ivf_topk_oracle())
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means cells + n_probe search) — the ANN
-    index path for 100 TB embedding tables. Index built once (persisted
-    assignments + centroid table, no literal centroids in the plan)."""
+    """IVF approximate top-k at PARTIAL probe (n_probe=4 of 16 cells) —
+    the ANN index path for 100 TB embedding tables — with a hash-seeded
+    coarse quantizer (smallest-md5 corpus vectors, FAISS random-init
+    style) and integer-quantized exact cosines, so the partial-probe
+    result is hash-verified against a DuckDB oracle that reproduces the
+    fit verbatim (was rows-only when k-means-fitted; VERDICT r10
+    item 1). The k-means IVF production path keeps its two gates:
+    embed_ivf_full_probe (== exact top-k) and embed_ivf_probe_recall
+    (planted copies at n_probe=1)."""
     from .operators import similarity as SIM
 
     emb = SRC.load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    assigned, centroids = SIM.cached_fit(
-        (SRC.session_key(spark), sf_dir, "ivf_emb", 16),
-        lambda: SIM.build_ivf_index(emb, n_centroids=16),
-    )
-    return SIM.ivf_search(assigned, centroids, queries_df, k=5, n_probe=4).select(
-        "query_id", "vec_id", "cos", "rank"
+    return SIM.seeded_ivf_topk(
+        emb, queries_df, n_centroids=16, n_probe=4, k=5
     )
 
 
