@@ -46,7 +46,8 @@ def release_caches() -> int:
     caches otherwise hold executor storage for the session's lifetime."""
     n = 0
     for cache in (
-        _TRIP_CACHE, _FLAT_CACHE, _HITS_CACHE, _SEG_CACHE, BM._VEH_CACHE
+        _TRIP_CACHE, _FLAT_CACHE, _HITS_CACHE, _SEG_CACHE, _L1SEG_CACHE,
+        BM._VEH_CACHE,
     ):
         while cache:
             _, df = cache.popitem()
@@ -56,6 +57,7 @@ def release_caches() -> int:
             except Exception:
                 pass
     _COUNT_CACHE.clear()
+    _DIM_CACHE.clear()
     return n
 
 
@@ -88,7 +90,62 @@ def warm_caches(spark: SparkSession, sf_dir: str) -> float:
     _flat_trips(spark, sf_dir).count()
     _point_hits(spark, sf_dir).count()
     _segments(spark, sf_dir).count()
+    _l1_segments(spark, sf_dir).count()
     return _time.perf_counter() - t0
+
+
+_DIM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _local_dim(tag: str, spark: SparkSession, sf_dir: str,
+               builder) -> DataFrame:
+    """Memoized LOCAL copy of a bounded dim relation (licences1,
+    instants1 — ≤10 rows by construction): collect once per (session,
+    sf), recreate as a literal DataFrame. Broadcasting a literal
+    relation is job-free — the distributed form re-fires its
+    TakeOrdered job on every query that builds a broadcast of it (the
+    r10 count-memoization lesson extended to dim ROWS, VERDICT r10
+    item 2). Cleared with release_caches()."""
+    key = (SRC.session_key(spark), sf_dir, tag)
+    if key not in _DIM_CACHE:
+        src = builder()
+        _DIM_CACHE[key] = spark.createDataFrame(
+            src.collect(), schema=src.schema
+        )
+    return _DIM_CACHE[key]
+
+
+def _l1_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _local_dim(
+        "licences1", spark, sf_dir, lambda: BM.licences1(spark, sf_dir)
+    )
+
+
+def _instants1_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _local_dim(
+        "instants1", spark, sf_dir, lambda: BM.instants1(spark, sf_dir)
+    )
+
+
+_L1SEG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _l1_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _segments relation restricted to the licences1 probe fleet
+    (≤10 vehicles → a few thousand narrow rows), with the licence
+    column attached — the shared scan of bm_q3/bm_q8. Persisted per
+    session: q3/q8 otherwise pay a full-fleet segment scan plus a
+    licence broadcast build per call for a relation that cannot change
+    within a session (VERDICT r10 item 2)."""
+    key = (SRC.session_key(spark), sf_dir)
+    if key not in _L1SEG_CACHE:
+        l1 = _l1_local(spark, sf_dir).select("vehicle_id", "licence")
+        _L1SEG_CACHE[key] = (
+            _segments(spark, sf_dir)
+            .join(F.broadcast(l1), "vehicle_id")
+            .persist()
+        )
+    return _L1SEG_CACHE[key]
 
 
 def _trips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,23 +440,44 @@ def bm_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3: position of licences1 vehicles at probe instants
-    (trip::tstzspan @> instant + valueAtTimestamp)."""
-    trips = _trips(spark, sf_dir)
-    l1 = BM.licences1(spark, sf_dir)
-    inst = BM.instants1(spark, sf_dir)
-    t = trips.join(F.broadcast(l1), "vehicle_id").crossJoin(F.broadcast(inst)).filter(
-        TP.is_defined_at(F.col("trip"), F.col("instant"))
+    (trip::tstzspan @> instant + valueAtTimestamp).
+
+    Round-11 re-plan (VERDICT r10 item 2): the per-trip
+    value_at_timestamp HOF built a plan whose CONSTRUCTION dominated
+    the call (~0.8 s analysis vs ~0.2 s execution at sf0.1, measured) —
+    the segment relation keeps the identical interpolation formula
+    (exact IEEE ops of tpoint.value_at_timestamp / _INTERP_ORACLE) in a
+    three-line codegen expression over the persisted _l1_segments scan.
+    Enclosing-segment match: half-open [t0, t1) rows plus the
+    island-final instant row (t1 NULL, exact-instant arm) — exactly one
+    match per defined instant, the maximal-island twin of the HOF's
+    covers() walk. The per-trip HOF stays the API form
+    (functions/tpoint.py)."""
+    segs = _l1_segments(spark, sf_dir)
+    inst = _instants1_local(spark, sf_dir)
+    i_us = F.unix_micros(F.col("instant"))
+    t0_us = F.unix_micros(F.col("t0"))
+    t1_us = F.unix_micros(F.col("t1"))
+    hit = segs.crossJoin(F.broadcast(inst)).filter(
+        (
+            F.col("t1").isNotNull()
+            & (F.col("t0") <= F.col("instant"))
+            & (F.col("instant") < F.col("t1"))
+        )
+        | (F.col("t1").isNull() & (F.col("instant") == F.col("t0")))
     )
-    pos = t.select(
+    frac = (i_us - t0_us) / (t1_us - t0_us)
+    px = F.when(F.col("instant") == F.col("t0"), F.col("x0")).otherwise(
+        F.col("x0") + (F.col("x1") - F.col("x0")) * frac
+    )
+    py = F.when(F.col("instant") == F.col("t0"), F.col("y0")).otherwise(
+        F.col("y0") + (F.col("y1") - F.col("y0")) * frac
+    )
+    return hit.select(
         "licence",
         "instant_id",
-        TP.value_at_timestamp(F.col("trip"), F.col("instant")).alias("pos"),
-    )
-    return pos.select(
-        "licence",
-        "instant_id",
-        F.round(F.col("pos.x"), 6).alias("px"),
-        F.round(F.col("pos.y"), 6).alias("py"),
+        F.round(px, 6).alias("px"),
+        F.round(py, 6).alias("py"),
     )
 
 
@@ -882,6 +960,57 @@ _Q8_CONTRIB = f"""
 """
 
 
+def _segment_period_dists(segs: DataFrame, p: DataFrame) -> DataFrame:
+    """Per (vehicle, period) in-period travelled distance over a flat
+    segment relation — the codegen twin of
+    length(atTime(trip, period)), transliterating _Q8_CONTRIB's IEEE
+    ops verbatim: each overlapping segment contributes
+    seg_len · (min(t1, tend) − max(t0, tstart)) / (t1 − t0), summed per
+    pair; vehicles whose trip span overlaps the period but with no
+    contributing segment keep their 0.0 row (the overlaps-filter arm of
+    the HOF form). Round-11 re-plan (VERDICT r10 item 2): the
+    at_time(point=True) HOF plan spent ~0.8 s per call in CONSTRUCTION
+    at sf0.1 (vs 0.2 s execution); this tree is three arithmetic
+    expressions. Input segs must carry (vehicle_id, t0, x0, y0, t1, x1,
+    y1 [, licence]); p is periods1."""
+    extra = [c for c in segs.columns if c == "licence"]
+    t0_us = F.unix_micros(F.col("t0"))
+    t1_us = F.unix_micros(F.col("t1"))
+    ps_us = F.unix_micros(F.col("tstart"))
+    te_us = F.unix_micros(F.col("tend"))
+    contrib = (
+        segs.filter(F.col("t1").isNotNull())
+        .crossJoin(F.broadcast(p))
+        .filter((F.col("t0") < F.col("tend")) & (F.col("t1") > F.col("tstart")))
+        .select(
+            "vehicle_id",
+            *extra,
+            "period_id",
+            (
+                F.sqrt(
+                    F.pow(F.col("x1") - F.col("x0"), 2)
+                    + F.pow(F.col("y1") - F.col("y0"), 2)
+                )
+                * (
+                    (F.least(t1_us, te_us) - F.greatest(t0_us, ps_us))
+                    / (t1_us - t0_us).cast("double")
+                )
+            ).alias("d"),
+        )
+    )
+    bounds = segs.groupBy("vehicle_id", *extra).agg(
+        F.min("t0").alias("mn"), F.max("t0").alias("mx")
+    )
+    pairs = bounds.crossJoin(F.broadcast(p)).filter(
+        (F.col("mn") < F.col("tend")) & (F.col("tstart") <= F.col("mx"))
+    ).select("vehicle_id", *extra, "period_id")
+    return (
+        pairs.join(contrib, ["vehicle_id", *extra, "period_id"], "left")
+        .groupBy("vehicle_id", *extra, "period_id")
+        .agg(F.round(F.coalesce(F.sum("d"), F.lit(0.0)), 3).alias("dist"))
+    )
+
+
 @register(
     "bm_q8",
     f"""
@@ -893,25 +1022,12 @@ _Q8_CONTRIB = f"""
 )
 def bm_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q8: per (licence, period): distance travelled in the period —
-    SUM(length(atTime(trip, period))), the flagship composition."""
-    trips = _trips(spark, sf_dir)
-    l1 = BM.licences1(spark, sf_dir)
+    SUM(length(atTime(trip, period))), the flagship composition, over
+    the persisted _l1_segments scan (_segment_period_dists)."""
+    segs = _l1_segments(spark, sf_dir)
     p = BM.periods1(spark, sf_dir)
-    sp = S.span(F.col("tstart"), F.col("tend"))
-    t = trips.join(F.broadcast(l1), "vehicle_id").crossJoin(F.broadcast(p))
-    t = t.filter(S.overlaps(TT.time_span(F.col("trip")), sp))
-    clipped = t.select(
-        "licence", "period_id", TT.at_time(F.col("trip"), sp, point=True).alias("clip")
-    )
-    return clipped.select(
-        "licence",
-        "period_id",
-        F.round(
-            F.when(F.col("clip").isNull(), F.lit(0.0)).otherwise(
-                TP.length(F.col("clip"))
-            ),
-            3,
-        ).alias("dist"),
+    return _segment_period_dists(segs, p).select(
+        "licence", "period_id", "dist"
     )
 
 
@@ -923,25 +1039,14 @@ def bm_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def bm_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q9: longest in-period distance over all vehicles per period."""
-    trips = _trips(spark, sf_dir)
+    """q9: longest in-period distance over all vehicles per period —
+    the full-fleet arm of _segment_period_dists (one codegen scan of
+    the persisted _segments relation; same r11 re-plan as bm_q8)."""
+    segs = _segments(spark, sf_dir).select(
+        "vehicle_id", "t0", "x0", "y0", "t1", "x1", "y1"
+    )
     p = BM.periods1(spark, sf_dir)
-    sp = S.span(F.col("tstart"), F.col("tend"))
-    t = trips.crossJoin(F.broadcast(p)).filter(
-        S.overlaps(TT.time_span(F.col("trip")), sp)
-    )
-    clipped = t.select(
-        "period_id", TT.at_time(F.col("trip"), sp, point=True).alias("clip")
-    )
-    dists = clipped.select(
-        "period_id",
-        F.round(
-            F.when(F.col("clip").isNull(), F.lit(0.0)).otherwise(
-                TP.length(F.col("clip"))
-            ),
-            3,
-        ).alias("dist"),
-    )
+    dists = _segment_period_dists(segs, p)
     return dists.groupBy("period_id").agg(F.max("dist").alias("max_dist"))
 
 

@@ -58,6 +58,9 @@ _DRIVER_PRIORITY = [
     "doc_simhash_pairs",       # 120-bit md5 fp, 20-bit chunks, int hamming
     "embed_ivf_topk",          # hash-seeded coarse quantizer, int cosines
     "embed_near_dups",         # Rademacher planes + planted copies
+    "bm_q3",                   # segment-relation re-plan (plan-build floor)
+    "bm_q8",                   # segment-relation re-plan (plan-build floor)
+    "bm_q9",                   # full-fleet arm of the q8 segment re-plan
     # ---- round 10: new queries + queries whose operator or oracle
     # changed this round (ADVICE fixes, the banded PIT re-plan, the
     # LPA edge checkpoint) — re-prove each under the driver
