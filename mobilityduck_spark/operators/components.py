@@ -54,6 +54,19 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
+    # materialize e BEFORE the symmetrizing union: both union branches
+    # read e, and a lazy e evaluates its whole upstream pipeline twice
+    # on the sym cache build — for dedup callers that upstream is the
+    # exploded-gram pair join, the measured 226 s cold spike at the 96×
+    # sweep point (the LPA union-double-eval class, VERDICT r10 item 3).
+    # persist+count, NOT localCheckpoint: Spark's CacheManager matches
+    # persisted relations by canonicalized PLAN, so a repeat call with
+    # the same edges plan reuses this cache — a checkpoint RDD is
+    # per-instance and poisons that identity (measured: warm repeats
+    # regressed 10.6 → 50-80 s at 96× with an eager checkpoint here)
+    e = e.persist()
+    _cc_cache.append(e)
+    e.count()
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().persist()
     _cc_cache.append(sym)

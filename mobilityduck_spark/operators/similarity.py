@@ -661,15 +661,20 @@ def pq_topk(
     """Approximate top-k by ADC: score(q, v) = cosine of q with v's
     reconstruction, computed WITHOUT reconstructing per row.
 
-    Plan shape: ONE broadcast join, not one plan branch per query — the
-    per-query dot table (m arrays of k doubles: dot(q_s, centroid)) is
-    computed as a COLUMN on the broadcast query side (one Arrow kernel
-    over the query batch), the query-independent per-centroid norm
-    table ships once as a literal, and the corpus side touches only its
-    codes column: score = aggregate(zip_with(codes, tables,
-    element_at)) in whole-stage codegen over a 4-byte-per-vector
-    relation. The scale path reuses a precomputed `codes` table (pass
-    it in) so the float corpus is read zero times per query batch."""
+    Plan shape (r11 re-plan, VERDICT r10 item 5): the dot tables
+    (m × k doubles per query: dot(q_s, centroid)) and per-centroid norm
+    table are computed ONCE driver-side from the bounded query batch
+    (the same boundedness the old broadcast-join form relied on), then
+    one mapInPandas pass over the 4-byte-per-vector codes relation
+    scores EVERY query against each Arrow batch as two numpy gathers —
+    the previous zip_with/aggregate form evaluated m interpreted HOF
+    ops per (code, query) pair, the measured 47 s/call at the
+    192k-vector sweep point. The kernel keeps only its per-batch top-k
+    per query (identical (round6(cos) DESC, id ASC) order), so the
+    final exact Window ranks nparts·nq·k survivor rows instead of
+    nq·|corpus|. The scale path reuses a precomputed `codes` table
+    (pass it in) so the float corpus is read zero times per query
+    batch."""
     m, nk, dsub = cents.shape
     if codes is None:
         codes = pq_codes(emb, cents, id_col, vec_col)
@@ -677,50 +682,72 @@ def pq_topk(
     rnorm2 = (flat * flat).sum(1).reshape(m, nk)
     cmat = cents.copy()
 
-    @F.pandas_udf("array<array<double>>")
-    def _dot_tables(qv: pd.Series) -> pd.Series:
-        out = []
-        for v in qv:
-            q = np.asarray(v, dtype=np.float64)
-            out.append([
-                (cmat[s] @ q[s * dsub : (s + 1) * dsub]).tolist()
-                for s in range(m)
-            ])
-        return pd.Series(out)
-
-    n2_tab = F.array(*[
-        F.array(*[F.lit(float(x)) for x in rnorm2[s]]) for s in range(m)
-    ])
-    q = queries.select(
-        F.col(query_id_col),
-        _dot_tables(F.col(query_vec_col)).alias("_dt"),
-        norm(F.col(query_vec_col)).alias("_qn"),
-    )
-    num = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("_dt"), lambda c, t: F.element_at(t, c + 1)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    rn = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("codes"), n2_tab, lambda c, t: F.element_at(t, c + 1)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    if qrows:
+        qmat = np.asarray(
+            [np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows]
         )
-    )
-    scored = codes.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            F.when((rn > 0) & (F.col("_qn") > 0), num / (rn * F.col("_qn")))
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("pq_cos"),
+        qn = np.sqrt((qmat * qmat).sum(1))
+        # DT[q, s, code] = dot(q_s, centroid[s][code])
+        dt = np.stack(
+            [qmat[:, s * dsub : (s + 1) * dsub] @ cmat[s].T for s in range(m)],
+            axis=1,
+        )
+    else:
+        qn = np.zeros(0)
+        dt = np.zeros((0, m, nk))
+
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    vid_t = codes.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_t}, {id_col} {vid_t}, pq_cos double"
+
+    def _score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not qids:
+                continue
+            C = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            vids = pdf[id_col].to_numpy()
+            rn = np.sqrt(
+                sum(rnorm2[s][C[:, s]] for s in range(m))
+            )
+            num = sum(dt[:, s, :][:, C[:, s]] for s in range(m))  # (nq, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = num / (rn[None, :] * qn[:, None])
+            cos = np.where((rn[None, :] > 0) & (qn[:, None] > 0), cos, 0.0)
+            # HALF-AWAY-FROM-ZERO to mirror Spark ROUND(double, 6) —
+            # the rank order must match the old F.round-then-Window form
+            cos = (
+                np.where(
+                    cos >= 0,
+                    np.floor(cos * 1e6 + 0.5),
+                    np.ceil(cos * 1e6 - 0.5),
+                )
+                / 1e6
+            )
+            kk = min(k, n)
+            for qi in range(len(qids)):
+                row = cos[qi]
+                # top-k by (cos DESC, id ASC): lexsort on (-cos, vids)
+                order = np.lexsort((vids, -row))[:kk]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qids[qi]] * kk,
+                        id_col: vids[order],
+                        "pq_cos": row[order],
+                    }
+                )
+
+    survivors = codes.select(id_col, "codes").mapInPandas(
+        _score, schema=out_schema
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_cos").desc(), F.col(id_col).asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    return survivors.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 
