@@ -6,6 +6,17 @@ inside the attribution horizon of the NEWEST event seen — with
 per-key time-ordered replay (the Kafka-per-key-ordering deployment
 assumption), any touch older than `now - horizon` can never be
 in-horizon for a later conversion, so it is evicted on every event.
+
+Late-but-within-watermark DISORDER (pinned by the two
+test_multi_touch_stream_late_* units, VERDICT r10 item 7): rows are
+re-sorted by event time inside each micro-batch, and a touch arriving
+a batch late is buffered like any other (the eviction filter uses the
+ROW's own event time, so an admitted late touch is never evicted by a
+newer sibling) and credited by every LATER-ARRIVING conversion; a
+conversion already emitted is never retro-credited — per-conversion
+credit finalizes at the conversion's arrival, the append-mode
+contract. Scoring itself re-checks the horizon per conversion, so a
+stale-but-buffered late touch can never leak credit.
 State is therefore bounded by touches-per-horizon-window per user —
 exactly the candidate volume the batch operator's horizon-banded join
 reads, made resident — and the per-user state ROW itself expires via
