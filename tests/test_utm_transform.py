@@ -122,7 +122,9 @@ def test_linestring_and_polygon_reproject_pointwise():
 
 def test_unsupported_pair_still_raises():
     with pytest.raises(ValueError, match="unsupported transform"):
-        W.project_wkt("POINT(0 0)", 4326, 2154)  # Lambert-93: not closed
+        # Belgian Lambert 72: datum-shifted national grid still outside
+        # the closed set (2154 moved INSIDE it in r11 — EPSG dispatcher)
+        W.project_wkt("POINT(0 0)", 4326, 31370)
     with pytest.raises(ValueError, match="unsupported transform"):
         W.project_wkt("POINT(0 0)", 3857, 32631)  # projected source
     with pytest.raises(ValueError, match="unsupported transform"):
