@@ -35,8 +35,13 @@ a 7-parameter position-vector Helmert: EPSG:27700 (OSGB36 British
 National Grid — projection validated <1 mm against the OS worked
 example and an independent Snyder series; the single OS Helmert
 carries the documented ~2 m datum-model residual vs PROJ's OSTN15
-grid), EPSG:2154 (RGF93 / Lambert-93) and EPSG:3942-3950 (RGF93 CC
-zones), each pinned by golden-style units in
+grid), EPSG:2154 (RGF93 / Lambert-93), EPSG:3942-3950 (RGF93 CC
+zones), EPSG:3035 (ETRS89-extended LAEA Europe, the INSPIRE
+statistical-grid CRS, via an ellipsoidal authalic-latitude LAEA
+kernel), EPSG:3006 (SWEREF99 TM), EPSG:2180 (Poland CS92),
+EPSG:2193 (NZTM2000), and EPSG:31466-31469 (DHDN Gauss-Krüger zones
+2-5 on Bessel 1841 behind the BKG nationwide Helmert, ~1-2 m datum
+residual vs PROJ's NTv2 grid), each pinned by golden-style units in
 tests/test_epsg_dispatch.py. Any other pair raises ValueError rather
 than silently approximating (wkt.project_wkt).
 """

@@ -183,6 +183,7 @@ _ELLIPSOIDS = {
     # name: (semi-major a, flattening f)
     "GRS80": (_GRS80_A, _GRS80_F),
     "airy1830": (6377563.396, 1 / 299.3249646),
+    "bessel1841": (6377397.155, 1 / 299.1528128),
 }
 
 # WGS84 → target datum, position-vector convention (EPSG 9606):
@@ -194,6 +195,10 @@ _HELMERT_PARAMS = {
     # project_wkt docstring)
     "OSGB36": (-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421,
                20.4894),
+    # DHDN (Potsdam): the BKG-published nationwide single Helmert
+    # (position vector). Same accuracy class as the OSGB entry: ~1-2 m
+    # vs the NTv2 grid PROJ applies; the GK kernel itself is sub-mm.
+    "DHDN": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
 }
 
 
@@ -296,6 +301,63 @@ def _lambert_cc_zone(z: int):
     )
 
 
+def _laea(lat0_deg, lon0_deg, x0, y0):
+    """Ellipsoidal Lambert azimuthal equal-area forward on GRS80
+    (Snyder eq. 3-12, 24-2..24-19): authalic-latitude mapping q/qp,
+    then the oblique azimuthal equal-area on the authalic sphere —
+    the projection under EPSG:3035 (ETRS89-extended / LAEA Europe),
+    the EU INSPIRE statistical-grid CRS."""
+    a, f = _ELLIPSOIDS["GRS80"]
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q(phi):
+        sp = math.sin(phi)
+        return (1 - e2) * (
+            sp / (1 - e2 * sp * sp)
+            - (1 / (2 * e)) * math.log((1 - e * sp) / (1 + e * sp))
+        )
+
+    qp = q(math.pi / 2)
+    rq = a * math.sqrt(qp / 2)
+    phi0 = math.radians(lat0_deg)
+    beta0 = math.asin(q(phi0) / qp)
+    m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+    d = a * m0 / (rq * math.cos(beta0))
+    lon0 = math.radians(lon0_deg)
+
+    def fwd(lon, lat):
+        phi, lam = math.radians(lat), math.radians(lon)
+        beta = math.asin(q(phi) / qp)
+        dl = lam - lon0
+        b = rq * math.sqrt(
+            2 / (
+                1 + math.sin(beta0) * math.sin(beta)
+                + math.cos(beta0) * math.cos(beta) * math.cos(dl)
+            )
+        )
+        x = b * d * math.cos(beta) * math.sin(dl)
+        y = (b / d) * (
+            math.cos(beta0) * math.sin(beta)
+            - math.sin(beta0) * math.cos(beta) * math.cos(dl)
+        )
+        return x0 + x, y0 + y
+
+    return fwd
+
+
+def _dhdn_gk_zone(z: int):
+    """DHDN / 3-degree Gauss-Krüger zone z (EPSG 31466..31469 for
+    z 2..5): Bessel 1841 TM at lon0 = 3z°, k0 = 1, FE = z*1e6+500000,
+    behind the BKG nationwide Helmert from WGS84."""
+    return _helmert_then(
+        "bessel1841",
+        "DHDN",
+        _kruger_tm("bessel1841", 0.0, 3.0 * z, 1.0,
+                   z * 1000000.0 + 500000.0, 0.0),
+    )
+
+
 # EPSG:3812 — ETRS89 / Belgian Lambert 2008 (published EPSG parameters)
 _PROJECTIONS = {
     (4326, 3857): _web_mercator,
@@ -318,6 +380,21 @@ _PROJECTIONS = {
     # EPSG:3942..3950 — RGF93 / CC42..CC50 zones
     **{
         (4326, 3942 + z): _lambert_cc_zone(z) for z in range(9)
+    },
+    # EPSG:3035 — ETRS89-extended / LAEA Europe (INSPIRE grids)
+    (4326, 3035): _laea(52.0, 10.0, 4321000.0, 3210000.0),
+    # EPSG:3006 — SWEREF99 TM (GRS80, datum ≡ WGS84 here)
+    (4326, 3006): _kruger_tm("GRS80", 0.0, 15.0, 0.9996, 500000.0, 0.0),
+    # EPSG:2180 — ETRS89 / Poland CS92 (±5° span → Krüger kernel)
+    (4326, 2180): _kruger_tm("GRS80", 0.0, 19.0, 0.9993,
+                             500000.0, -5300000.0),
+    # EPSG:2193 — NZGD2000 / NZTM2000 (NZGD2000 ≡ WGS84 at this
+    # engine's precision, like the other plate-fixed modern datums)
+    (4326, 2193): _kruger_tm("GRS80", 0.0, 173.0, 0.9996,
+                             1600000.0, 10000000.0),
+    # EPSG:31466..31469 — DHDN / Gauss-Krüger zones 2..5
+    **{
+        (4326, 31464 + z): _dhdn_gk_zone(z) for z in range(2, 6)
     },
 }
 
@@ -364,7 +441,10 @@ def project_wkt(s: str, src_srid: int, dst_srid: int) -> str:
     British National Grid 27700 (Airy TM behind the OS single Helmert
     — datum-model residual ~2 m vs the OSTN15 grid PROJ applies; the
     projection kernels agree sub-mm), RGF93 Lambert-93 2154 and the
-    nine CC zones 3942-3950, and any UTM zone (326zz/327zz/258zz/
+    nine CC zones 3942-3950, LAEA Europe 3035, SWEREF99 TM 3006,
+    Poland CS92 2180, NZTM2000 2193, DHDN Gauss-Krüger zones
+    31466-31469 (BKG single Helmert, ~1-2 m datum residual vs NTv2
+    like the OSGB entry), and any UTM zone (326zz/327zz/258zz/
     269zz). The reference accepts any EPSG pair by delegating to
     duckdb-spatial/PROJ (src/geo/geoset.cpp:95-115); this engine
     implements the published projection formulas for the families the

@@ -234,12 +234,214 @@ def test_cc_zone_anchors_and_independent_agreement(z):
         assert math.hypot(x1 - x2, y1 - y2) < 1e-3
 
 
+# ------------------------------------------- round-11 family growth
+# SWEREF99 TM / Poland CS92 / NZTM2000 (pure GRS80 TM parameters),
+# DHDN Gauss-Krüger (Bessel + BKG Helmert), LAEA Europe 3035.
+
+
+@pytest.mark.parametrize(
+    "code,lon0,k0,x0,y0,pts",
+    [
+        (3006, 15.0, 0.9996, 500000.0, 0.0,
+         [(14.5, 60.0), (16.5, 57.0), (13.0, 55.6)]),
+        (2180, 19.0, 0.9993, 500000.0, -5300000.0,
+         [(21.01, 52.23), (19.94, 50.06), (17.0, 51.1)]),
+        (2193, 173.0, 0.9996, 1600000.0, 10000000.0,
+         [(174.7762, -41.2865), (172.6362, -43.5321)]),
+    ],
+)
+def test_tm_entries_match_independent_snyder_under_1mm(
+    code, lon0, k0, x0, y0, pts
+):
+    # all sample points sit inside ±3° of the central meridian, where
+    # the truncated Snyder series is itself sub-mm
+    a, f = W._ELLIPSOIDS["GRS80"]
+    snyder = _snyder_tm(a, f, 0.0, lon0, k0, x0, y0)
+    fwd = W._PROJECTIONS[(4326, code)]
+    for lon, lat in pts:
+        x1, y1 = fwd(lon, lat)
+        x2, y2 = snyder(lon, lat)
+        assert math.hypot(x1 - x2, y1 - y2) < 1e-3
+    # natural-origin anchor: equator × central meridian → (FE, FN)
+    x, y = fwd(lon0, 0.0)
+    assert abs(x - x0) < 1e-6 and abs(y - y0) < 1e-6
+
+
+def test_dhdn_gk_kernel_matches_independent_snyder_under_1mm():
+    a, f = W._ELLIPSOIDS["bessel1841"]
+    kruger = W._kruger_tm("bessel1841", 0.0, 9.0, 1.0, 3500000.0, 0.0)
+    snyder = _snyder_tm(a, f, 0.0, 9.0, 1.0, 3500000.0, 0.0)
+    for lon, lat in [(9.99, 53.55), (9.18, 48.78), (11.5, 48.1)]:
+        x1, y1 = kruger(lon, lat)
+        x2, y2 = snyder(lon, lat)
+        assert math.hypot(x1 - x2, y1 - y2) < 1e-3
+
+
+def _independent_dhdn_gk3(lon, lat):
+    """WGS84 → 31467 with the independently-written Helmert of
+    _independent_osgb (matrix form + Bowring direct recovery) swapped
+    onto the DHDN parameters and Bessel 1841."""
+    aw, fw = 6378137.0, 1 / 298.257223563
+    e2w = fw * (2 - fw)
+    phi, lam = math.radians(lat), math.radians(lon)
+    nu = aw / math.sqrt(1 - e2w * math.sin(phi) ** 2)
+    p0 = [
+        nu * math.cos(phi) * math.cos(lam),
+        nu * math.cos(phi) * math.sin(lam),
+        nu * (1 - e2w) * math.sin(phi),
+    ]
+    tx, ty, tz, rxs, rys, rzs, ppm = W._HELMERT_PARAMS["DHDN"]
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+    s = 1 + ppm * 1e-6
+    rot = [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]]
+    t = [tx, ty, tz]
+    p = [
+        t[i] + s * sum(rot[i][j] * p0[j] for j in range(3))
+        for i in range(3)
+    ]
+    a, f = W._ELLIPSOIDS["bessel1841"]
+    b = a * (1 - f)
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    x, y, z = p
+    r = math.hypot(x, y)
+    u = math.atan2(z * a, r * b)
+    phi2 = math.atan2(
+        z + ep2 * b * math.sin(u) ** 3, r - e2 * a * math.cos(u) ** 3
+    )
+    lam2 = math.atan2(y, x)
+    gk = W._kruger_tm("bessel1841", 0.0, 9.0, 1.0, 3500000.0, 0.0)
+    return gk(math.degrees(lam2), math.degrees(phi2))
+
+
+@pytest.mark.parametrize(
+    "lon,lat",
+    [(9.99, 53.55), (9.18, 48.78), (8.68, 50.11)],
+)
+def test_dhdn_end_to_end_matches_independent_helmert_under_1mm(lon, lat):
+    x1, y1 = W._PROJECTIONS[(4326, 31467)](lon, lat)
+    x2, y2 = _independent_dhdn_gk3(lon, lat)
+    assert math.hypot(x1 - x2, y1 - y2) < 1e-3
+
+
+def test_dhdn_zone_false_eastings():
+    # zone z carries FE = z*1e6 + 500000 at lon0 = 3z; project a point
+    # ON each central meridian and check x ≈ FE (the Helmert shifts the
+    # meridian by only ~ the datum offset, so allow metres, not mm)
+    for code, z in [(31466, 2), (31467, 3), (31468, 4), (31469, 5)]:
+        x, _ = W._PROJECTIONS[(4326, code)](3.0 * z, 51.0)
+        assert abs(x - (z * 1e6 + 500000.0)) < 200.0
+
+
+# ------------------------------------------------------ LAEA (3035)
+
+
+def _authalic_series_laea(lon, lat, lat0_deg=52.0, lon0_deg=10.0,
+                          x0=4321000.0, y0=3210000.0):
+    """Independent LAEA: authalic latitude via the Snyder eq. 3-18
+    SERIES (vs the kernel's exact asin(q/qp)), then the oblique
+    azimuthal equal-area on the authalic sphere."""
+    a, f = W._ELLIPSOIDS["GRS80"]
+    e2 = f * (2 - f)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+
+    def beta(phi):
+        return (
+            phi
+            - (e2 / 3 + 31 * e4 / 180 + 59 * e6 / 560) * math.sin(2 * phi)
+            + (17 * e4 / 360 + 61 * e6 / 1260) * math.sin(4 * phi)
+            - (383 * e6 / 45360) * math.sin(6 * phi)
+        )
+
+    e = math.sqrt(e2)
+    sp = 1.0
+    qp = (1 - e2) * (
+        sp / (1 - e2) - (1 / (2 * e)) * math.log((1 - e) / (1 + e))
+    )
+    rq = a * math.sqrt(qp / 2)
+    phi0 = math.radians(lat0_deg)
+    b0 = beta(phi0)
+    m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+    d = a * m0 / (rq * math.cos(b0))
+    bp = beta(math.radians(lat))
+    dl = math.radians(lon - lon0_deg)
+    bb = rq * math.sqrt(
+        2 / (
+            1 + math.sin(b0) * math.sin(bp)
+            + math.cos(b0) * math.cos(bp) * math.cos(dl)
+        )
+    )
+    return (
+        x0 + bb * d * math.cos(bp) * math.sin(dl),
+        y0 + (bb / d) * (
+            math.cos(b0) * math.sin(bp)
+            - math.sin(b0) * math.cos(bp) * math.cos(dl)
+        ),
+    )
+
+
+def test_laea_origin_anchor_and_meridian():
+    fwd = W._PROJECTIONS[(4326, 3035)]
+    x, y = fwd(10.0, 52.0)
+    assert abs(x - 4321000.0) < 1e-6 and abs(y - 3210000.0) < 1e-6
+    for lat in (40.0, 52.0, 65.0):
+        x, _ = fwd(10.0, lat)
+        assert abs(x - 4321000.0) < 1e-9  # central meridian → x = FE
+
+
+@pytest.mark.parametrize(
+    "lon,lat",
+    [
+        (2.3522, 48.8566),    # Paris
+        (24.9384, 60.1699),   # Helsinki
+        (-9.1393, 38.7223),   # Lisbon
+        (25.2797, 54.6872),   # Vilnius
+    ],
+)
+def test_laea_matches_independent_series_under_1mm(lon, lat):
+    x1, y1 = W._PROJECTIONS[(4326, 3035)](lon, lat)
+    x2, y2 = _authalic_series_laea(lon, lat)
+    assert math.hypot(x1 - x2, y1 - y2) < 1e-3
+
+
+@pytest.mark.parametrize(
+    "lon,lat",
+    [(2.3522, 48.8566), (24.9384, 60.1699), (10.0, 52.0), (-5.0, 40.0)],
+)
+def test_laea_jacobian_is_equal_area(lon, lat):
+    # formulation-independent property: an equal-area projection's
+    # Jacobian determinant equals the ellipsoidal area element
+    # M·N·cosφ per radian² everywhere
+    fwd = W._PROJECTIONS[(4326, 3035)]
+    a, f = W._ELLIPSOIDS["GRS80"]
+    e2 = f * (2 - f)
+    h = 1e-5  # radians
+    hd = math.degrees(h)
+    xe, _ye = fwd(lon + hd, lat)
+    xw, _yw = fwd(lon - hd, lat)
+    xn, yn = fwd(lon, lat + hd)
+    xs, ys = fwd(lon, lat - hd)
+    _xe, ye = fwd(lon + hd, lat)
+    _xw, yw = fwd(lon - hd, lat)
+    dxdl, dydl = (xe - xw) / (2 * h), (ye - yw) / (2 * h)
+    dxdp, dydp = (xn - xs) / (2 * h), (yn - ys) / (2 * h)
+    jac = abs(dxdl * dydp - dydl * dxdp)
+    phi = math.radians(lat)
+    w2 = 1 - e2 * math.sin(phi) ** 2
+    m = a * (1 - e2) / w2**1.5
+    n = a / math.sqrt(w2)
+    assert abs(jac - m * n * math.cos(phi)) / (m * n) < 1e-4
+
+
 def test_project_wkt_dispatch_and_boundary():
     out = W.project_wkt("POINT(2.3522 48.8566)", 4326, 2154)
     assert out.startswith("POINT(65")  # Paris ≈ x 652 km
     # ETRS89 source reuses the WGS84-coincident closed forms
     out2 = W.project_wkt("POINT(2.3522 48.8566)", 4258, 2154)
     assert out == out2
-    for bad in (27701, 2155, 3941, 3951, 31370):
+    # new-family dispatch goes through project_wkt too
+    out3 = W.project_wkt("POINT(18.0686 59.3293)", 4326, 3006)
+    assert out3.startswith("POINT(67")  # Stockholm ≈ x 674 km
+    for bad in (27701, 2155, 3941, 3951, 31370, 31465, 31470, 3007):
         with pytest.raises(ValueError):
             W.project_wkt("POINT(0 50)", 4326, bad)
