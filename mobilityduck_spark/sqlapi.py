@@ -39,9 +39,15 @@ grid), EPSG:2154 (RGF93 / Lambert-93), EPSG:3942-3950 (RGF93 CC
 zones), EPSG:3035 (ETRS89-extended LAEA Europe, the INSPIRE
 statistical-grid CRS, via an ellipsoidal authalic-latitude LAEA
 kernel), EPSG:3006 (SWEREF99 TM), EPSG:2180 (Poland CS92),
-EPSG:2193 (NZTM2000), and EPSG:31466-31469 (DHDN Gauss-Krüger zones
+EPSG:2193 (NZTM2000), EPSG:31466-31469 (DHDN Gauss-Krüger zones
 2-5 on Bessel 1841 behind the BKG nationwide Helmert, ~1-2 m datum
-residual vs PROJ's NTv2 grid), each pinned by golden-style units in
+residual vs PROJ's NTv2 grid), EPSG:28992 (Amersfoort / RD New via
+the EPSG 9809 oblique stereographic — kernel reproduces the EPSG
+Guidance Note 7-2 worked example to <1 mm; inverted Amersfoort
+Helmert, ~0.5-1 m vs RDNAPTRANS), and EPSG:2056/21781 (Swiss LV95 /
+LV03 via the Rosenmund oblique Mercator — end-to-end round-trips
+swisstopo's published approximate inverse polynomials within their
+~1 m accuracy), each pinned by golden-style units in
 tests/test_epsg_dispatch.py. Any other pair raises ValueError rather
 than silently approximating (wkt.project_wkt).
 """

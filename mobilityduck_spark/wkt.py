@@ -199,6 +199,17 @@ _HELMERT_PARAMS = {
     # (position vector). Same accuracy class as the OSGB entry: ~1-2 m
     # vs the NTv2 grid PROJ applies; the GK kernel itself is sub-mm.
     "DHDN": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    # CH1903+ : swisstopo's published geocentric translation is
+    # CH1903+→WGS84 (+674.374, +15.056, +405.346), pure 3-parameter —
+    # stored here negated as the WGS84→datum direction this table uses.
+    "CH1903plus": (-674.374, -15.056, -405.346, 0.0, 0.0, 0.0, 0.0),
+    # Amersfoort: the EPSG-published position-vector set is
+    # Amersfoort→WGS84 (565.417, 50.3319, 465.552, -0.398957",
+    # 0.343988", -1.87740", 4.0772 ppm); the small-parameter inverse
+    # (negate everything) is exact to << 1 mm at these magnitudes.
+    # Residual vs the RDNAPTRANS grid PROJ applies: ~0.5-1 m.
+    "Amersfoort": (-565.417, -50.3319, -465.552, 0.398957, -0.343988,
+                   1.87740, -4.0772),
 }
 
 
@@ -346,6 +357,104 @@ def _laea(lat0_deg, lon0_deg, x0, y0):
     return fwd
 
 
+def _oblique_stereographic(ell: str, lat0_deg, lon0_deg, k0, x0, y0):
+    """EPSG method 9809 (Oblique and Equatorial Stereographic) — the
+    double projection through the conformal sphere used by RD New
+    (EPSG:28992). Formulas are the published EPSG Guidance Note 7-2
+    sequence: conformal-sphere constants R = sqrt(rho0*nu0) and n, the
+    chi/Lambda conformal mapping, then the spherical oblique
+    stereographic about (chi0, Lambda0)."""
+    a, f = _ELLIPSOIDS[ell]
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0_deg)
+    lam0 = math.radians(lon0_deg)
+    sp0 = math.sin(phi0)
+    rho0 = a * (1 - e2) / (1 - e2 * sp0 * sp0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * sp0 * sp0)
+    r = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+    s1 = (1 + sp0) / (1 - sp0)
+    s2 = (1 - e * sp0) / (1 + e * sp0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + sp0) * (1 - sin_chi00) / ((n - sp0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    lam_origin = lam0
+
+    def fwd(lon, lat):
+        phi, lam = math.radians(lat), math.radians(lon)
+        sp = math.sin(phi)
+        sa = (1 + sp) / (1 - sp)
+        sb = (1 - e * sp) / (1 + e * sp)
+        w = c * (sa * sb**e) ** n
+        chi = math.asin((w - 1) / (w + 1))
+        dl = n * (lam - lam_origin)
+        b = 1 + math.sin(chi) * math.sin(chi0) + math.cos(chi) * math.cos(
+            chi0
+        ) * math.cos(dl)
+        return (
+            x0 + 2 * r * k0 * math.cos(chi) * math.sin(dl) / b,
+            y0 + 2 * r * k0 * (
+                math.sin(chi) * math.cos(chi0)
+                - math.cos(chi) * math.sin(chi0) * math.cos(dl)
+            ) / b,
+        )
+
+    return fwd
+
+
+def _swiss_oblique_mercator(x0=2600000.0, y0=1200000.0):
+    """CH1903/CH1903+ Swiss conformal cylindrical projection
+    (Rosenmund; EPSG method 9815 as PROJ's somerc): Bessel 1841 →
+    Gauss conformal sphere at the Bern origin → pseudo-equator
+    rotation → Mercator. Formulas are swisstopo's published sequence
+    ("Formulas and constants for ... the Swiss projection"). LV95
+    carries FE/FN 2 600 000 / 1 200 000; LV03 the same grid minus
+    2 000 000 / 1 000 000."""
+    a, f = _ELLIPSOIDS["bessel1841"]
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi0 = math.radians(46 + 57 / 60 + 8.66 / 3600)
+    lam0 = math.radians(7 + 26 / 60 + 22.50 / 3600)
+    sp0 = math.sin(phi0)
+    rr = a * math.sqrt(1 - e2) / (1 - e2 * sp0 * sp0)
+    alpha = math.sqrt(1 + e2 / (1 - e2) * math.cos(phi0) ** 4)
+    b0 = math.asin(sp0 / alpha)
+    k = (
+        math.log(math.tan(math.pi / 4 + b0 / 2))
+        - alpha * math.log(math.tan(math.pi / 4 + phi0 / 2))
+        + alpha * e / 2 * math.log((1 + e * sp0) / (1 - e * sp0))
+    )
+
+    def fwd(lon, lat):
+        phi, lam = math.radians(lat), math.radians(lon)
+        sp = math.sin(phi)
+        s = (
+            alpha * math.log(math.tan(math.pi / 4 + phi / 2))
+            - alpha * e / 2 * math.log((1 + e * sp) / (1 - e * sp))
+            + k
+        )
+        b = 2 * (math.atan(math.exp(s)) - math.pi / 4)
+        l = alpha * (lam - lam0)
+        # rotation onto the pseudo-equator through the projection of
+        # the Bern origin
+        lbar = math.atan2(
+            math.sin(l), math.sin(b0) * math.tan(b) + math.cos(b0) * math.cos(l)
+        )
+        bbar = math.asin(
+            math.cos(b0) * math.sin(b)
+            - math.sin(b0) * math.cos(b) * math.cos(l)
+        )
+        return (
+            x0 + rr * lbar,
+            y0 + rr / 2 * math.log((1 + math.sin(bbar)) / (1 - math.sin(bbar))),
+        )
+
+    return fwd
+
+
 def _dhdn_gk_zone(z: int):
     """DHDN / 3-degree Gauss-Krüger zone z (EPSG 31466..31469 for
     z 2..5): Bessel 1841 TM at lon0 = 3z°, k0 = 1, FE = z*1e6+500000,
@@ -396,6 +505,28 @@ _PROJECTIONS = {
     **{
         (4326, 31464 + z): _dhdn_gk_zone(z) for z in range(2, 6)
     },
+    # EPSG:28992 — Amersfoort / RD New (oblique stereographic 9809)
+    (4326, 28992): _helmert_then(
+        "bessel1841",
+        "Amersfoort",
+        _oblique_stereographic(
+            "bessel1841",
+            52 + 9 / 60 + 22.178 / 3600,
+            5 + 23 / 60 + 15.500 / 3600,
+            0.9999079, 155000.0, 463000.0,
+        ),
+    ),
+    # EPSG:2056 — CH1903+ / LV95; EPSG:21781 — CH1903 / LV03 (same
+    # Rosenmund grid, 2 000 000 / 1 000 000 smaller false origin; the
+    # CH1903 vs CH1903+ datum difference is centimetres, below the
+    # single-Helmert accuracy class documented for this table)
+    (4326, 2056): _helmert_then(
+        "bessel1841", "CH1903plus", _swiss_oblique_mercator()
+    ),
+    (4326, 21781): _helmert_then(
+        "bessel1841", "CH1903plus",
+        _swiss_oblique_mercator(600000.0, 200000.0),
+    ),
 }
 
 # geographic CRSs whose datum is treated as coincident with WGS84 at
@@ -444,8 +575,12 @@ def project_wkt(s: str, src_srid: int, dst_srid: int) -> str:
     nine CC zones 3942-3950, LAEA Europe 3035, SWEREF99 TM 3006,
     Poland CS92 2180, NZTM2000 2193, DHDN Gauss-Krüger zones
     31466-31469 (BKG single Helmert, ~1-2 m datum residual vs NTv2
-    like the OSGB entry), and any UTM zone (326zz/327zz/258zz/
-    269zz). The reference accepts any EPSG pair by delegating to
+    like the OSGB entry), RD New 28992 (oblique stereographic 9809 on
+    Bessel behind the inverted EPSG Amersfoort Helmert, ~0.5-1 m vs
+    RDNAPTRANS), Swiss LV95 2056 / LV03 21781 (Rosenmund oblique
+    Mercator behind the swisstopo 3-parameter shift), and any UTM zone
+    (326zz/327zz/258zz/269zz). The reference accepts any EPSG pair by
+    delegating to
     duckdb-spatial/PROJ (src/geo/geoset.cpp:95-115); this engine
     implements the published projection formulas for the families the
     workload uses and raises for anything else rather than

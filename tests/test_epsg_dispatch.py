@@ -433,6 +433,134 @@ def test_laea_jacobian_is_equal_area(lon, lat):
     assert abs(jac - m * n * math.cos(phi)) / (m * n) < 1e-4
 
 
+# ------------------------- RD New (28992) + Swiss LV95/LV03 kernels
+
+
+def _numeric_scale_and_angle(fwd, lon, lat, a, f):
+    """Local scale along meridian/parallel and the angle between their
+    images — formulation-independent conformality probes: a conformal
+    projection has equal scales and a 90° intersection everywhere."""
+    e2 = f * (2 - f)
+    phi = math.radians(lat)
+    w2 = 1 - e2 * math.sin(phi) ** 2
+    m = a * (1 - e2) / w2**1.5
+    n = a / math.sqrt(w2)
+    h = 1e-6  # radians
+    hd = math.degrees(h)
+    xn, yn = fwd(lon, lat + hd)
+    xs, ys = fwd(lon, lat - hd)
+    xe, ye = fwd(lon + hd, lat)
+    xw, yw = fwd(lon - hd, lat)
+    dmer = (xn - xs, yn - ys)
+    dpar = (xe - xw, ye - yw)
+    k_mer = math.hypot(*dmer) / (2 * h * m)
+    k_par = math.hypot(*dpar) / (2 * h * n * math.cos(phi))
+    cosang = (dmer[0] * dpar[0] + dmer[1] * dpar[1]) / (
+        math.hypot(*dmer) * math.hypot(*dpar)
+    )
+    return k_mer, k_par, cosang
+
+
+_RD_LAT0 = 52 + 9 / 60 + 22.178 / 3600
+_RD_LON0 = 5 + 23 / 60 + 15.500 / 3600
+
+
+def _rd_kernel():
+    return W._oblique_stereographic(
+        "bessel1841", _RD_LAT0, _RD_LON0, 0.9999079, 155000.0, 463000.0
+    )
+
+
+def test_rd_kernel_matches_epsg_worked_example_under_1mm():
+    # EPSG Guidance Note 7-2, method 9809 worked example (Amersfoort
+    # geodetic, no datum step): 53°N 6°E → E 196105.283, N 557057.739
+    x, y = _rd_kernel()(6.0, 53.0)
+    assert abs(x - 196105.283) < 1e-3
+    assert abs(y - 557057.739) < 1e-3
+
+
+def test_rd_kernel_origin_anchor_and_scale():
+    rd = _rd_kernel()
+    x, y = rd(_RD_LON0, _RD_LAT0)
+    assert abs(x - 155000.0) < 1e-6 and abs(y - 463000.0) < 1e-6
+    a, f = W._ELLIPSOIDS["bessel1841"]
+    k_mer, k_par, cosang = _numeric_scale_and_angle(
+        rd, _RD_LON0, _RD_LAT0, a, f
+    )
+    # stereographic about the natural origin: local scale there is k0
+    assert abs(k_mer - 0.9999079) < 1e-6
+    assert abs(k_par - 0.9999079) < 1e-6
+    assert abs(cosang) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "lon,lat", [(4.9, 52.37), (6.57, 53.22), (5.12, 52.09), (3.61, 51.5)]
+)
+def test_rd_kernel_is_conformal(lon, lat):
+    a, f = W._ELLIPSOIDS["bessel1841"]
+    k_mer, k_par, cosang = _numeric_scale_and_angle(
+        _rd_kernel(), lon, lat, a, f
+    )
+    assert abs(k_mer / k_par - 1) < 1e-6
+    assert abs(cosang) < 1e-6
+
+
+def test_swiss_origin_anchor_scale_and_conformality():
+    sw = W._swiss_oblique_mercator()
+    lon0 = 7 + 26 / 60 + 22.50 / 3600
+    lat0 = 46 + 57 / 60 + 8.66 / 3600
+    x, y = sw(lon0, lat0)
+    assert abs(x - 2600000.0) < 1e-6 and abs(y - 1200000.0) < 1e-6
+    a, f = W._ELLIPSOIDS["bessel1841"]
+    # Rosenmund has no k0: unit scale and zero convergence at Bern —
+    # this pins alpha/b0/K, which a pure conformality test cannot (any
+    # composition of conformal maps stays conformal)
+    k_mer, k_par, cosang = _numeric_scale_and_angle(sw, lon0, lat0, a, f)
+    assert abs(k_mer - 1.0) < 1e-6 and abs(k_par - 1.0) < 1e-6
+    assert abs(cosang) < 1e-6
+    for lon, lat in [(8.54, 47.38), (6.14, 46.2), (9.84, 46.5)]:
+        k_mer, k_par, cosang = _numeric_scale_and_angle(sw, lon, lat, a, f)
+        assert abs(k_mer / k_par - 1) < 1e-6
+        assert abs(cosang) < 1e-6
+
+
+def test_lv03_is_lv95_minus_false_origin_shift():
+    e95, n95 = W._PROJECTIONS[(4326, 2056)](8.5417, 47.3769)
+    e03, n03 = W._PROJECTIONS[(4326, 21781)](8.5417, 47.3769)
+    assert abs((e95 - e03) - 2000000.0) < 1e-9
+    assert abs((n95 - n03) - 1000000.0) < 1e-9
+
+
+def _swisstopo_approx_inverse(e03, n03):
+    """swisstopo's published approximate polynomials LV03 → WGS84
+    ("Approximate formulas for the transformation between Swiss
+    projection coordinates and WGS84", ~1 m accuracy) — a fitted,
+    fully independent formulation including the datum step."""
+    yp = (e03 - 600000.0) / 1e6
+    xp = (n03 - 200000.0) / 1e6
+    lam = (
+        2.6779094 + 4.728982 * yp + 0.791484 * yp * xp
+        + 0.1306 * yp * xp * xp - 0.0436 * yp**3
+    )
+    phi = (
+        16.9023892 + 3.238272 * xp - 0.270978 * yp * yp
+        - 0.002528 * xp * xp - 0.0447 * yp * yp * xp - 0.0140 * xp**3
+    )
+    return lam * 100 / 36, phi * 100 / 36  # 10000" → degrees
+
+
+@pytest.mark.parametrize(
+    "lon,lat", [(7.4474, 46.9480), (8.5417, 47.3769), (6.1432, 46.2044)]
+)
+def test_swiss_end_to_end_roundtrips_published_approx_inverse(lon, lat):
+    # WGS84 → (this dispatcher) → LV03 → (swisstopo approx inverse) →
+    # WGS84 must close within the approx formulas' ~1 m (≈ 1.3e-5°)
+    # plus the single-Helmert class — allow 3 m
+    e03, n03 = W._PROJECTIONS[(4326, 21781)](lon, lat)
+    lon2, lat2 = _swisstopo_approx_inverse(e03, n03)
+    assert abs(lon2 - lon) < 4e-5 and abs(lat2 - lat) < 3e-5
+
+
 def test_project_wkt_dispatch_and_boundary():
     out = W.project_wkt("POINT(2.3522 48.8566)", 4326, 2154)
     assert out.startswith("POINT(65")  # Paris ≈ x 652 km
