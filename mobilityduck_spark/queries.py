@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = [
     # ---- round 11: the four ex-no_oracle queries re-registered with
     # engine-portable twins + full hash oracles (VERDICT r10 item 1) —
     # the driver window must re-prove each
+    "events_web_mercator_extent",  # NEW r11: Catalyst-tier reprojection
     "doc_minhash_pairs",       # md5 shingles/lanes/bands, int match gate
     "doc_simhash_pairs",       # 120-bit md5 fp, 20-bit chunks, int hamming
     "embed_ivf_topk",          # hash-seeded coarse quantizer, int cosines
@@ -9432,3 +9433,65 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = SRC.load(spark, sf_dir, "documents")
     return TX.corpus_manifest(docs, split_salt="v1")
+
+
+@register(
+    "events_web_mercator_extent",
+    """
+    WITH g AS (
+      SELECT event_type,
+             ((user_id * 7919 + event_id * 104729) % 360000) / 1000.0
+               - 180.0 AS lon,
+             ((event_id * 7907) % 170000) / 1000.0 - 85.0 AS lat
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             6378137.0 * radians(lon) AS x,
+             6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)) AS y
+      FROM g
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(MIN(x) * 1e3) AS BIGINT) AS xmin_mm,
+           CAST(ROUND(MAX(x) * 1e3) AS BIGINT) AS xmax_mm,
+           CAST(ROUND(MIN(y) * 1e3) AS BIGINT) AS ymin_mm,
+           CAST(ROUND(MAX(y) * 1e3) AS BIGINT) AS ymax_mm
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_web_mercator_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type web-mercator (EPSG:3857) extent of the event fleet —
+    the map-tile bounding-box rollup, and the hash gate for the
+    DISTRIBUTED reprojection tier (functions/projection.py): the
+    projection runs as pure Catalyst expressions inside whole-stage
+    codegen (radians/log/tan — no UDF, no Python boundary), vs the
+    reference's per-row PROJ delegation (src/geo/geoset.cpp:95-115).
+    Synthetic lon/lat derive from (user_id, event_id) by exact integer
+    arithmetic so both engines see bit-identical inputs; extremes are
+    mm-quantized once per group, the quantized-float oracle
+    convention. One scan, one tiny-domain partial aggregate — the
+    100 TB shape is scan-bound with a 5-row result."""
+    from .functions import projection as PJ
+
+    ev = SRC.load(spark, sf_dir, "events")
+    lon = (
+        (F.col("user_id") * 7919 + F.col("event_id") * 104729) % 360000
+    ) / 1000.0 - 180.0
+    lat = ((F.col("event_id") * 7907) % 170000) / 1000.0 - 85.0
+    pj = ev.select(
+        "event_type",
+        PJ.web_mercator_x(lon).alias("x"),
+        PJ.web_mercator_y(lat).alias("y"),
+    )
+    return (
+        pj.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.min("x") * 1e3).cast("long").alias("xmin_mm"),
+            F.round(F.max("x") * 1e3).cast("long").alias("xmax_mm"),
+            F.round(F.min("y") * 1e3).cast("long").alias("ymin_mm"),
+            F.round(F.max("y") * 1e3).cast("long").alias("ymax_mm"),
+        )
+        .orderBy("event_type")
+    )
