@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     # engine-portable twins + full hash oracles (VERDICT r10 item 1) —
     # the driver window must re-prove each
     "events_web_mercator_extent",  # NEW r11: Catalyst-tier reprojection
+    "events_utm_extent",           # NEW r11: Arrow-tier UTM reprojection
     "doc_minhash_pairs",       # md5 shingles/lanes/bands, int match gate
     "doc_simhash_pairs",       # 120-bit md5 fp, 20-bit chunks, int hamming
     "embed_ivf_topk",          # hash-seeded coarse quantizer, int cosines
@@ -9492,6 +9493,111 @@ def events_web_mercator_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("x") * 1e3).cast("long").alias("xmax_mm"),
             F.round(F.min("y") * 1e3).cast("long").alias("ymin_mm"),
             F.round(F.max("y") * 1e3).cast("long").alias("ymax_mm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_utm_extent",
+    """
+    WITH k AS (
+      SELECT 6378137.0 AS a, (1.0 / 298.257222101) * (2 - 1.0 / 298.257222101)
+               AS e2
+    ),
+    kk AS (
+      SELECT a, e2, e2 / (1 - e2) AS ep2,
+             1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256 AS m1,
+             3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024 AS m2,
+             15*e2*e2/256 + 45*e2*e2*e2/1024 AS m3,
+             35*e2*e2*e2/3072 AS m4
+      FROM k
+    ),
+    g AS (
+      SELECT event_type,
+             radians(6.0 + ((event_id * 7919 + user_id * 104729) % 6000)
+                     / 1000.0) AS lam,
+             radians(((event_id * 65537 + user_id * 97) % 84000)
+                     / 1000.0) AS phi
+      FROM events
+    ),
+    i1 AS (
+      SELECT event_type, lam, phi,
+             sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp,
+             a, e2, ep2, m1, m2, m3, m4
+      FROM g, kk
+    ),
+    i2 AS (
+      SELECT event_type, phi,
+             a / sqrt(1 - e2 * sp * sp) AS nu,
+             tp * tp AS t,
+             ep2 * cp * cp AS c,
+             (lam - radians(9.0)) * cp AS ba,
+             a * (m1 * phi - m2 * sin(2 * phi) + m3 * sin(4 * phi)
+                  - m4 * sin(6 * phi)) AS arc,
+             tp, ep2
+      FROM i1
+    ),
+    pr AS (
+      SELECT event_type,
+             500000.0 + 0.9996 * nu * (
+               ba + (1 - t + c) * ba*ba*ba / 6
+               + (5 - 18*t + t*t + 72*c - 58*ep2) * ba*ba*ba*ba*ba / 120
+             ) AS x,
+             0.9996 * (
+               arc + nu * tp * (
+                 ba*ba / 2
+                 + (5 - t + 9*c + 4*c*c) * ba*ba*ba*ba / 24
+                 + (61 - 58*t + t*t + 600*c - 330*ep2)
+                   * ba*ba*ba*ba*ba*ba / 720
+               )
+             ) AS y
+      FROM i2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(MIN(x) * 1e3) AS BIGINT) AS emin_mm,
+           CAST(ROUND(MAX(x) * 1e3) AS BIGINT) AS emax_mm,
+           CAST(ROUND(MIN(y) * 1e3) AS BIGINT) AS nmin_mm,
+           CAST(ROUND(MAX(y) * 1e3) AS BIGINT) AS nmax_mm
+    FROM pr GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_utm_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type UTM zone 32N (EPSG:32632) extent — the hash gate for
+    the ARROW tier of the distributed reprojection surface
+    (functions/projection.py project_xy_udf): the numpy-vectorized
+    Snyder transverse-Mercator series runs inside an Arrow-batched
+    pandas UDF, and the DuckDB oracle recomputes the identical series
+    term-by-term in SQL from the same GRS80 literals — so the batch
+    kernel, not just its scalar twin, is oracle-verified. Synthetic
+    lon/lat derive from (event_id, user_id) by exact integer
+    arithmetic inside zone 32's [6°,12°) validity band; extremes
+    mm-quantized once per group. 100 TB shape: scan-bound map work
+    (one Arrow exchange per batch) + a 5-row partial aggregate."""
+    from .functions import projection as PJ
+
+    ev = SRC.load(spark, sf_dir, "events")
+    lon = (
+        F.lit(6.0)
+        + ((F.col("event_id") * 7919 + F.col("user_id") * 104729) % 6000)
+        / 1000.0
+    )
+    lat = ((F.col("event_id") * 65537 + F.col("user_id") * 97) % 84000) / 1000.0
+    udf = PJ.project_xy_udf(4326, 32632)
+    pj = ev.select("event_type", udf(lon, lat).alias("p")).select(
+        "event_type",
+        F.col("p.x").alias("x"),
+        F.col("p.y").alias("y"),
+    )
+    return (
+        pj.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.min("x") * 1e3).cast("long").alias("emin_mm"),
+            F.round(F.max("x") * 1e3).cast("long").alias("emax_mm"),
+            F.round(F.min("y") * 1e3).cast("long").alias("nmin_mm"),
+            F.round(F.max("y") * 1e3).cast("long").alias("nmax_mm"),
         )
         .orderBy("event_type")
     )
