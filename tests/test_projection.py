@@ -71,6 +71,28 @@ def test_project_xy_udf_matches_scalar_kernels(spark, dst):
         assert math.hypot(r.p.x - float(xs), r.p.y - float(ys)) < 1e-6
 
 
+def test_project_xy_udf_southern_utm_false_northing(spark):
+    # 32733 (UTM 33S) carries FN 10 000 000 — the y0 arm of the numpy
+    # batch kernel; southern-hemisphere points must land on the scalar
+    # path's values, not 10 000 km off
+    pts = [(18.4233, -33.9188), (15.0, -10.0), (13.2, -25.7)]
+    df = spark.createDataFrame(
+        [(i, lon, lat) for i, (lon, lat) in enumerate(pts)],
+        "id long, lon double, lat double",
+    )
+    udf = PJ.project_xy_udf(4326, 32733)
+    rows = (
+        df.select("id", "lon", "lat", udf(F.col("lon"), F.col("lat")).alias("p"))
+        .orderBy("id")
+        .collect()
+    )
+    for r in rows:
+        wkt_out = W.project_wkt(f"POINT({r.lon} {r.lat})", 4326, 32733)
+        xs, ys = wkt_out[6:-1].split(" ")
+        assert math.hypot(r.p.x - float(xs), r.p.y - float(ys)) < 1e-6
+        assert 0 < r.p.y < 10000000.0  # FN applied, south of equator
+
+
 def test_project_xy_udf_raises_at_build_time_for_unsupported():
     with pytest.raises(ValueError):
         PJ.project_xy_udf(4326, 99999)
