@@ -1,26 +1,108 @@
 """Market-basket analysis: pairwise item co-occurrence with support
 pruning and exact lift.
 
-The A-priori first level expressed as Catalyst joins: distinct
-(basket, item) pairs self-join on the basket key (item_a < item_b),
-co-occurrence counts filter on minimum support, and lift comes from
-the broadcast item margins.
+The A-priori first level as ONE corpus shuffle: distinct items per
+basket are gathered into a sorted array (`groupBy(basket).collect_set`
+— the dedup, the size cap and the pair domain all come from that one
+exchange), unordered pairs are generated MAP-SIDE from each array
+(`transform`×`slice` — pure Catalyst, codegen, no self-join), and the
+only other full-width exchange is the partial-aggregated pair count.
+The previous plan self-joined the distinct (basket, item) relation on
+the basket key, which cost a distinct shuffle + a size-count shuffle +
+a join of the relation against itself PER CONSUMER (margins, basket
+count and both join sides each re-derived the subtree: 4 parquet scans
+and 6 exchanges at sf0.1).
 
-Scale shape (100 TB): the self-join's work is sum over baskets of
-(basket size)², so `max_basket` drops degenerate mega-baskets BEFORE
-the join (the basket analog of the n-gram df-cap — one 1M-item basket
-is a 10^12-pair bucket). Margins and the basket count are tiny
-aggregates broadcast into the final projection; support pruning
-happens in the pair aggregate itself, never materializing sub-support
-pairs downstream.
+Scale shape (100 TB): pair volume is sum over baskets of (basket
+size)², exactly as before — `max_basket` drops degenerate mega-baskets
+BEFORE pair generation (one 1M-item basket is a 10^12-pair bucket).
+The aggregation state per group is one basket's distinct item set —
+the same rows the old plan shuffled for its distinct — so the cap
+guards memory the way it guarded join fan-out. Margins and the basket
+count are array-derived aggregates over the persisted capped relation
+(single-build via MEMORY_AND_DISK persist, registered for
+release_caches()); support pruning happens in the pair aggregate
+itself, never materializing sub-support pairs downstream.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pair_rules", "item_cosine"]
+__all__ = ["pair_rules", "item_cosine", "release_caches"]
+
+# persisted capped-basket relations (one per operator call); released
+# via release_caches(), same contract as dedup/components/pipeline
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    return n
+
+
+def _capped_basket_arrays(
+    baskets: DataFrame, basket_col: str, item_col: str, max_basket: int
+) -> DataFrame:
+    """(b, items ARRAY) — distinct items per basket, sorted, baskets
+    larger than max_basket dropped. One exchange builds the relation;
+    it is persisted because pairs, margins and the basket count all
+    read it."""
+    arr = (
+        baskets.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("i")).alias("items"))
+        .filter(F.size("items") <= max_basket)
+    )
+    arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(arr)
+    return arr
+
+
+def _pair_explode(items: Column | str) -> Column:
+    """All unordered pairs (x, y) with x < y from a sorted distinct
+    array — generated map-side, no self-join. slice() clamps at the
+    array end, so the last element yields no pairs."""
+    col = F.col(items) if isinstance(items, str) else items
+    return F.explode(
+        F.flatten(
+            F.transform(
+                col,
+                lambda x, i: F.transform(
+                    F.slice(col, i + F.lit(2), F.size(col)),
+                    lambda y: F.struct(
+                        x.alias("item_a"), y.alias("item_b")
+                    ),
+                ),
+            )
+        )
+    )
+
+
+def _co_counts(arr: DataFrame) -> DataFrame:
+    return (
+        arr.select(_pair_explode("items").alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+
+
+def _margins(arr: DataFrame) -> DataFrame:
+    return (
+        arr.select(F.explode("items").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
 
 
 def pair_rules(
@@ -35,31 +117,17 @@ def pair_rules(
     lift_micro) for every unordered pair co-occurring in at least
     `min_support` baskets; lift = n_baskets * n_co / (n_a * n_b),
     micro-quantized. Baskets larger than `max_basket` items are
-    dropped before the self-join.
+    dropped before pair generation.
 
     `min_support_frac` raises the threshold to
     max(min_support, ceil(frac * n_baskets)) — the scale-invariant
     RELATIVE support production A-priori uses, so output stays
     "genuinely frequent pairs" as the corpus grows instead of
     everything that repeats twice."""
-    items = baskets.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
-    sizes = items.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
-    items = items.join(sizes, "b").where(
-        F.col("bn") <= max_basket
-    ).select("b", "i")
-    margins = items.groupBy("i").agg(F.count(F.lit(1)).alias("m"))
-    n_baskets = items.select("b").distinct().agg(
-        F.count(F.lit(1)).alias("nb")
-    )
-    a = items.select("b", F.col("i").alias("item_a"))
-    bb = items.select(F.col("b").alias("b2"), F.col("i").alias("item_b"))
-    co = (
-        a.join(bb, (a["b"] == bb["b2"]) & (a["item_a"] < bb["item_b"]))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-    )
+    arr = _capped_basket_arrays(baskets, basket_col, item_col, max_basket)
+    co = _co_counts(arr)
+    margins = _margins(arr)
+    n_baskets = arr.agg(F.count(F.lit(1)).alias("nb"))
     if min_support_frac is not None:
         co = co.crossJoin(F.broadcast(n_baskets)).where(
             F.col("n_co")
@@ -109,31 +177,16 @@ def item_cosine(
     The hashed score is micro-quantized from one fixed-order IEEE
     chain n_co / sqrt(n_a * n_b) where every operand is an exact
     BIGINT, so both engines compute the identical double. Same scale
-    guards as pair_rules: mega-baskets dropped BEFORE the self-join,
-    margins joined on the item key (AQE broadcasts a dim-sized item
-    vocabulary on its own); `min_co_frac` raises the threshold to
-    max(min_co, ceil(frac * n_baskets)) — the scale-invariant RELATIVE
-    support that keeps the neighbor table "genuinely co-bought pairs"
-    as the corpus grows."""
-    items = baskets.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
-    sizes = items.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
-    items = items.join(sizes, "b").where(
-        F.col("bn") <= max_basket
-    ).select("b", "i")
-    margins = items.groupBy("i").agg(F.count(F.lit(1)).alias("m"))
-    a = items.select("b", F.col("i").alias("item_a"))
-    bb = items.select(F.col("b").alias("b2"), F.col("i").alias("item_b"))
-    co = (
-        a.join(bb, (a["b"] == bb["b2"]) & (a["item_a"] < bb["item_b"]))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-    )
+    guards as pair_rules: mega-baskets dropped BEFORE pair generation;
+    `min_co_frac` raises the threshold to max(min_co,
+    ceil(frac * n_baskets)) — the scale-invariant RELATIVE support
+    that keeps the neighbor table "genuinely co-bought pairs" as the
+    corpus grows."""
+    arr = _capped_basket_arrays(baskets, basket_col, item_col, max_basket)
+    co = _co_counts(arr)
+    margins = _margins(arr)
     if min_co_frac is not None:
-        n_baskets = items.select("b").distinct().agg(
-            F.count(F.lit(1)).alias("nb")
-        )
+        n_baskets = arr.agg(F.count(F.lit(1)).alias("nb"))
         co = co.crossJoin(F.broadcast(n_baskets)).where(
             F.col("n_co")
             >= F.greatest(

@@ -379,15 +379,20 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     ) / F.lit(num_hashes)
+    # estimate-verify map-side BEFORE the pair-dedup shuffle:
+    # est_jaccard is a pure function of (id, id_b) — identical on every
+    # duplicate band collision — so filter-then-distinct equals the old
+    # dedup-then-filter while the exchange carries (id_a, id_b, est)
+    # per SURVIVING pair instead of two full signature arrays per raw
+    # candidate row
     return (
-        cand.groupBy("id", "id_b")
-        .agg(F.first("sig").alias("sig"), F.first("sig_b").alias("sig_b"))
-        .select(
+        cand.select(
             F.col("id").alias("id_a"),
             F.col("id_b"),
             F.round(est, 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
     )
 
 
@@ -457,15 +462,17 @@ def simhash_near_dup_pairs(
         & (F.col("ckey") == F.col("ckey_b"))
         & (F.col("id") < F.col("id_b")),
     )
+    # hamming-verify map-side BEFORE the pair-dedup shuffle (the
+    # distance is fixed per (id, id_b), so filter-then-distinct is
+    # result-identical; only surviving 3-int rows cross the exchange)
     return (
-        cand.groupBy("id", "id_b")
-        .agg(F.first("sh").alias("sh"), F.first("sh_b").alias("sh_b"))
-        .select(
+        cand.select(
             F.col("id").alias("id_a"),
             F.col("id_b"),
             hamming64(F.col("sh"), F.col("sh_b")).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -755,18 +762,20 @@ def simhash128_pairs(
         F.bit_count(F.col("w0").bitwiseXOR(F.col("w0_b")))
         + F.bit_count(F.col("w1").bitwiseXOR(F.col("w1_b")))
     )
+    # hamming-verify map-side BEFORE the pair-dedup shuffle (same
+    # rationale as minhash_lsh_pairs_md5): the distance is a pure
+    # function of (id, id_b) — identical on every duplicate candidate
+    # row — so filter-then-distinct equals dedup-then-filter while the
+    # exchange carries only surviving 3-int rows instead of four
+    # 64-bit words per raw bucket collision
     return (
-        cand.groupBy("id", "id_b")
-        .agg(
-            F.first("w0").alias("w0"), F.first("w1").alias("w1"),
-            F.first("w0_b").alias("w0_b"), F.first("w1_b").alias("w1_b"),
-        )
-        .select(
+        cand.select(
             F.col("id").alias("id_a"),
             F.col("id_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -1132,15 +1141,20 @@ def minhash_lsh_pairs_md5(
             lambda eq: eq,
         )
     )
+    # verify map-side, BEFORE the pair-dedup shuffle: n_matches is a
+    # pure function of (id, id_b) — identical on every duplicate
+    # candidate row — so filtering first and deduping (id_a, id_b,
+    # n_matches) is result-identical while the exchange carries 3
+    # integers per SURVIVING pair instead of two full signature arrays
+    # per raw band collision
     return (
-        cand.groupBy("id", "id_b")
-        .agg(F.first("sig").alias("sig"), F.first("sig_b").alias("sig_b"))
-        .select(
+        cand.select(
             F.col("id").alias("id_a"),
             F.col("id_b"),
             matches.cast("int").alias("n_matches"),
         )
         .filter(F.col("n_matches") >= min_matches)
+        .distinct()
     )
 
 
@@ -1287,18 +1301,20 @@ def simhash_md5_pairs(
         F.bit_count(F.col("w0").bitwiseXOR(F.col("w0_b")))
         + F.bit_count(F.col("w1").bitwiseXOR(F.col("w1_b")))
     )
+    # hamming-verify map-side BEFORE the pair-dedup shuffle (same
+    # rationale as minhash_lsh_pairs_md5): the distance is a pure
+    # function of (id, id_b) — identical on every duplicate candidate
+    # row — so filter-then-distinct equals dedup-then-filter while the
+    # exchange carries only surviving 3-int rows instead of four
+    # 64-bit words per raw bucket collision
     return (
-        cand.groupBy("id", "id_b")
-        .agg(
-            F.first("w0").alias("w0"), F.first("w1").alias("w1"),
-            F.first("w0_b").alias("w0_b"), F.first("w1_b").alias("w1_b"),
-        )
-        .select(
+        cand.select(
             F.col("id").alias("id_a"),
             F.col("id_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

