@@ -39,11 +39,45 @@ def release_caches() -> int:
     return n
 
 
+def _local_union_find(rows: list, spark) -> DataFrame:
+    """Exact min-label components on the driver for a bounded edge
+    list: classic union-find with path halving, then every node gets
+    the minimum node id of its root set. Identical output (and order
+    semantics — none) to the distributed loop; edge order cannot
+    change the result because min is commutative over the component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # path-halve x's chain too
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    roots: dict[int, int] = {}
+    membership = [(n, find(n)) for n in parent]
+    for n, r in membership:
+        if r not in roots or n < roots[r]:
+            roots[r] = n
+    return spark.createDataFrame(
+        [(n, roots[r]) for n, r in membership],
+        schema="node long, component long",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_max_edges: int = 100_000,
 ) -> DataFrame:
     """Label every node appearing in `edges` with the minimum node id of
     its connected component. Returns (node BIGINT, component BIGINT).
@@ -66,7 +100,19 @@ def connected_components(
     # regressed 10.6 → 50-80 s at 96× with an eager checkpoint here)
     e = e.persist()
     _cc_cache.append(e)
-    e.count()
+    n_edges = e.count()
+    # dedup graphs are forests of small cliques: when the SURVIVING
+    # edge list is bounded (the count above is already materialized,
+    # so the gate is free), finish on the driver — the distributed
+    # loop costs 3-4 multi-shuffle rounds of pure job latency for the
+    # same min-label answer. Same threshold-gated bounded-collect
+    # pattern as the codebook fits and probe fleets; past the gate the
+    # pointer-jumping loop below is the at-scale path. 100k edges
+    # collect ~1.6 MB of longs.
+    if n_edges <= local_max_edges:
+        return _local_union_find(
+            [(r[0], r[1]) for r in e.collect()], edges.sparkSession
+        )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().persist()
     _cc_cache.append(sym)

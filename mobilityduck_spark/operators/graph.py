@@ -138,12 +138,43 @@ def node_triangle_counts(
     )
 
 
+def _local_lpa(base: DataFrame, rounds: int) -> DataFrame:
+    """Driver-side replay of the synchronous weighted LPA rounds for a
+    bounded, already-collected edge list — update rule identical to
+    the distributed loop: per round every node adopts argmax over
+    neighbor labels of (total incident weight, then smallest label)."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = [(r[0], r[1], r[2]) for r in base.collect()]
+    sym = rows + [(t, s, w) for s, t, w in rows]
+    lab = {s: s for s, _, _ in sym}
+    for _ in range(rounds):
+        ws: dict = {}
+        for s, t, w in sym:
+            key = (t, lab[s])
+            ws[key] = ws.get(key, 0) + w
+        best: dict = {}
+        for (node, lbl), wsum in ws.items():
+            cur = best.get(node)
+            if cur is None or (wsum, -lbl) > cur[0]:
+                best[node] = ((wsum, -lbl), lbl)
+        lab = {node: pick[1] for node, pick in best.items()}
+    ntype = base.schema["s"].dataType
+    schema = StructType(
+        [StructField("node", ntype), StructField("community", ntype)]
+    )
+    return base.sparkSession.createDataFrame(
+        list(lab.items()), schema=schema
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 2,
     src: str = "id_a",
     dst: str = "id_b",
     weight: str = "w",
+    local_max_edges: int = 100_000,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection):
     every node starts as its own label; each round, a node adopts the
@@ -175,8 +206,19 @@ def label_propagation(
     base = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("t"), F.col(weight).alias("w")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()  # eager: one evaluation, charged here
+    n_base = base.count()  # eager: one evaluation, charged here
     _PERSISTED.append(base)
+    # the edge pipeline is already materialized and counted above, so
+    # the size gate is free: for bounded dedup graphs, replay the SAME
+    # synchronous rounds on the driver instead of a rounds-deep plan of
+    # keyed shuffles (same threshold-gated bounded-collect pattern as
+    # connected_components / the codebook fits). Exact because weights
+    # are summed as Python ints (callers pass integer weights — the
+    # documented determinism contract above) and the (max ws, min
+    # label) pick is total. Past the gate the Catalyst loop below is
+    # the at-scale path.
+    if n_base <= local_max_edges:
+        return _local_lpa(base, rounds)
     sym = base.unionAll(
         base.select(
             F.col("t").alias("s"), F.col("s").alias("t"), F.col("w")
@@ -199,12 +241,55 @@ def label_propagation(
     return labels.select("node", F.col("lab").alias("community"))
 
 
+def _local_kcore(
+    edges: DataFrame, src: str, dst: str, k: int, max_rounds: int | None
+) -> DataFrame:
+    """Driver-side replay of the simultaneous peel for a bounded edge
+    list — identical loop structure (including the max_rounds raise) to
+    the distributed path; the k-core is the unique maximal subgraph of
+    min degree >= k, so any faithful peel yields the same rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    live = rows + [(t, s) for s, t in rows]
+    n_prev = None
+    rounds = 0
+    while True:
+        deg: dict = {}
+        for s, _ in live:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        n = len(keep)
+        if n_prev is not None and n == n_prev:
+            break
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"kcore: no fixpoint after max_rounds={max_rounds} "
+                f"(live nodes {n_prev} -> {n}); rerun with a larger "
+                "budget or max_rounds=None"
+            )
+        rounds += 1
+        n_prev = n
+        live = [(s, t) for s, t in live if s in keep and t in keep]
+    deg = {}
+    for s, _ in live:
+        deg[s] = deg.get(s, 0) + 1
+    ntype = edges.schema[src].dataType
+    schema = StructType(
+        [StructField("node", ntype), StructField("core_deg", LongType())]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(n_, d) for n_, d in deg.items() if d >= k], schema=schema
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,
     src: str = "a",
     dst: str = "b",
     max_rounds: int | None = None,
+    local_max_edges: int = 100_000,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     every node of degree < k (simultaneously) until a fixpoint; the
@@ -235,6 +320,14 @@ def kcore(
     the DuckDB MATERIALIZED-CTE note on the oracle side. On a real
     cluster this becomes reliableCheckpoint/write-to-object-store;
     the truncation point, not the storage tier, is what matters."""
+    # size gate: one edge count up front replaces a fixpoint loop of
+    # per-round count jobs when the graph is bounded (the peel is
+    # latency-bound on small graphs — each round is pure job overhead).
+    # Same bounded-collect pattern as connected_components; at scale
+    # the count is no more work than the eager checkpoint below and the
+    # distributed peel runs unchanged.
+    if edges.count() <= local_max_edges:
+        return _local_kcore(edges, src, dst, k, max_rounds)
     sym = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("t")
     ).unionAll(

@@ -45,6 +45,29 @@ def test_bridge_merges_cliques(spark):
     assert got == {frozenset({1, 2, 3, 7, 8, 9})}
 
 
+def test_local_gate_matches_distributed(spark):
+    # the size-gated driver union-find and the pointer-jumping loop
+    # must produce the IDENTICAL (node, component) relation — min node
+    # id per component — on shapes that need transitivity, merging and
+    # dedup of reversed/duplicate edges
+    edges = (
+        [(i, i + 1) for i in range(12)]          # chain
+        + [(100, 101), (101, 102), (102, 100)]   # triangle
+        + [(200, 201), (201, 200), (200, 201)]   # dup + reversed
+        + [(300, 300)]                           # self-loop (dropped)
+        + [(11, 102)]                            # bridge chain↔triangle
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {(r["node"], r["component"])
+             for r in CC.connected_components(df).collect()}
+    dist = {(r["node"], r["component"])
+            for r in CC.connected_components(
+                df, local_max_edges=0).collect()}
+    assert local == dist
+    assert (0, 0) in local and (102, 0) in local  # bridge merged, min label
+    CC.release_caches()
+
+
 def test_assign_clusters_keep_flags(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
     pairs = spark.createDataFrame([(2, 5), (5, 6)], "id_a long, id_b long")

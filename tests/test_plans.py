@@ -172,7 +172,9 @@ def test_connected_components_no_cartesian(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
     )
-    out = CC.connected_components(edges)
+    # local_max_edges=0 pins the DISTRIBUTED loop (the default gate
+    # would finish this bounded forest on the driver)
+    out = CC.connected_components(edges, local_max_edges=0)
     plan = str(out._jdf.queryExecution().executedPlan())
     assert "CartesianProduct" not in plan
     assert out.count() == 40

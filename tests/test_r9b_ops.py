@@ -816,3 +816,53 @@ def test_drift_series_baseline_days_near_zero_and_shift_detected(spark):
     base_days = [v for k, v in out.items() if k < "2024-08-08"]
     assert all(abs(v) < 0.01 for v in base_days), base_days
     assert out["2024-08-08"] > 10 * max(abs(v) for v in base_days)
+
+
+@pytest.mark.parametrize("seed,k", [(0, 3), (3, 2)])
+def test_kcore_local_gate_matches_distributed(spark, seed, k):
+    """The size-gated driver peel and the distributed peel must return
+    the IDENTICAL (node, core_deg) relation — the k-core is unique, so
+    this pins the gate introduces no drift (including the within-core
+    degree, which a wrong final filter would change)."""
+    rng = np.random.RandomState(seed)
+    edges = set()
+    for _ in range(200):
+        a, b = rng.randint(0, 50, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    local = {(r.node, r.core_deg) for r in G.kcore(df, k=k).collect()}
+    dist = {
+        (r.node, r.core_deg)
+        for r in G.kcore(df, k=k, local_max_edges=0).collect()
+    }
+    assert local == dist
+    G.release_caches()
+
+
+def test_lpa_local_gate_matches_distributed(spark):
+    """Size-gated driver LPA vs the Catalyst loop: identical
+    (node, community) for both round counts on a weighted graph with
+    ties (the (max weight, min label) pick must agree exactly)."""
+    rng = np.random.RandomState(7)
+    rows = set()
+    for _ in range(120):
+        a, b = rng.randint(0, 30, 2)
+        if a != b:
+            rows.add((int(a), int(b), int(rng.randint(1, 5))))
+    edges = spark.createDataFrame(
+        sorted(rows), "id_a long, id_b long, w long"
+    )
+    for rounds in (1, 2, 3):
+        local = {
+            (r.node, r.community)
+            for r in G.label_propagation(edges, rounds=rounds).collect()
+        }
+        dist = {
+            (r.node, r.community)
+            for r in G.label_propagation(
+                edges, rounds=rounds, local_max_edges=0
+            ).collect()
+        }
+        assert local == dist, rounds
+    G.release_caches()
