@@ -250,10 +250,37 @@ def curate_corpus(
             F.lit(name).alias("stage"), "n_docs"
         )
 
+    # stages 0-2 in ONE conditional-aggregation scan: the raw count,
+    # the quality count and the language count are all aggregates of
+    # the same flagged relation, but as three separate stage() unions
+    # each re-ran the tokenize scan over the full corpus (flagged is
+    # deliberately NOT persisted — it is corpus-sized). count_if over
+    # the flags folds them into a single pass; the counts are
+    # bit-identical (count_if(q) ≡ count(filter(q)), count_if(q AND l)
+    # ≡ count(filter(q).filter(l))).
+    s012 = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(F.col("q_ok")).alias("n1"),
+        F.count_if(F.col("q_ok") & F.col("l_ok")).alias("n2"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("0_raw").alias("stage"), F.col("n0").alias("n_docs")
+                ),
+                F.struct(
+                    F.lit("1_quality").alias("stage"),
+                    F.col("n1").alias("n_docs"),
+                ),
+                F.struct(
+                    F.lit("2_language").alias("stage"),
+                    F.col("n2").alias("n_docs"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_docs")
     parts = [
-        stage("0_raw", base),
-        stage("1_quality", quality),
-        stage("2_language", lang_ok),
+        s012,
         stage("3_exact_dedup", exact_keep),
         stage("4_near_dup", near_keep),
     ]

@@ -200,22 +200,45 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         n = emb.count()
         n_planes = max(4, math.ceil(math.log2(max(2.0, n / target_occupancy))))
-    cands = None
-    for t in range(max(1, n_tables)):
-        e = emb.select(
-            F.col(id_col).alias("id"),
-            lsh_signature(F.col(vec_col), dim, n_planes, seed=42 + t).alias(
-                "sig"
-            ),
+    # ALL table signatures in ONE scan, exploded to (id, t, sig), and
+    # ONE self-join keyed on (t, sig): the per-table loop re-ran the
+    # corpus scan + signature expression and a separate self-join per
+    # table (n_tables scans, n_tables exchanges). union-then-distinct
+    # over per-table joins ≡ distinct over the table-keyed join — the
+    # table index in the join key keeps candidates within their table,
+    # exactly as the loop did.
+    n_tables = max(1, n_tables)
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_signature(
+                            F.col(vec_col), dim, n_planes, seed=42 + t
+                        ).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select("id", "ts.t", "ts.sig")
+    o = e.select(
+        F.col("id").alias("id_b"),
+        F.col("t").alias("t_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        e.join(
+            o,
+            (F.col("t") == F.col("t_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("id") < F.col("id_b")),
         )
-        o = e.select(
-            F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
-        )
-        c = e.join(
-            o, (F.col("sig") == F.col("sig_b")) & (F.col("id") < F.col("id_b"))
-        ).select("id", "id_b")
-        cands = c if cands is None else cands.unionByName(c)
-    pairs = cands.distinct()
+        .select("id", "id_b")
+        .distinct()
+    )
     va = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     scored = (
