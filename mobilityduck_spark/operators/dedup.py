@@ -985,6 +985,15 @@ def ssjoin_prefix(
         "doc", "n",
         F.transform(F.col("toks"), lambda s: s["w"]).alias("ws"),
     )
+    # pinned: THREE consumers read lists (the prefix explode and both
+    # verification sides) — without the pin the tokenize + distinct +
+    # df-join + collect_list pipeline re-runs per consumer. Doc-sized
+    # with df-capped token arrays: the natural PPJoin index relation a
+    # real deployment materializes.
+    from pyspark import StorageLevel
+
+    lists = lists.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(lists)
     # prefix length |x| - ceil(t|x|) + 1 (>=1 for any t <= 1)
     plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     prefix = lists.select(

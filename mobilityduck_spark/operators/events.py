@@ -32,6 +32,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# persisted domain-sized intermediates (|users|-sized RFM table, value
+# histograms) consumed by >1 downstream subtree in one operator call;
+# released via release_caches(), same contract as dedup/components
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    return n
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
 _US_PER_UNIT = {
     "microsecond": 1,
     "millisecond": 1_000,
@@ -947,6 +970,12 @@ def rfm_scores(
         ((F.col("anchor_us") - F.col("last_us")) / F.lit(86_400_000_000))
         .cast("bigint"),
     )
+    # pin the |users|-sized RFM table: each of the three ntile passes
+    # reads it TWICE (offset histogram + the broadcast join-back), and
+    # the passes chain — without the pin the events scan and the
+    # user-keyed aggregate re-derive up to 6x (measured: a 90-Exchange
+    # plan at sf0.1 collapses to one scan + domain-sized work)
+    per = _pin(per)
     per = _scalable_ntile(
         per, "last_us",
         (F.col("last_us") / F.lit(86_400_000_000)).cast("bigint"),
@@ -1078,12 +1107,18 @@ def psi_drift(
         F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c_old"),
         F.sum(F.when(F.col("is_old"), 0).otherwise(1)).alias("c_new"),
     )
-    # old-snapshot decile boundaries from the cumulative histogram
+    # old-snapshot decile boundaries from the cumulative histogram.
+    # Pinned: both the boundary derivation and the bucket assignment
+    # read cum, and without the pin each re-runs the raw scan + the
+    # histogram windows (cum is domain-sized — |distinct (g, x)| — so
+    # the pin is cheap at any scale)
     w = Window.partitionBy("g").orderBy(F.col("x").asc())
-    cum = h.select(
-        "g", "x", "c_old", "c_new",
-        F.sum("c_old").over(w).alias("cum_old"),
-        F.sum("c_old").over(Window.partitionBy("g")).alias("n_old_tot"),
+    cum = _pin(
+        h.select(
+            "g", "x", "c_old", "c_new",
+            F.sum("c_old").over(w).alias("cum_old"),
+            F.sum("c_old").over(Window.partitionBy("g")).alias("n_old_tot"),
+        )
     )
     ps = tagged.sparkSession.range(1, n_buckets).select(
         (F.col("id") * (100 / n_buckets)).cast("int").alias("p")
@@ -1114,6 +1149,8 @@ def psi_drift(
             F.sum("c_new").cast("bigint").alias("n_new"),
         )
     )
+    # pinned: the grid (distinct groups) and the left join both read it
+    bucketed = _pin(bucketed)
     # complete the (group, bucket) grid so empty buckets still emit
     grid = (
         bucketed.select("g").distinct()
@@ -2444,10 +2481,16 @@ def drift_series(
     Plan (100 TB): one (day, type) groupBy is the only event-volume
     shuffle; the baseline is a |types|-row broadcast; the series
     assembles on the |days x types| domain."""
-    d = events.groupBy(
-        F.col(ts_col).cast("date").alias("day"),
-        F.col(type_col).alias("etype"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # pinned: d is the ONLY event-volume aggregate, but four downstream
+    # subtrees read it (baseline anchor, type domain, day domain, the
+    # series join) — without the pin each re-runs the full scan +
+    # groupBy. Domain-sized (|days × types|), so the pin is free.
+    d = _pin(
+        events.groupBy(
+            F.col(ts_col).cast("date").alias("day"),
+            F.col(type_col).alias("etype"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
     d0 = d.agg(F.min("day").alias("day0"))
     types = d.select("etype").distinct()
     days = d.select("day").distinct()

@@ -77,10 +77,16 @@ def triangle_stats(
     wedge once) ⋈ edge(a,c) to close — every triangle a<b<c counted
     exactly once. Wedges: sum over nodes of C(deg, 2).
     """
-    e = _canonical_edges(edges, src, dst, max_degree)
+    # the canonical edge relation is read FIVE times below (degree
+    # union ×2, the three triangle-join sides) — pin it so the
+    # dedup/canonicalization shuffle runs once (same multi-consumer
+    # persist contract as LPA's edge materialization)
+    e = _canonical_edges(edges, src, dst, max_degree).persist()
+    _PERSISTED.append(e)
+    # both endpoint degrees from ONE pass: explode(array(a, b)) ≡
+    # unionAll of the two projections (order-free under the groupBy)
     deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
+        e.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -113,7 +119,13 @@ def node_triangle_counts(
     """Per-node triangle participation, top-k by count (count desc,
     node asc tiebreak). Each triangle a<b<c contributes 1 to each of
     its three corners — the local clustering numerator."""
-    e = _canonical_edges(edges, src, dst, max_degree)
+    # pin the canonical edges (three join sides read them) and emit all
+    # three triangle corners from ONE evaluation of the 3-way join —
+    # the unionAll formulation re-ran the whole triangle enumeration
+    # per corner projection (explode(array(a,b,c)) ≡ the 3-way union,
+    # order-free under the groupBy)
+    e = _canonical_edges(edges, src, dst, max_degree).persist()
+    _PERSISTED.append(e)
     e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tris = (
@@ -125,10 +137,8 @@ def node_triangle_counts(
         )
         .select("a", "b", "c")
     )
-    corners = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return (
         corners.groupBy("node")
