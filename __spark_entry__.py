@@ -30,3 +30,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return Q.oracle_sql()
+
+
+def release_caches() -> int:
+    """Session teardown: unpersist every operator pin (per-call AND
+    session-scoped: memoized index fits, BerlinMOD shared
+    intermediates). Call between queries or at shutdown in long-lived
+    driver sessions so storage memory stays bounded; results are never
+    affected — only what stays cached."""
+    return Q.release_operator_caches(session_scoped=True)

@@ -18,6 +18,99 @@ from mobilityduck_spark import queries as Q  # noqa: E402
 from mobilityduck_spark.session import get_spark  # noqa: E402
 
 
+# The fixed stdout query subset (see main(): registry-growth-proof
+# printed set, established round 12 = the round-11 printed list +
+# doc_jaccard_histogram). ADD here deliberately; never remove or rename
+# — the round driver diffs printed names across rounds.
+_STDOUT_QUERIES = [
+    "at_line_duration",
+    "at_polygon_duration",
+    "at_stbox_duration",
+    "attime_duration",
+    "bm_hausdorff",
+    "bm_q1",
+    "bm_q10",
+    "bm_q11",
+    "bm_q12",
+    "bm_q13",
+    "bm_q13_poly",
+    "bm_q14",
+    "bm_q14_poly",
+    "bm_q15",
+    "bm_q16",
+    "bm_q17",
+    "bm_q2",
+    "bm_q3",
+    "bm_q4",
+    "bm_q5",
+    "bm_q6",
+    "bm_q7",
+    "bm_q8",
+    "bm_q9",
+    "corpus_curation_funnel",
+    "doc_dup_clusters",
+    "embed_semantic_dedup",
+    "doc_contamination",
+    "embed_near_dup_recall",
+    "embed_near_dups",
+    "doc_bpe_merges",
+    "doc_minhash_recall",
+    "doc_simhash_recall",
+    "doc_mixture_sample",
+    "embed_ivf_probe_recall",
+    "embed_ivf_full_probe",
+    "embed_pq_recall",
+    "media_jpeg_stats",
+    "media_features",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "basket_item_cosine",
+    "basket_part_pairs",
+    "corpus_manifest",
+    "corpus_token_budget",
+    "customer_entity_clusters",
+    "customer_entity_matches",
+    "customer_snm_matches",
+    "doc_bm25_topk",
+    "doc_bpe_planted_merges",
+    "doc_chunk_dedup",
+    "doc_classifier_calibration",
+    "doc_classifier_score",
+    "doc_containment_pairs",
+    "doc_curriculum_order",
+    "doc_dup_spans",
+    "doc_dup_windows",
+    "doc_eval_sample",
+    "doc_exact_dups",
+    "doc_fuzzy_pairs",
+    "doc_gopher_flags",
+    "doc_heavy_ngrams",
+    "doc_incremental_dedup",
+    "doc_incremental_near_dups",
+    "doc_jaccard_histogram",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -64,6 +157,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # untimed: release per-call operator pins between queries so
+        # MEMORY_AND_DISK cache blocks do not accumulate across the
+        # 220-query session (VERDICT r11 item 4). Session-scoped caches
+        # (berlinmod warm set, memoized IVF/PQ fits) stay — those are
+        # the setup-charged shared intermediates, released at teardown.
+        Q.release_operator_caches()
 
     total = round(sum(timings.values()), 3)
 
@@ -91,9 +190,6 @@ def main() -> None:
     # on this box; a loaded host shows 60+ s and would poison tracking —
     # round 6's driver ran at setup 63.4 s and overwrote the committed
     # record, which this gate prevents recurring).
-    with open(os.path.join(here, "BENCH_last_run.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-        f.write("\n")
     # Stall-window guard (round-11): a quiet SETUP does not guarantee a
     # quiet RUN — twice this round a mid-run host stall slipped past the
     # setup gate with setup 19.3/24.9 s and promoted a 395/327 s record
@@ -103,6 +199,7 @@ def main() -> None:
     # in a few queries; 10% of the registry doubling SIMULTANEOUSLY is a
     # host event. SPARK_GRAFT_BENCH_PROMOTE=1 still force-promotes.
     quiet_run = True
+    frac_2x = 0.0
     full_path = os.path.join(here, "BENCH_full.json")
     if os.path.exists(full_path):
         try:
@@ -119,30 +216,32 @@ def main() -> None:
     promoted = (
         sf_val == 0.1 and reps >= 2 and setup_sec <= 25.0 and quiet_run
     ) or os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1"
+    # gate bookkeeping travels with BOTH written records (ADVICE r11:
+    # a rejected run must be distinguishable from a promoted one in the
+    # artifacts, not only by the stdout "promoted" flag)
+    full["quiet_run"] = quiet_run
+    full["frac_2x"] = round(frac_2x, 4)
+    full["promoted"] = promoted
+    with open(os.path.join(here, "BENCH_last_run.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
     if promoted:
         with open(os.path.join(here, "BENCH_full.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
 
-    # stdout priority: BASELINE.md comparables (bm/at pack) first, then
-    # the expensive LLM-pipeline heavies the judge tracks, then TPC-H,
-    # then everything else — cut off when the line would exceed the
-    # driver's tail capture.
-    prio = (
-        [n for n in timings if n.startswith(("bm_", "at_", "attime"))]
-        + [
-            "corpus_curation_funnel", "doc_dup_clusters",
-            "embed_semantic_dedup", "doc_contamination",
-            "embed_near_dup_recall", "embed_near_dups", "doc_bpe_merges",
-            "doc_minhash_recall", "doc_simhash_recall", "doc_mixture_sample",
-            "embed_ivf_probe_recall", "embed_ivf_full_probe",
-            "embed_pq_recall", "media_jpeg_stats", "media_features",
-        ]
-        + [n for n in timings if n.startswith("tpch_")]
-    )
-    order = [n for n in dict.fromkeys(prio) if n in timings] + [
-        n for n in sorted(timings) if n not in prio
-    ]
+    # stdout carries a FIXED, registry-growth-proof query subset: the
+    # exact list printed since round 11 (BASELINE.md comparables, the
+    # LLM-pipeline heavies, TPC-H, and the alphabetical block that fit
+    # then, plus doc_jaccard_histogram — the one entry the old
+    # grow-until-1900-chars cutoff silently pushed off the line when
+    # the registry grew, which the round driver then flagged as a
+    # phantom bench drop). New registry queries are counted in
+    # "omitted" (and "nq") instead of reshuffling the printed set; the
+    # complete record is always in BENCH_full/last_run. The 1900-char
+    # guard stays as a backstop and trims deterministically from the
+    # list's tail.
+    order = [n for n in _STDOUT_QUERIES if n in timings]
 
     def line_for(q: dict) -> str:
         return json.dumps(
@@ -155,18 +254,18 @@ def main() -> None:
                 "reps": reps,
                 "setup_sec": setup_sec,
                 "nq": len(timings),
+                "omitted": len(timings) - len(q),
                 "full": "BENCH_full.json" if promoted else "BENCH_last_run.json",
                 "promoted": promoted,
             },
             separators=(",", ":"),
         )
 
-    compact: dict[str, float] = {}
-    for n in order:
-        compact[n] = round(timings[n], 2)
-        if len(line_for(compact)) > 1900:
-            del compact[n]
+    compact: dict[str, float] = {n: round(timings[n], 2) for n in order}
+    for n in reversed(order):
+        if len(line_for(compact)) <= 1900:
             break
+        del compact[n]
     print(line_for(compact))
     spark.stop()
 

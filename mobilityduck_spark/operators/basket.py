@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["pair_rules", "item_cosine", "release_caches"]
 
@@ -52,16 +53,38 @@ def _capped_basket_arrays(
     baskets: DataFrame, basket_col: str, item_col: str, max_basket: int
 ) -> DataFrame:
     """(b, items ARRAY) — distinct items per basket, sorted, baskets
-    larger than max_basket dropped. One exchange builds the relation;
-    it is persisted because pairs, margins and the basket count all
-    read it."""
+    larger than max_basket dropped. Persisted because pairs, margins
+    and the basket count all read it.
+
+    The cap is enforced BEFORE collect_set builds any array: a direct
+    groupBy(b).collect_set + size filter materializes a degenerate
+    mega-basket's full item set in a single aggregation buffer on one
+    executor (and lands the whole basket on one shuffle partition)
+    before discarding it. Instead: (1) distinct (b, item) — the one
+    corpus-volume exchange, hash-spread over (b, item) so even a
+    1M-item basket is spread across partitions, with map-side partial
+    dedup; (2) a per-basket count via a Window over b — the window
+    sorter spills to disk, never holding per-group state in an
+    aggregation buffer; (3) the filter drops over-cap baskets, and only
+    then does collect_set run, with its buffer bounded by max_basket.
+    The groupBy(b) reuses the window's hashpartitioning(b) — no extra
+    exchange.
+
+    NULL boundary (matches the DuckDB oracle exactly): a (basket, NULL)
+    row counts toward the basket-size cap (the oracle's COUNT(*) over
+    the distinct relation counts it) but never produces pairs or
+    consumed margins (collect_set drops NULLs; in the oracle a NULL
+    item satisfies no a.i < c.i join and its margin row is never looked
+    up)."""
+    dist = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    w = Window.partitionBy("b")
     arr = (
-        baskets.select(
-            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-        )
+        dist.withColumn("_nd", F.count(F.lit(1)).over(w))
+        .filter(F.col("_nd") <= max_basket)
         .groupBy("b")
         .agg(F.sort_array(F.collect_set("i")).alias("items"))
-        .filter(F.size("items") <= max_basket)
     )
     arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(arr)

@@ -320,15 +320,20 @@ def incremental_near_dups(
             lambda eq: eq,
         )
     ) / F.lit(num_hashes)
+    # verify map-side BEFORE the pair-dedup exchange (same argument as
+    # the batch LSH family): est_jaccard is a pure function of the two
+    # signatures — identical on every duplicate band collision — so
+    # filter-then-distinct equals dedup-then-verify while the exchange
+    # carries (new_id, prior_id, est) per SURVIVING pair instead of two
+    # full signature arrays per raw collision row.
     return (
-        cand.groupBy("id", "id_p")
-        .agg(F.first("sig").alias("sig"), F.first("sig_p").alias("sig_p"))
-        .select(
+        cand.select(
             F.col("id").alias("new_id"),
             F.col("id_p").alias("prior_id"),
             F.round(est, 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
     )
 
 

@@ -970,38 +970,112 @@ def rfm_scores(
         ((F.col("anchor_us") - F.col("last_us")) / F.lit(86_400_000_000))
         .cast("bigint"),
     )
-    # pin the |users|-sized RFM table: each of the three ntile passes
-    # reads it TWICE (offset histogram + the broadcast join-back), and
-    # the passes chain — without the pin the events scan and the
-    # user-keyed aggregate re-derive up to 6x (measured: a 90-Exchange
-    # plan at sf0.1 collapses to one scan + domain-sized work)
+    # pin the |users|-sized RFM table: the exploded rank relation below
+    # and the pivot both derive from it — without the pin the events
+    # scan and the user-keyed aggregate re-derive per consumer
     per = _pin(per)
-    per = _scalable_ntile(
-        per, "last_us",
-        (F.col("last_us") / F.lit(86_400_000_000)).cast("bigint"),
-        "user_id", n_buckets, "r_score",
-    )
-    per = _scalable_ntile(
-        per, "frequency", F.col("frequency"), "user_id", n_buckets,
-        "f_score",
-    )
-    per = _scalable_ntile(
-        per, "monetary_micro",
-        (F.col("monetary_micro") / F.lit(100_000_000)).cast("bigint"),
-        "user_id", n_buckets, "m_score",
-    )
-    return per.select(
+    # ALL THREE ntiles in ONE exploded (metric, value) relation: the
+    # three chained _scalable_ntile passes each paid their own offset
+    # histogram + join-back + coarse-bucket row_number (69 Exchanges at
+    # sf0.1). Ranking the 3x|users| exploded relation instead runs ONE
+    # histogram aggregate, ONE offset window (per metric), ONE
+    # bucket-partitioned row_number and ONE pivot groupBy. Per-metric
+    # semantics are untouched: offsets accumulate within each metric
+    # (Window.partitionBy("m")), the local rank orders by (value,
+    # user_id) inside (metric, coarse bucket) — exactly the old
+    # per-pass orderBy(sort_col, key_col) tie-break — and the ntile
+    # closed form reads the same per-metric total.
+    day_us = F.lit(86_400_000_000)
+    x = per.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_micro",
-        "r_score",
-        "f_score",
-        "m_score",
-        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
-        .cast("int")
-        .alias("rfm"),
-    ).orderBy("user_id")
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("m"),
+                    F.col("last_us").alias("sv"),
+                    (F.col("last_us") / day_us).cast("bigint").alias("cb"),
+                ),
+                F.struct(
+                    F.lit("f").alias("m"),
+                    F.col("frequency").alias("sv"),
+                    F.col("frequency").cast("bigint").alias("cb"),
+                ),
+                F.struct(
+                    F.lit("m").alias("m"),
+                    F.col("monetary_micro").alias("sv"),
+                    (F.col("monetary_micro") / F.lit(100_000_000))
+                    .cast("bigint")
+                    .alias("cb"),
+                ),
+            )
+        ).alias("x"),
+    ).select(
+        "user_id", "recency_days", "frequency", "monetary_micro",
+        "x.m", "x.sv", "x.cb",
+    )
+    wh = Window.partitionBy("m").orderBy("cb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        x.groupBy("m", "cb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "m",
+            "cb",
+            F.coalesce(F.sum("_n").over(wh), F.lit(0)).alias("_off"),
+            F.sum("_n").over(Window.partitionBy("m")).alias("_tot"),
+        )
+    )
+    w = Window.partitionBy("m", "cb").orderBy(
+        F.col("sv").asc(), F.col("user_id").asc()
+    )
+    rk = F.col("_off") + F.row_number().over(w)
+    qq = (F.col("_tot") / n_buckets).cast("bigint")
+    rr = F.col("_tot") % n_buckets
+    big = rr * (qq + 1)
+    score = F.when(
+        rk <= big, ((rk + qq) / (qq + 1)).cast("bigint")
+    ).otherwise(
+        rr
+        + (
+            (rk - big + F.greatest(qq, F.lit(1)) - 1)
+            / F.greatest(qq, F.lit(1))
+        ).cast("bigint")
+    )
+    scored = x.join(F.broadcast(offs), ["m", "cb"]).withColumn(
+        "_sc", score.cast("int")
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.max("recency_days").alias("recency_days"),
+            F.max("frequency").alias("frequency"),
+            F.max("monetary_micro").alias("monetary_micro"),
+            F.max(F.when(F.col("m") == "r", F.col("_sc"))).alias("r_score"),
+            F.max(F.when(F.col("m") == "f", F.col("_sc"))).alias("f_score"),
+            F.max(F.when(F.col("m") == "m", F.col("_sc"))).alias("m_score"),
+        )
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_micro",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            )
+            .cast("int")
+            .alias("rfm"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def winsorized_stats(

@@ -333,15 +333,24 @@ def kcore(
     # size gate: one edge count up front replaces a fixpoint loop of
     # per-round count jobs when the graph is bounded (the peel is
     # latency-bound on small graphs — each round is pure job overhead).
-    # Same bounded-collect pattern as connected_components; at scale
-    # the count is no more work than the eager checkpoint below and the
-    # distributed peel runs unchanged.
-    if edges.count() <= local_max_edges:
-        return _local_kcore(edges, src, dst, k, max_rounds)
-    sym = edges.select(
+    # Same bounded-collect pattern as connected_components. The edge
+    # pipeline is persisted BEFORE the count (the LPA contract): the
+    # count materializes it once, and every later reference — the
+    # local collect on the gated path, or the symmetric union feeding
+    # the eager checkpoint (which referenced `edges` twice, so the
+    # ungated path used to evaluate the upstream gram-join/LSH
+    # pipeline three times) — reads the cache.
+    from pyspark import StorageLevel
+
+    base = edges.select(src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = base.count()  # eager: one evaluation, charged here
+    _PERSISTED.append(base)
+    if n_edges <= local_max_edges:
+        return _local_kcore(base, src, dst, k, max_rounds)
+    sym = base.select(
         F.col(src).alias("s"), F.col(dst).alias("t")
     ).unionAll(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+        base.select(F.col(dst).alias("s"), F.col(src).alias("t"))
     )
     live = sym.localCheckpoint(eager=True)
     n_prev = None

@@ -282,7 +282,11 @@ def curate_corpus(
     parts = [
         s012,
         stage("3_exact_dedup", exact_keep),
-        stage("4_near_dup", near_keep),
+        # |kept| == |near_keep| (kept = exact_keep semi-joined on the
+        # near-dup survivor ids, which are a subset of exact_keep's
+        # unique ids) — counting the pinned relation avoids re-deriving
+        # the exact_keep ⋈ components join for this one funnel row
+        stage("4_near_dup", kept),
     ]
     idx = 5
     if bench_docs is not None:

@@ -81,7 +81,7 @@ def release_caches() -> int:
 def query_term_tf(
     docs: DataFrame,
     queries: list[tuple[str, str]],
-    persist: bool = False,
+    persist: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared substrate every lexical ranker here reads: (qterms,
     tf, stats) where qterms = (query_id, term), tf = (doc_id, dl,
@@ -94,7 +94,19 @@ def query_term_tf(
     terms|, tiny) is materialized once so multiple rankers in one
     query read it without re-running the corpus explode — the reason
     doc_rrf_fusion / doc_retrieval_eval cost ONE tokenize pass for
-    postings instead of one per ranker."""
+    postings instead of one per ranker.
+
+    persist=None (the default) resolves from $SPARK_GRAFT_TF_PERSIST:
+    unset/0 = no pin — right for local[N] where the duplicated tf
+    subtree overlaps across idle cores and a pin serializes it
+    (measured: 2.0 s vs 2.5 s fused at sf0.1); 1 = pin — the cluster
+    deployment default, paying ONE corpus explode instead of one per
+    ranker. An env switch rather than an in-code flip so the scale-out
+    configuration needs no code change (VERDICT r11 item 9)."""
+    import os
+
+    if persist is None:
+        persist = os.environ.get("SPARK_GRAFT_TF_PERSIST", "0") == "1"
     spark = docs.sparkSession
     toks = _doc_tokens(docs).select("doc_id", "w", F.size("w").alias("dl"))
     stats = toks.agg(

@@ -178,6 +178,42 @@ def oracle_sql() -> dict[str, str]:
     return _driver_order(_ORACLES)
 
 
+def release_operator_caches(session_scoped: bool = False) -> int:
+    """Unpersist per-call operator pins (the MEMORY_AND_DISK
+    intermediates each operator call registers). Long sessions that run
+    many queries — the bench loop, a driver sweep — call this between
+    queries so cache blocks do not accumulate for the whole session
+    (VERDICT r11 item 4); results never change, only what stays cached.
+
+    session_scoped=True additionally releases the session-lifetime
+    caches: the memoized IVF/PQ/SQ8 fits + their pinned index tables
+    (similarity.cached_fit's train-once contract) and the BerlinMOD
+    shared trip/segment intermediates built once per session. Use for
+    teardown only — releasing those between queries would rebuild them
+    per query, which is exactly the overhead they exist to remove."""
+    from . import berlinmod
+    from .operators import (
+        basket,
+        components,
+        dedup,
+        events,
+        graph,
+        pipeline,
+        retrieval,
+        similarity,
+    )
+
+    n = 0
+    for mod in (basket, components, dedup, events, graph, pipeline,
+                retrieval):
+        n += mod.release_caches()
+    n += similarity.release_call_caches()
+    if session_scoped:
+        n += similarity.release_caches()
+        n += berlinmod.release_caches()
+    return n
+
+
 # =====================================================================
 # Relational sanity: TPC-H Q1 shape (DECIMAL-exact, cast to DOUBLE)
 # =====================================================================
@@ -6662,10 +6698,10 @@ def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both rankers read ONE query-term tf substrate (the overlap count
     # is a plain aggregate over the same distinct-(doc, term) rows BM25
     # scores, so results are identical to the two-pass formulation).
-    # persist=False on purpose: at sf0.1 the duplicated tf subtree
-    # overlaps across cores and a persist serializes it (measured 2.0 s
-    # vs 2.5 s min); at corpus scale flip persist=True to pay ONE
-    # corpus explode instead of two
+    # The tf pin is env-keyed ($SPARK_GRAFT_TF_PERSIST, default off):
+    # at sf0.1 the duplicated tf subtree overlaps across cores and a
+    # persist serializes it (measured 2.0 s vs 2.5 s min); a cluster
+    # deployment sets the env to pay ONE corpus explode instead of two
     qterms, tf, stats = RT.query_term_tf(docs, _BM25_QUERIES)
     bm = RT.bm25_rank_from_tf(qterms, tf, stats, k=10).select(
         "query_id", "doc_id", "rnk"
@@ -8680,10 +8716,11 @@ def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = SRC.load(spark, sf_dir, "documents")
     # run and qrels read ONE query-term tf substrate (the qrels
     # evidence — distinct (doc, query-term) rows — is exactly the tf
-    # relation BM25 scores). persist=False on purpose: at sf0.1 the
-    # duplicated subtree overlaps across cores and a persist
-    # serializes it (measured 2.07 s vs 2.93 s min); at corpus scale
-    # flip persist=True to pay one explode instead of two
+    # relation BM25 scores). The tf pin is env-keyed
+    # ($SPARK_GRAFT_TF_PERSIST, default off): at sf0.1 the duplicated
+    # subtree overlaps across cores and a persist serializes it
+    # (measured 2.07 s vs 2.93 s min); a cluster deployment sets the
+    # env to pay one explode instead of two
     qterms, tf, stats = RT.query_term_tf(docs, _BM25_QUERIES)
     run = RT.bm25_rank_from_tf(qterms, tf, stats, k=10).select(
         "query_id", "doc_id", "rnk"
