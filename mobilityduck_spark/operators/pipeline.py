@@ -293,17 +293,40 @@ def curate_corpus(
         parts.append(stage(f"{idx}_decontam", decon_keep))
         idx += 1
     if mixture_fracs is not None:
-        parts.append(stage(f"{idx}_mixture", mix_keep))
-        idx += 1
-    parts.append(
-        final.groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(
-            F.concat(F.lit(f"{idx}_split:"), F.col("split")).alias("stage"),
-            "n_docs",
+        # mixture count + split counts in ONE rollup pass over the
+        # pinned mixture relation: the grand-total grouping IS the
+        # mixture survivor count (split_assign never yields NULL, so
+        # the NULL row is unambiguous), replacing a separate
+        # whole-relation aggregate per boundary (§6 fewer passes).
+        # Empty-input semantics match the two-branch form: rollup over
+        # zero rows yields exactly the grand-total row with count 0.
+        parts.append(
+            final.rollup("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(
+                F.when(
+                    F.col("split").isNull(), F.lit(f"{idx}_mixture")
+                )
+                .otherwise(
+                    F.concat(F.lit(f"{idx + 1}_split:"), F.col("split"))
+                )
+                .alias("stage"),
+                "n_docs",
+            )
         )
-    )
-    idx += 1
+        idx += 2
+    else:
+        parts.append(
+            final.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(
+                F.concat(F.lit(f"{idx}_split:"), F.col("split")).alias(
+                    "stage"
+                ),
+                "n_docs",
+            )
+        )
+        idx += 1
     if pack_capacity is not None:
         # chunks per shard = max(chunk_last)+1 = ceil(shard_tokens/cap);
         # exercises the real pack_chunks prefix-scan path

@@ -1279,49 +1279,70 @@ def chunk_dedup_rewrite(
         ).alias("__chunks"),
     )
     ch = base.select(
-        id_col, F.explode("__chunks").alias("c")
+        id_col,
+        F.size("__chunks").cast("bigint").alias("n_chunks"),
+        F.explode("__chunks").alias("c"),
     ).select(
         F.col(id_col).alias("doc_id"),
+        F.col("n_chunks"),
         F.col("c.idx").alias("idx"),
         F.col("c.chunk").alias("chunk"),
         F.md5(F.col("c.chunk")).alias("hsh"),
     )
-    winners = ch.groupBy("hsh").agg(
-        F.min(F.struct("doc_id", "idx")).alias("w")
+    # Decide winners on METADATA and move the chunk text exactly once
+    # (guide §8: every shuffle but the last operates on a lightweight
+    # proxy). A (doc_id, idx) position is kept iff it IS its hash's
+    # winner, and positions are globally unique — so the winner set
+    # (w.doc_id, w.idx), grouped into a per-doc kept-idx array, is an
+    # exact membership test. The old plan shipped the chunk TEXT
+    # through the hsh exchange and again through the reassembly
+    # exchange; now only (hsh, doc_id, idx) rows cross the hsh
+    # exchange, the winner positions cross a second narrow doc_id
+    # exchange, and the text crosses ONE exchange — the doc_id join,
+    # whose partitioning the reassembly groupBy then reuses. The
+    # per-doc totals ride along ch as a column instead of a third
+    # chunking pass over the raw text (the chunk pipeline itself is
+    # still evaluated once per consumer branch rather than pinned:
+    # caching corpus-sized text at 100 TB costs a disk write the
+    # row-local JVM re-chunk does not).
+    winners = (
+        # isNotNull preserves the old inner-join-on-hsh semantics: a
+        # NULL-text chunk hashes to NULL and never joined, so it never
+        # won (groupBy would otherwise keep the NULL key group)
+        ch.select("hsh", "doc_id", "idx")
+        .where(F.col("hsh").isNotNull())
+        .groupBy("hsh")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.idx").alias("idx"))
     )
-    kept = (
-        ch.join(winners, "hsh")
-        .where(
-            (F.col("doc_id") == F.col("w.doc_id"))
-            & (F.col("idx") == F.col("w.idx"))
-        )
-        .select("doc_id", "idx", "chunk")
+    keep_sets = winners.groupBy("doc_id").agg(
+        F.collect_set("idx").alias("__ki")
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("idx", "chunk"))
-                ),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("clean"),
-    )
-    totals = base.select(
-        F.col(id_col).alias("doc_id"),
-        F.size("__chunks").cast("bigint").alias("n_chunks"),
+    kept_struct = F.when(
+        F.array_contains(F.col("__ki"), F.col("idx")),
+        F.struct("idx", "chunk"),
     )
     return (
-        totals.join(rebuilt, "doc_id", "left")
+        ch.join(keep_sets, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").alias("n_chunks"),
+            F.count(kept_struct).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean"),
+        )
         .select(
             "doc_id",
             "n_chunks",
-            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            (F.col("n_chunks") - F.col("n_kept"))
             .cast("bigint")
             .alias("n_removed"),
-            F.md5(F.coalesce(F.col("clean"), F.lit(""))).alias("clean_fp"),
+            F.md5(F.col("clean")).alias("clean_fp"),
         )
     )
 
