@@ -922,20 +922,35 @@ def ngram_containment_pairs(
     pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(pre)
     inter = _gram_pair_intersections(pre, block_cols)
-    a_in_b = inter.select(
-        F.col("id").alias("inner_id"),
-        F.col("id_b").alias("outer_id"),
-        F.round(F.col("inter") / F.col("n_grams"), 6).alias("containment"),
-    )
-    b_in_a = inter.select(
-        F.col("id_b").alias("inner_id"),
-        F.col("id").alias("outer_id"),
-        F.round(F.col("inter") / F.col("n_grams_b"), 6).alias("containment"),
-    )
-    return (
-        a_in_b.unionByName(b_in_a)
-        .filter(F.col("containment") >= threshold)
-        .orderBy("inner_id", "outer_id")
+    # both directions from ONE pass over the intersections: the union
+    # of two projections re-ran the candidate join + pair aggregate
+    # once per direction (the before-plan shows two BroadcastHashJoin +
+    # HashAggregate subtrees over the pinned gram table); an
+    # explode(array(...)) emits the identical row multiset map-side
+    # (the triangle-corner trick). Containment is exact inter/|side|
+    # rounded once, unchanged.
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id").alias("inner_id"),
+                    F.col("id_b").alias("outer_id"),
+                    F.round(F.col("inter") / F.col("n_grams"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("inner_id"),
+                    F.col("id").alias("outer_id"),
+                    F.round(F.col("inter") / F.col("n_grams_b"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.inner_id", "p.outer_id", "p.containment")
+    return both.filter(F.col("containment") >= threshold).orderBy(
+        "inner_id", "outer_id"
     )
 
 
