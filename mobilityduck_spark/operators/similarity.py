@@ -130,15 +130,50 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
-    """Bit signature: sign of projection on each fixed hyperplane."""
+    """Bit signature: sign of projection on each fixed hyperplane.
+
+    The plane matrix is ONE parsed literal (repr() round-trips every
+    float exactly, and Spark's `...D` suffix parses to the identical
+    double) and the projections ONE transform/aggregate tree — building
+    n_planes per-plane dot trees from 64 F.lit() calls each cost ~1k
+    py4j round-trips per invocation (pure query-build overhead). The
+    arithmetic is byte-for-byte `dot`'s (cast-to-double products,
+    left-fold sum, proj > 0 sign), so signatures are unchanged."""
     planes = _planes(dim, n_planes, seed)
-    out = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = dot(_c(vec), F.array(*[F.lit(float(x)) for x in p]))
-        out = out.bitwiseOR(
-            F.shiftleft(F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0)), i)
-        )
-    return out
+    rows = ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in p) + ")" for p in planes
+    )
+    planes_lit = F.expr(f"array({rows})")
+    projs = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(
+                _c(vec),
+                p,
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # fold the sign bits in ONE pass that references `projs` exactly
+    # once: higher-order functions are CodegenFallback, so Catalyst's
+    # subexpression elimination does NOT apply — an OR-chain of
+    # element_at(projs, i) terms re-evaluates all n_planes projections
+    # once per bit (n² dots per row; measured 2.7 -> 7.6 s on the
+    # near-dup recall query before this fold). bit i = 2^i when
+    # proj_i > 0 (2^i is exact in double for i < 53, the cast is
+    # exact), and the bits are distinct powers so bitwise-OR of the
+    # old chain equals this fold.
+    bits = F.transform(
+        projs,
+        lambda p, i: F.when(
+            p > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b)
+    )
 
 
 def lsh_topk(
@@ -1992,9 +2027,26 @@ def rademacher_near_dups(
         quantize_vec(F.col(vec_col)).alias("qv"),
     ).select("id", "qv", int_dot("qv", "qv").alias("nv"))
 
+    # ALL plane projections as ONE parsed expression: building 16
+    # per-plane int_dot trees out of 64 F.lit() calls each cost ~2k
+    # py4j round-trips PER INVOCATION (measured ~3s of the query's
+    # build time); a single F.expr parses once. The arithmetic is
+    # byte-for-byte int_dot's (zip_with x*y, aggregate 0L, acc+v over
+    # BIGINT literals), so every projection — and therefore every band
+    # key, candidate pair and verify cosine — is unchanged.
+    sign_rows = ", ".join(
+        "array(" + ", ".join(f"{int(s)}L" for s in signs[p]) + ")"
+        for p in range(n_planes)
+    )
+    projs = F.expr(
+        f"transform(array({sign_rows}), "
+        "s -> aggregate(zip_with(qv, s, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v))"
+    )
+    e = e.withColumn("_projs", projs)
+
     def _proj(p: int) -> Column:
-        lits = F.array(*[F.lit(int(s)).cast("long") for s in signs[p]])
-        return int_dot(F.col("qv"), lits)
+        return F.element_at(F.col("_projs"), p + 1)
 
     band_keys = []
     for b in range(bands):
